@@ -1,0 +1,203 @@
+"""The record log — data plane: append / fetch / trim-vacuum / retention.
+
+Reference parity:
+- APPEND 0x1001  ≙ range-server/src/handler/append.rs:73-178 + offset
+  stamping components/replication/src/stream/replication_range.rs:177-223
+- FETCH  0x1002  ≙ range-server/src/handler/fetch.rs:48-155 + store fetch
+  components/store/src/store/elastic_store.rs:204-322
+- retention expiry ≙ components/store/src/io/wal.rs:362-377
+- tiered storage / sparse index ≙ parquet row-group stats + partition
+  pruning (components/model/src/object.rs:31-97 is replaced by Catalyst's
+  min/max pruning — see SURVEY.md §4)
+
+Physical layout: hive-partitioned parquet
+``records/stream_id=<id>/range_index=<i>/*.parquet``.  A fetch for one
+stream's offset window therefore prunes to a handful of files before any
+row is read — the Spark analogue of the reference's RocksDB
+(stream,range,offset)→handle index.  At 100 TB this layout keeps per-stream
+reads O(bytes requested), not O(table size), and appends from different
+streams never contend (separate directories, separate catalog rows —
+matching the reference's claim that throughput is flat in stream count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elastic_stream_spark.catalog import StreamCatalog
+
+# Envelope schema — SURVEY.md §1.3 / FIXTURES.md B.1.
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.LongType(), False),
+        T.StructField("range_index", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+PAYLOAD_COLS = ["ts", "properties", "payload"]
+
+
+class StreamLog:
+    """Append/fetch over the partitioned record log.
+
+    One instance per catalog root; all methods are driver-side plan builders
+    except ``append`` which executes a write job.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: StreamCatalog):
+        self.spark = spark
+        self.catalog = catalog
+        self.records_root = f"{catalog.root}/records"
+
+    # ----------------------------------------------------------- append
+
+    def append(
+        self, stream_id: int, batch: DataFrame, epoch: int | None = None
+    ) -> tuple[int, int]:
+        """Append a batch to the stream's mutable range; returns
+        ``(base_offset, last_offset_exclusive)``.
+
+        Offset assignment (SURVEY.md §7 hard-part 1): the catalog reserves a
+        contiguous block under its lock (≙ the reference's write-window
+        serialization, window.rs:7-45), then offsets are stamped
+        ``base + row_number() - 1`` inside the job.  The per-stream
+        ``Window.orderBy`` is a single-partition sort *per stream per
+        batch* — exactly the reference's one-mutable-range-per-stream rule;
+        cross-stream appends parallelize freely.
+
+        ``batch`` needs columns ``ts``; optional ``properties``, ``payload``.
+        """
+        missing = {"ts"} - set(batch.columns)
+        if missing:
+            raise ValueError(f"append batch missing columns: {missing}")
+        if "properties" not in batch.columns:
+            batch = batch.withColumn(
+                "properties", F.lit(None).cast("map<string,string>")
+            )
+        if "payload" not in batch.columns:
+            batch = batch.withColumn("payload", F.lit(None).cast("binary"))
+        batch = batch.select(*PAYLOAD_COLS)
+
+        n = batch.count()
+        if n == 0:
+            meta = self.catalog.describe_stream(stream_id)
+            return meta.next_offset, meta.next_offset
+        base, rng = self.catalog.reserve_offsets(stream_id, n, epoch=epoch)
+
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("ts"), F.monotonically_increasing_id())
+        out = (
+            batch.withColumn("offset", F.lit(base) + F.row_number().over(w) - 1)
+            .withColumn("stream_id", F.lit(stream_id).cast("long"))
+            .withColumn("range_index", F.lit(rng.range_index).cast("int"))
+            .select([f.name for f in RECORD_SCHEMA.fields])
+        )
+        (
+            out.write.mode("append")
+            .partitionBy("stream_id", "range_index")
+            .parquet(self.records_root)
+        )
+        return base, base + n
+
+    # ------------------------------------------------------------ fetch
+
+    def records(self) -> DataFrame:
+        """The full log as a DataFrame (all streams). Partition columns
+        stream_id/range_index come back typed per RECORD_SCHEMA."""
+        return (
+            self.spark.read.option("basePath", self.records_root)
+            .schema(RECORD_SCHEMA)
+            .parquet(self.records_root)
+        )
+
+    def fetch(self, stream_id: int, start_offset: int, end_offset: int) -> DataFrame:
+        """FETCH ≙ read ``[start_offset, end_offset)`` in offset order.
+
+        The stream_id predicate prunes partitions (directory level); the
+        offset predicates push down to parquet row-group stats — the same
+        IO-skipping role as the reference's sparse index
+        (components/model/src/object.rs:31-97).  Reads below the trim
+        horizon return nothing (≙ OffsetOutOfRange after TRIM_STREAM).
+        """
+        meta = self.catalog.describe_stream(stream_id)
+        lo = max(start_offset, meta.start_offset)
+        return (
+            self.records()
+            .where(
+                (F.col("stream_id") == stream_id)
+                & (F.col("offset") >= lo)
+                & (F.col("offset") < end_offset)
+            )
+            .orderBy("offset")
+        )
+
+    def next_offset(self, stream_id: int) -> int:
+        """≙ DESCRIBE_RANGE's max-offset answer (SURVEY.md §2.3 row 17)."""
+        return self.catalog.describe_stream(stream_id).next_offset
+
+    # ------------------------------------------------- maintenance jobs
+
+    def vacuum(self, stream_id: int) -> None:
+        """Physically drop data below the trim horizon / of deleted
+        streams.  Rewrites only the straddling range partition; ranges
+        entirely below the horizon are removed wholesale (cheap directory
+        deletes — the common case, ≙ WAL segment reclaim wal.rs:435-541).
+        """
+        import shutil
+
+        st = self.catalog._load()
+        sraw = st.streams.get(str(stream_id))
+        if sraw is None:
+            return
+        keep_from = sraw["start_offset"]
+        live = {r["range_index"] for r in st.ranges.get(str(stream_id), [])}
+        import glob
+        import os
+
+        for d in glob.glob(f"{self.records_root}/stream_id={stream_id}/range_index=*"):
+            ridx = int(d.rsplit("=", 1)[1])
+            if sraw["deleted"] or ridx not in live:
+                shutil.rmtree(d)
+                continue
+        if sraw["deleted"]:
+            return
+        # rewrite the straddling range (drop rows below keep_from)
+        for r in st.ranges.get(str(stream_id), []):
+            d = f"{self.records_root}/stream_id={stream_id}/range_index={r['range_index']}"
+            if not os.path.exists(d):
+                continue
+            df = self.spark.read.parquet(d)
+            if df.where(F.col("offset") < keep_from).limit(1).count() == 0:
+                continue
+            kept = df.where(F.col("offset") >= keep_from)
+            tmp = d + ".rewrite"
+            kept.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(d)
+            os.replace(tmp, d)
+
+    def expire_retention(self, stream_id: int, now_ms: int) -> int:
+        """Retention job ≙ wal.rs:362-377 check_expired_segment: trim the
+        stream to the first offset whose ts is within the retention window.
+        Returns the new start_offset."""
+        meta = self.catalog.describe_stream(stream_id)
+        if meta.retention_ms < 0:
+            return meta.start_offset
+        horizon = F.timestamp_millis(F.lit(now_ms - meta.retention_ms))
+        row = (
+            self.records()
+            .where((F.col("stream_id") == stream_id) & (F.col("ts") >= horizon))
+            .agg(F.min("offset").alias("first_live"))
+            .collect()[0]
+        )
+        new_start = row["first_live"] if row["first_live"] is not None else meta.next_offset
+        if new_start > meta.start_offset:
+            self.catalog.trim_stream(stream_id, new_start)
+            self.vacuum(stream_id)
+        return max(new_start, meta.start_offset)

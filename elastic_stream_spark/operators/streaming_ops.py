@@ -1,0 +1,159 @@
+"""Windowed / streaming-semantics operators over the event stream.
+
+The reference's streaming surface is long-poll FETCH + retention/trim
+(SURVEY.md §2.8).  Spark gives the full windowed-aggregation layer on top;
+the north star requires tumbling/sliding/session windows, watermarks and
+dedup.
+
+Each aggregation here is written once as a *batch* DataFrame query using
+the same window expressions Structured Streaming executes
+(``F.window`` / ``F.session_window``) — so the DuckDB oracle can
+hash-check the semantics — and `tests/test_streaming.py` re-runs the
+identical aggregation through ``readStream`` (AvailableNow over parquet →
+memory sink) asserting the streaming result equals the batch result, plus
+watermark late-drop behavior.
+
+Scale notes: windowed groupBy is partial-aggregable; session windows
+shuffle once on the session key (user_id); streaming state lives in the
+state store keyed by (key, window) with watermark-driven eviction — the
+Spark analogue of the reference's retention-driven WAL reclaim
+(wal.rs:362-377).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elastic_stream_spark.sources.envelope import EVENTS_NORM_SQL, load_table
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+    The flagship query: the reference's append→fetch log expressed as
+    windowed analytics over the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour size, 30 minute slide — each event lands in
+    2 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user: 30-minute inactivity gap.  Sessionization
+    ≙ lag+cumsum in the batch/oracle formulation; ``F.session_window`` is
+    the same semantics executed by the streaming state store."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup semantics (``dropDuplicates`` on a key): first event
+    per (user_id, event_type) in ts order — the batch formulation of
+    ``dropDuplicatesWithinWatermark``."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+QUERIES = {
+    "tumbling_window_counts": tumbling_window_counts,
+    "sliding_window_stats": sliding_window_stats,
+    "session_windows": session_windows,
+    "stream_dedup_events": stream_dedup_events,
+}
+
+ORACLES = {
+    "tumbling_window_counts": f"""
+        WITH {EVENTS_NORM_SQL}
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events_n
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    "sliding_window_stats": f"""
+        WITH {EVENTS_NORM_SQL}, hits AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value
+          FROM events_n
+          UNION ALL
+          SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+                   AS window_start, value
+          FROM events_n
+        )
+        SELECT window_start, count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM hits
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+    "session_windows": f"""
+        WITH {EVENTS_NORM_SQL}, gaps AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL '30 minutes'
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events_n
+        ), sessions AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gaps
+        )
+        SELECT min(ts) AS session_start, user_id,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+    "stream_dedup_events": f"""
+        SELECT user_id, event_type, event_id, ts
+        FROM (
+          SELECT user_id, event_type, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM (WITH {EVENTS_NORM_SQL} SELECT * FROM events_n)
+        )
+        WHERE rn = 1
+        ORDER BY user_id, event_type
+    """,
+}

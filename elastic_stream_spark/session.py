@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every config here is chosen to also
+hold on a large cluster: AQE for runtime re-planning (skew joins, partition
+coalescing), Arrow for the Python boundary, UTC so results are comparable
+with the DuckDB oracle, and shuffle partitions sized by environment rather
+than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "elastic_stream_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # ---- planning: let Catalyst + AQE own the physical strategy ----
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ---- python boundary: always Arrow, never per-row pickle ----
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # ---- determinism / oracle comparability ----
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS) which Spark
+        # has no native type for; read as long, converted in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ---- local-mode friendliness (no-ops on a real cluster manager) ----
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,110 @@
+"""Sources: driver test tables + the derived record-envelope view.
+
+``events_envelope`` wraps the driver's ``events`` table into the reference's
+record envelope (FIXTURES.md B.1, SURVEY.md §1.3): one stream per
+``event_type`` (stream_id = dense rank of event_type in lexical order,
+0-based), per-stream contiguous 0-based offsets ordered by ``(ts,
+event_id)``, ``range_index = offset div 1000`` (multiple sealed ranges per
+stream), payload = JSON-encoded row bytes.
+
+This derivation is pure DataFrame code and has an exact ANSI-SQL
+equivalent, which is what lets every stream-surface operation (FETCH,
+DESCRIBE, LIST_RANGE, TRIM — SURVEY.md §2) be checked against the DuckDB
+oracle.
+
+Scale note: the per-stream ``row_number`` is a shuffle on ``stream_id``
+(bounded parallelism = number of streams), which matches the reference's
+own serialization point — offsets within one stream are assigned by a
+single writer (components/model/src/stream/mod.rs:5-21, one mutable range).
+Downstream consumers should aggregate per (stream_id, range_index) so work
+re-parallelizes past the assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+RANGE_SIZE = 1000  # offsets per range in the derived fixture (FIXTURES.md B.1)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table.  ``events.ts`` is stored as parquet
+    TIMESTAMP(NANOS), which Spark has no native type for — it is read as
+    a long (``spark.sql.legacy.parquet.nanosAsLong``) and floored to
+    microseconds here; the DuckDB oracle applies the identical
+    ``epoch_ns // 1000`` normalization (EVENTS_NORM_SQL)."""
+    if name == "events":
+        # runtime-settable; guards entry() running under a driver-created
+        # session that didn't go through get_spark()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB-side equivalent of the events ts normalization (micros floor).
+EVENTS_NORM_SQL = """
+  events_n AS (
+    SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+           user_id, event_type, value, props
+    FROM events
+  )
+"""
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → records envelope (stream_id, range_index, offset, ts,
+    properties, payload) + the original event columns for decode-free
+    checking."""
+    ev = load_table(spark, sf_dir, "events")
+    sid = Window.orderBy("event_type")
+    off = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("stream_id", (F.dense_rank().over(sid) - 1).cast("long"))
+        .withColumn("offset", (F.row_number().over(off) - 1).cast("long"))
+        .withColumn("range_index", F.floor(F.col("offset") / RANGE_SIZE).cast("int"))
+        .withColumn("properties", F.create_map(F.lit("event_type"), F.col("event_type")))
+        .withColumn(
+            "payload",
+            F.encode(
+                F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value", "props")),
+                "UTF-8",
+            ),
+        )
+    )
+
+
+# SQL fragment mirroring events_envelope for the DuckDB oracle (payload
+# omitted — byte-level JSON formatting differs between engines; correctness
+# queries compare envelope + decoded columns instead).
+ENVELOPE_SQL = f"""
+WITH {EVENTS_NORM_SQL}
+SELECT
+  CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT)                       AS stream_id,
+  CAST(floor((row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1) / 1000.0) AS INT)
+                                                                                     AS range_index,
+  CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS BIGINT) AS "offset",
+  event_id, ts, user_id, event_type, value, props
+FROM events_n
+"""
