@@ -48,15 +48,18 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows: 1 hour size, 30 minute slide — each event lands in
-    2 windows."""
+    2 windows.  Emits count + rounded sum, not avg: an average of
+    2-decimal data over a power-of-two count lands exactly on the rounding
+    boundary, where cross-engine summation-order noise flips the digit —
+    sums keep a 0.005 margin over the ~1e-10 float noise."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
         .orderBy("window_start")
     )
 
@@ -120,7 +123,7 @@ ORACLES = {
                    AS window_start, value
           FROM events_n
         )
-        SELECT window_start, count(*) AS n, round(avg(value), 4) AS avg_value
+        SELECT window_start, count(*) AS n, round(sum(value), 4) AS sum_value
         FROM hits
         GROUP BY window_start
         ORDER BY window_start

@@ -1,0 +1,122 @@
+"""Catalog lifecycle: create/describe/update/delete, seal/epoch fencing,
+trim — the property-style scenarios from SURVEY.md §5 / FIXTURES.md C.
+
+Mirrors the reference's tested invariants: write-window ordering
+(window.rs:255-300), seal fixing the end offset, stale-epoch rejection
+(rpc.fbs:48-51), trim shrink/drop semantics (rpc.fbs:571-581)."""
+
+from __future__ import annotations
+
+import pytest
+
+from elastic_stream_spark.catalog import (
+    FencedError,
+    SealedRange,
+    StreamCatalog,
+    StreamNotFound,
+)
+
+
+def test_create_describe_update_delete(workdir):
+    cat = StreamCatalog(workdir)
+    s = cat.create_stream(replica=3, ack_count=2, retention_ms=1000)
+    assert (s.stream_id, s.replica, s.ack_count, s.retention_ms) == (0, 3, 2, 1000)
+    # ids are dense — the ALLOCATE_ID analogue
+    assert cat.create_stream().stream_id == 1
+
+    got = cat.describe_stream(0)
+    assert got.replica == 3 and got.next_offset == 0 and got.epoch == 0
+
+    cat.update_stream(0, retention_ms=5000)
+    assert cat.describe_stream(0).retention_ms == 5000
+    with pytest.raises(ValueError):
+        cat.update_stream(0, next_offset=99)  # not user-mutable
+
+    cat.delete_stream(0)
+    with pytest.raises(StreamNotFound):
+        cat.describe_stream(0)
+    assert [s.stream_id for s in cat.list_streams()] == [1]
+
+
+def test_offset_reservation_contiguous(workdir):
+    cat = StreamCatalog(workdir)
+    sid = cat.create_stream().stream_id
+    bases = [cat.reserve_offsets(sid, n)[0] for n in (5, 3, 7)]
+    assert bases == [0, 5, 8]  # gap-free, in-order (write-window analogue)
+    assert cat.describe_stream(sid).next_offset == 15
+
+
+def test_seal_opens_successor_and_fences(workdir):
+    cat = StreamCatalog(workdir)
+    sid = cat.create_stream().stream_id
+    cat.reserve_offsets(sid, 10)
+    sealed = cat.seal_range(sid, epoch=0)
+    assert sealed.sealed and sealed.end == 10
+    ranges = cat.list_ranges(sid)
+    # successor range starts exactly at sealed end (left-incl/right-excl)
+    assert ranges[-1].start == 10 and not ranges[-1].sealed
+    assert ranges[-1].epoch == 1
+
+    # zombie writer with the old epoch is rejected (EXPIRED_RANGE_EPOCH)
+    with pytest.raises(FencedError):
+        cat.reserve_offsets(sid, 1, epoch=0)
+    base, _ = cat.reserve_offsets(sid, 4, epoch=1)
+    assert base == 10
+
+    # sealing with a stale epoch is rejected too
+    with pytest.raises(FencedError):
+        cat.seal_range(sid, epoch=0)
+
+
+def test_write_to_sealed_terminal_range_rejected(workdir):
+    cat = StreamCatalog(workdir)
+    sid = cat.create_stream().stream_id
+    cat.seal_range(sid, epoch=0)  # empty seal; successor opens
+    # force a terminal sealed state (no mutable range), as after a
+    # stream being closed for writes
+    st = cat._load()
+    st.ranges[str(sid)][-1]["sealed"] = True
+    st.ranges[str(sid)][-1]["end"] = 0
+    cat._commit(st)
+    with pytest.raises(SealedRange):
+        cat.reserve_offsets(sid, 1, epoch=1)
+    with pytest.raises(SealedRange):
+        cat.seal_range(sid, epoch=1)
+    with pytest.raises(SealedRange):
+        cat.writable_range(sid)
+
+
+def test_trim_drops_and_shrinks(workdir):
+    cat = StreamCatalog(workdir)
+    sid = cat.create_stream().stream_id
+    cat.reserve_offsets(sid, 10)
+    cat.seal_range(sid, epoch=0)  # range0 = [0,10)
+    cat.reserve_offsets(sid, 10, epoch=1)
+    cat.seal_range(sid, epoch=1)  # range1 = [10,20)
+    cat.reserve_offsets(sid, 5, epoch=2)  # range2 = [20,25) mutable
+
+    cat.trim_stream(sid, 12)
+    s = cat.describe_stream(sid)
+    assert s.start_offset == 12
+    ranges = cat.list_ranges(sid)
+    # range0 dropped entirely; range1 shrunk to [12,20); range2 untouched
+    assert [(r.range_index, r.start, r.end) for r in ranges] == [
+        (1, 12, 20),
+        (2, 20, None),
+    ]
+    # trim is monotonic; over-trim rejected
+    cat.trim_stream(sid, 5)
+    assert cat.describe_stream(sid).start_offset == 12
+    with pytest.raises(ValueError):
+        cat.trim_stream(sid, 999)
+
+
+def test_range_contains(workdir):
+    cat = StreamCatalog(workdir)
+    sid = cat.create_stream().stream_id
+    cat.reserve_offsets(sid, 10)
+    sealed = cat.seal_range(sid, epoch=0)
+    assert sealed.contains(0) and sealed.contains(9)
+    assert not sealed.contains(10)  # right-exclusive
+    mutable = cat.writable_range(sid)
+    assert mutable.contains(10**12)  # open-ended while mutable

@@ -1,0 +1,146 @@
+"""Operator tests beyond the DuckDB oracle: the non-SQL-expressible ops
+(simhash vs a pure-Python reference, IVF recall vs brute force), the
+multimodal decode stub, and envelope invariants (FIXTURES.md B.1)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- envelope
+
+
+def test_envelope_invariants(spark):
+    from elastic_stream_spark.sources.envelope import events_envelope
+
+    env = events_envelope(spark, SF_DIR).cache()
+    # offsets contiguous from 0, gap-free, unique per stream
+    per_stream = (
+        env.groupBy("stream_id")
+        .agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count("*").alias("n"),
+            F.countDistinct("offset").alias("nd"),
+        )
+        .collect()
+    )
+    for r in per_stream:
+        assert r.lo == 0 and r.n == r.nd == r.hi + 1
+    # ranges are [start, end) with range[i].end == range[i+1].start
+    ranges = (
+        env.groupBy("stream_id", "range_index")
+        .agg(F.min("offset").alias("start"), (F.max("offset") + 1).alias("end"))
+        .orderBy("stream_id", "range_index")
+        .collect()
+    )
+    by_stream: dict = {}
+    for r in ranges:
+        by_stream.setdefault(r.stream_id, []).append(r)
+    for rs in by_stream.values():
+        assert rs[0].start == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a.end == b.start
+    env.unpersist()
+
+
+# -------------------------------------------------------------- simhash
+
+
+def _simhash_py(text: str) -> int:
+    """Pure-Python reference of the Spark simhash (dedup.py): 60 bits from
+    md5 of distinct lowercase tokens."""
+    toks = set(text.lower().split(" "))
+    sums = [0] * 60
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for j in range(60):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    sig = 0
+    for j in range(60):
+        if sums[j] > 0:
+            sig |= 1 << j
+    return sig
+
+
+def test_simhash_pairs_match_python_reference(spark):
+    import pandas as pd
+
+    from elastic_stream_spark.operators.dedup import dedup_simhash
+
+    got = {(r.doc_a, r.doc_b): r.hamming for r in dedup_simhash(spark, SF_DIR).collect()}
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sigs = {r.doc_id: _simhash_py(r.text) for r in docs.itertuples()}
+    expected = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= 3:
+                expected[(a, b)] = d
+    assert got == expected
+    assert len(expected) > 0  # fixture actually contains simhash near-dups
+
+
+# ------------------------------------------------------------ ivf recall
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from elastic_stream_spark.operators.similarity import (
+        sim_ann_ivf,
+        sim_topk_bruteforce,
+    )
+
+    exact = sim_topk_bruteforce(spark, SF_DIR).collect()
+    approx = sim_ann_ivf(spark, SF_DIR).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.55, f"IVF recall {recall:.2f} too low"
+    # every query answered with a full top-k
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in approx_set)
+    assert all(v == 5 for v in per_q.values())
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_stub_and_features(spark):
+    from elastic_stream_spark.operators.multimodal import (
+        decode_image,
+        fake_byte_features,
+        media_table,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+    s, mean, n = fake_byte_features(b"abc")
+    assert (s, n) == (294, 3) and abs(mean - 98.0) < 1e-9
+    assert fake_byte_features(b"") == (0, 0.0, 0)
+
+    media = media_table(spark, SF_DIR)
+    row = media.orderBy("doc_id").first()
+    assert isinstance(row.blob, (bytes, bytearray))
+    assert row.meta.n_bytes == len(row.blob)  # ascii corpus
+    assert row.meta.mime == "image/png"  # doc_id 0 is even
+
+
+def test_approx_count_distinct_rsd(spark):
+    """The 100 TB-friendly approximate distinct stays within its error
+    bound of the exact count (relational.approx_distinct_parts keeps the
+    exact column for the oracle; here we check the approx path)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.15

@@ -1,0 +1,181 @@
+"""Structured Streaming: source over the log, windowed aggs matching the
+batch formulations, watermark late-drop, exactly-once sink idempotence
+(FIXTURES.md C.3 + SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_stream_spark.catalog import StreamCatalog
+from elastic_stream_spark.kv import KVStore
+from elastic_stream_spark.log import StreamLog
+from elastic_stream_spark.streaming import (
+    ExactlyOnceAppendSink,
+    read_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def log(spark, workdir):
+    return StreamLog(spark, StreamCatalog(workdir))
+
+
+def _events(spark, n, base_ts=0):
+    return spark.range(n).select(
+        F.timestamp_millis(F.lit(base_ts) + F.col("id") * 60_000).alias("ts"),
+        F.create_map(F.lit("i"), F.col("id").cast("string")).alias("properties"),
+        F.encode(F.col("id").cast("string"), "UTF-8").alias("payload"),
+    )
+
+
+def _run_available_now(sdf, name, output_mode="append"):
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_fetch_sees_appends(spark, log):
+    sid = log.catalog.create_stream().stream_id
+    log.append(sid, _events(spark, 5))
+    sdf = read_stream(spark, log, sid)
+    _run_available_now(sdf, "t_fetch1")
+    got = spark.sql("SELECT offset FROM t_fetch1 ORDER BY offset").collect()
+    assert [r.offset for r in got] == [0, 1, 2, 3, 4]
+
+    # new append → a fresh availableNow run picks up exactly the new files
+    log.append(sid, _events(spark, 3, base_ts=10_000_000))
+    sdf2 = read_stream(spark, log, sid, start_offset=5)
+    _run_available_now(sdf2, "t_fetch2")
+    got2 = spark.sql("SELECT offset FROM t_fetch2 ORDER BY offset").collect()
+    assert [r.offset for r in got2] == [5, 6, 7]
+
+
+def test_streaming_tumbling_matches_batch(spark, log):
+    """The same window expression through readStream equals the batch
+    result — streaming semantics parity for the oracle-checked agg."""
+    from elastic_stream_spark.operators.streaming_ops import tumbling_window_counts
+    from elastic_stream_spark.sources.envelope import load_table
+
+    batch = tumbling_window_counts(spark, SF_DIR).collect()
+
+    # stream the ts-normalized events via a temp parquet copy (the raw
+    # file is TIMESTAMP(NANOS) which the streaming reader can't take)
+    norm = load_table(spark, SF_DIR, "events")
+    tmp = log.catalog.root + "/events_norm"
+    norm.write.mode("overwrite").parquet(tmp)
+    sdf = spark.readStream.schema(norm.schema).parquet(tmp)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    _run_available_now(agg, "t_tumble", output_mode="complete")
+    got = spark.sql(
+        "SELECT * FROM t_tumble ORDER BY window_start, event_type"
+    ).collect()
+    assert got == batch
+
+
+def test_watermark_drops_late_rows(spark, log, workdir):
+    """FIXTURES.md C.3: rows older than the watermark are dropped
+    deterministically across two microbatches."""
+    tmp = workdir + "/late_src"
+    # batch 1: events at minutes 0..9 → watermark advances to 9min - 5min
+    _events(spark, 10).write.mode("append").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1000).parquet(tmp)
+    agg = (
+        sdf.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "2 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one late event at minute 1 (< watermark 4min) and one
+        # fresh event at minute 20 — late row must be dropped
+        _events(spark, 1, base_ts=60_000).write.mode("append").parquet(tmp)
+        _events(spark, 1, base_ts=20 * 60_000).write.mode("append").parquet(tmp)
+        q.processAllAvailable()
+        # batch 3: push watermark far ahead to finalize all windows
+        _events(spark, 1, base_ts=3_600_000 * 24).write.mode("append").parquet(tmp)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.ws: r.n for r in spark.sql("SELECT * FROM t_late").collect()}
+    import datetime
+
+    m = datetime.datetime(1970, 1, 1, 0, 0)
+
+    def at(minutes):
+        return m + datetime.timedelta(minutes=minutes)
+
+    # minutes 0..9 → windows 0,2,4,6,8 with 2 each; the late minute-1 event
+    # was NOT added (window 0 stays 2); minute-20 event present
+    assert got[at(0)] == 2
+    assert got[at(20)] == 1
+    assert sum(n for ws, n in got.items() if ws <= at(8)) == 10
+
+
+def test_exactly_once_sink_replay(spark, log, workdir):
+    """Replayed microbatch appends nothing (batchId-keyed idempotence) —
+    strictly stronger than the reference's at-least-once + dedup
+    (window.rs:18-21)."""
+    kv = KVStore(workdir + "/kv")
+    sid = log.catalog.create_stream().stream_id
+    sink = ExactlyOnceAppendSink(log, kv, sid, "q1")
+    batch = _events(spark, 4)
+    sink(batch, batch_id=0)
+    assert log.next_offset(sid) == 4
+    sink(batch, batch_id=0)  # replay — must be a no-op
+    assert log.next_offset(sid) == 4
+    sink(batch, batch_id=1)  # genuinely new batch
+    assert log.next_offset(sid) == 8
+    assert log.fetch(sid, 0, 100).count() == 8
+
+
+def test_stream_end_to_end_pipeline(spark, log, workdir):
+    """append → readStream → windowed agg → exactly-once sink into a
+    second stream → fetch: the full reference dataflow on Spark."""
+    kv = KVStore(workdir + "/kv2")
+    src = log.catalog.create_stream().stream_id
+    dst = log.catalog.create_stream().stream_id
+    log.append(src, _events(spark, 30))
+
+    sdf = read_stream(spark, log, src)
+    agg = (
+        sdf.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").cast("string").alias("cnt"))
+        .select(
+            F.col("w.start").alias("ts"),
+            F.create_map(F.lit("n"), F.col("cnt")).alias("properties"),
+            F.encode(F.col("cnt"), "UTF-8").alias("payload"),
+        )
+    )
+    sink = ExactlyOnceAppendSink(log, kv, dst, "agg_q")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = log.fetch(dst, 0, 100).collect()
+    assert len(out) == 3  # 30 minutes of minute-spaced events → 3 windows
+    assert sorted(r.payload for r in out) == [b"10", b"10", b"10"]
