@@ -248,11 +248,19 @@ class StreamCatalog:
             sealed_end = sraw["next_offset"] if end is None else end
             if sealed_end < last["start"]:
                 raise ValueError("seal end below range start")
+            if sealed_end > sraw["next_offset"]:
+                raise ValueError(
+                    f"seal end {sealed_end} beyond next_offset {sraw['next_offset']}"
+                )
             last["end"] = sealed_end
             last["sealed"] = True
             new_epoch = sraw["epoch"] + 1
             sraw["epoch"] = new_epoch
-            sraw["next_offset"] = sealed_end
+            # never move next_offset backwards: offsets in
+            # [sealed_end, next_offset) may already be reserved/written and
+            # must not be re-assigned (duplicate offsets in the log).  The
+            # successor range opens at the clamped position.
+            sraw["next_offset"] = max(sraw["next_offset"], sealed_end)
             ranges.append(
                 asdict(
                     RangeMeta(stream_id, last["range_index"] + 1, new_epoch, sealed_end)
@@ -283,6 +291,40 @@ class StreamCatalog:
             base = sraw["next_offset"]
             sraw["next_offset"] = base + count
             return base, RangeMeta(**last)
+
+    def bulk_register(
+        self, stream_id: int, next_offset: int, range_size: int
+    ) -> list[RangeMeta]:
+        """Register range metadata for a bulk-loaded stream (the recovery /
+        object-offload path: data files landed via ``StreamLog.bulk_load``,
+        metadata reconstructed here — ≙ the reference's range recovery from
+        offloaded objects, components/object-storage/src/range_offload.rs,
+        where range bounds are rebuilt from committed object metadata).
+
+        Ranges are cut every ``range_size`` offsets; all but the last are
+        sealed, the last is the mutable range.  Epoch = range_index (one
+        seal per boundary).
+        """
+        with self._txn() as st:
+            sraw = st.streams.get(str(stream_id))
+            if sraw is None or sraw["deleted"]:
+                raise StreamNotFound(stream_id)
+            n_full = next_offset // range_size
+            ranges = [
+                asdict(
+                    RangeMeta(
+                        stream_id, i, i, i * range_size, (i + 1) * range_size, True
+                    )
+                )
+                for i in range(n_full)
+            ]
+            ranges.append(
+                asdict(RangeMeta(stream_id, n_full, n_full, n_full * range_size))
+            )
+            st.ranges[str(stream_id)] = ranges
+            sraw["next_offset"] = next_offset
+            sraw["epoch"] = n_full
+            return [RangeMeta(**r) for r in ranges]
 
     def trim_stream(self, stream_id: int, new_start_offset: int) -> StreamMeta:
         """≙ TRIM_STREAM 0x3005 (rpc.fbs:571-581): advance the minimum

@@ -30,13 +30,18 @@ def distinct_tokens(text: Column | str) -> Column:
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (distinct), built with higher-order functions.
+    Documents with fewer than ``n`` tokens yield an empty array (guarded —
+    an unguarded ``sequence(0, size-n)`` throws on a descending range).
     DuckDB: ``list_distinct(list_transform(generate_series(1, len(t)-n+1),
-    i -> array_to_string(t[i:i+n-1], ' ')))``."""
+    i -> array_to_string(t[i:i+n-1], ' ')))`` under ``WHERE len(t) >= n``."""
     t = tokens(text)
     idx = F.sequence(F.lit(0), F.size(t) - n)  # 0-based start positions
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
-    )
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def bow_fingerprint(text: Column | str) -> Column:

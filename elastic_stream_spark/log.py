@@ -84,6 +84,11 @@ class StreamLog:
             batch = batch.withColumn("payload", F.lit(None).cast("binary"))
         batch = batch.select(*PAYLOAD_COLS)
 
+        # Materialize once (eager localCheckpoint) so the counted rows and
+        # the written rows are the same physical data: a non-deterministic
+        # input (sample/shuffle re-execution, foreachBatch recompute) must
+        # not write a different row count than the reserved block.
+        batch = batch.localCheckpoint(eager=True)
         n = batch.count()
         if n == 0:
             meta = self.catalog.describe_stream(stream_id)
@@ -105,6 +110,23 @@ class StreamLog:
             .parquet(self.records_root)
         )
         return base, base + n
+
+    def bulk_load(self, records: DataFrame) -> None:
+        """Bulk-ingest pre-stamped records (all RECORD_SCHEMA columns
+        present) in ONE distributed partitioned write — the object-offload
+        / recovery ingest path (≙ range_offload.rs:54-125 committing whole
+        ranges as objects).  At 100 TB this is how data enters the log:
+        a single ``partitionBy(stream_id, range_index)`` job, parallel in
+        both streams and ranges, no per-batch serialization point.
+        Catalog metadata is registered separately via
+        ``StreamCatalog.bulk_register``.
+        """
+        (
+            records.select([f.name for f in RECORD_SCHEMA.fields])
+            .write.mode("append")
+            .partitionBy("stream_id", "range_index")
+            .parquet(self.records_root)
+        )
 
     # ------------------------------------------------------------ fetch
 
@@ -168,7 +190,14 @@ class StreamLog:
                 continue
         if sraw["deleted"]:
             return
-        # rewrite the straddling range (drop rows below keep_from)
+        # rewrite the straddling range (drop rows below keep_from).
+        # Crash-safety order: write the rewrite OUTSIDE the records tree,
+        # rename the old partition aside (also outside the tree, so
+        # concurrent partition discovery never sees a stray dir), move the
+        # new one in, delete the old dir last — no point at which the
+        # retained rows exist in zero locations.
+        scratch = f"{self.catalog.root}/_vacuum_tmp"
+        os.makedirs(scratch, exist_ok=True)
         for r in st.ranges.get(str(stream_id), []):
             d = f"{self.records_root}/stream_id={stream_id}/range_index={r['range_index']}"
             if not os.path.exists(d):
@@ -177,10 +206,13 @@ class StreamLog:
             if df.where(F.col("offset") < keep_from).limit(1).count() == 0:
                 continue
             kept = df.where(F.col("offset") >= keep_from)
-            tmp = d + ".rewrite"
+            tag = f"s{stream_id}-r{r['range_index']}"
+            tmp = f"{scratch}/rewrite-{tag}"
+            old = f"{scratch}/old-{tag}"
             kept.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(d)
-            os.replace(tmp, d)
+            os.replace(d, old)
+            shutil.move(tmp, d)
+            shutil.rmtree(old)
 
     def expire_retention(self, stream_id: int, now_ms: int) -> int:
         """Retention job ≙ wal.rs:362-377 check_expired_segment: trim the

@@ -1,22 +1,33 @@
-"""Stream-surface operators over the derived record envelope.
+"""Stream-surface operators served by the REAL engine paths.
 
-These re-express the reference's wire operations (SURVEY.md §2.1-§2.6) as
-Spark queries on the envelope view so the DuckDB oracle can hash-check
-them:
+The driver's ``events`` fixture is materialized through the engine once
+per process (``sources/materialize.py``): records live in the partitioned
+parquet log, stream/range metadata in ``StreamCatalog``, the KV demo
+keyspace in ``KVStore``.  Each query below then exercises the actual
+read path the reference exposes on the wire:
 
-- FETCH (0x1002)        → ``fetch_range``          handler/fetch.rs:48-155
-- DESCRIBE_STREAM/RANGE → ``describe_streams``      stream.go:98-115
-- LIST_RANGE (0x2001)   → ``list_ranges``           range.go:49-126
-- TRIM_STREAM (0x3005)  → ``trim_fetch``            rpc.fbs:571-581
-- offset accounting     → ``offset_accounting``     replication_stream.rs:241-300
-- KV Range scan         → ``kv_range_scan``         rpc.fbs:788-819
-- schema-on-read decode → ``payload_decode``        (opaque payload → typed
-  columns at query time, the Kafka-source convention — SURVEY.md §1.2)
+- FETCH (0x1002)        → ``fetch_range``       via ``StreamLog.fetch``
+                          (handler/fetch.rs:48-155)
+- DESCRIBE_STREAM       → ``describe_streams``  via ``StreamCatalog`` +
+                          log counts (stream.go:98-115)
+- LIST_RANGE (0x2001)   → ``list_ranges``       via the log's partition
+                          layout (range.go:49-126)
+- TRIM_STREAM (0x3005)  → ``trim_fetch``        via ``trim_stream`` on a
+                          metadata clone + ``StreamLog.fetch``
+                          (rpc.fbs:571-581)
+- offset accounting     → ``offset_accounting`` via catalog next_offset
+                          (replication_stream.rs:241-300)
+- KV Range scan         → ``kv_range_scan``     via ``KVStore.to_df``
+                          (rpc.fbs:788-819)
+- schema-on-read decode → ``payload_decode``    from_json over the log's
+                          opaque payload bytes (flat_record.rs:30)
 
-Plan shape at scale: every query filters on ``stream_id`` (partition
-pruning in the physical layout of ``log.py``) and/or aggregates per
-(stream_id, range_index); offset predicates push to parquet row-group
-stats.  None of these collect to the driver.
+Plan shape at scale: fetch/trim filter on ``stream_id`` → directory-level
+partition pruning in the log layout; offset predicates push to parquet
+row-group stats; catalog/KV answers are driver-side metadata (tiny by
+design — the Delta/Iceberg commit-log stance, SURVEY.md §7).  The DuckDB
+oracles are unchanged: the engine must reproduce the envelope-math answers
+from its own storage.
 """
 
 from __future__ import annotations
@@ -24,51 +35,70 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from elastic_stream_spark.sources.envelope import ENVELOPE_SQL, events_envelope
+from elastic_stream_spark.sources.envelope import ENVELOPE_SQL
+from elastic_stream_spark.sources.materialize import get_engine, trimmed_engine
 
 # Fixed fetch window exercised by the correctness gate.
 FETCH_STREAM, FETCH_LO, FETCH_HI = 1, 50, 150
 TRIM_AT = 120
 
+# Schema of the JSON payload written by the envelope (schema-on-read).
+PAYLOAD_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _decoded(records: DataFrame) -> DataFrame:
+    """Opaque payload bytes → typed columns at query time (the Kafka-source
+    convention; payload stays opaque in storage)."""
+    return records.withColumn(
+        "p", F.from_json(F.decode("payload", "UTF-8"), PAYLOAD_JSON_SCHEMA)
+    )
+
 
 def fetch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FETCH stream=1 offsets [50, 150) in offset order, envelope +
-    decoded columns (payload bytes excluded from compare — see
-    envelope.ENVELOPE_SQL note)."""
-    env = events_envelope(spark, sf_dir)
-    return (
-        env.where(
-            (F.col("stream_id") == FETCH_STREAM)
-            & (F.col("offset") >= FETCH_LO)
-            & (F.col("offset") < FETCH_HI)
-        )
-        .select("stream_id", "range_index", "offset", "ts", "event_id", "user_id", "value")
-        .orderBy("offset")
-    )
+    """FETCH stream=1 offsets [50, 150) through ``StreamLog.fetch``:
+    partition-pruned scan + row-group offset pushdown, payload decoded
+    schema-on-read."""
+    eng = get_engine(spark, sf_dir)
+    recs = eng.log.fetch(FETCH_STREAM, FETCH_LO, FETCH_HI)
+    return _decoded(recs).select(
+        "stream_id",
+        "range_index",
+        "offset",
+        "ts",
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.value").alias("value"),
+    ).orderBy("offset")
 
 
 def describe_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DESCRIBE_STREAM over every stream: start/next offsets + record count.
-    start_offset = 0 (untrimmed fixture), next_offset = count."""
-    env = events_envelope(spark, sf_dir)
-    return (
-        env.groupBy("stream_id")
-        .agg(
-            F.min("offset").alias("start_offset"),
-            (F.max("offset") + 1).alias("next_offset"),
-            F.count("*").alias("record_count"),
-        )
-        .orderBy("stream_id")
+    """DESCRIBE_STREAM over every stream: start/next offsets from the
+    CATALOG (the authoritative bookkeeping), record counts from the log."""
+    eng = get_engine(spark, sf_dir)
+    meta = spark.createDataFrame(
+        [
+            (s.stream_id, s.start_offset, s.next_offset)
+            for s in eng.catalog.list_streams()
+        ],
+        "stream_id BIGINT, start_offset BIGINT, next_offset BIGINT",
     )
+    counts = eng.log.records().groupBy("stream_id").agg(
+        F.count("*").alias("record_count")
+    )
+    return meta.join(counts, "stream_id").orderBy("stream_id")
 
 
 def list_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIST_RANGE: per-range [start, end) bounds; left-inclusive /
-    right-exclusive, range[i].end == range[i+1].start (FIXTURES.md B.1
-    invariant)."""
-    env = events_envelope(spark, sf_dir)
+    """LIST_RANGE: per-range [start, end) bounds read from the log's
+    partition layout (range_index is a directory-level partition column —
+    the aggregate prunes to per-partition min/max/count)."""
+    eng = get_engine(spark, sf_dir)
     return (
-        env.groupBy("stream_id", "range_index")
+        eng.log.records()
+        .groupBy("stream_id", "range_index")
         .agg(
             F.min("offset").alias("start"),
             (F.max("offset") + 1).alias("end"),
@@ -79,12 +109,14 @@ def list_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def trim_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRIM_STREAM(stream=1, at=120) then full fetch: nothing below the
-    trim horizon survives; per-range counts reflect the shrink."""
-    env = events_envelope(spark, sf_dir)
+    """TRIM_STREAM(stream=1, at=120) on a catalog clone, then a full fetch
+    through the trimmed catalog: ``StreamLog.fetch`` clamps to the trim
+    horizon (≙ OffsetOutOfRange), so nothing below it survives."""
+    eng = trimmed_engine(spark, sf_dir, FETCH_STREAM, TRIM_AT)
+    nxt = eng.catalog.describe_stream(FETCH_STREAM).next_offset
+    recs = eng.log.fetch(FETCH_STREAM, 0, nxt)  # clamped to start_offset=120
     return (
-        env.where((F.col("stream_id") == FETCH_STREAM) & (F.col("offset") >= TRIM_AT))
-        .groupBy("range_index")
+        recs.groupBy("range_index")
         .agg(
             F.min("offset").alias("start"),
             (F.max("offset") + 1).alias("end"),
@@ -95,44 +127,50 @@ def trim_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def offset_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confirm/next-offset bookkeeping per stream joined with stream
-    identity (event_type) — the monotonic max aggregate of SURVEY §2.5
-    row 25."""
-    env = events_envelope(spark, sf_dir)
-    return (
-        env.groupBy("stream_id", "event_type")
-        .agg((F.max("offset") + 1).alias("next_offset"))
-        .orderBy("stream_id")
-    )
+    """Next-offset bookkeeping straight from the catalog's serialized
+    offset reservation (≙ the write window's committed watermark) joined
+    with stream identity."""
+    eng = get_engine(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (s.stream_id, eng.stream_names[s.stream_id], s.next_offset)
+            for s in eng.catalog.list_streams()
+        ],
+        "stream_id BIGINT, event_type STRING, next_offset BIGINT",
+    ).orderBy("stream_id")
 
 
 def kv_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """etcd-style Range scan [key, range_end) with limit, mapped onto a
-    demo keyspace (nation names).  ≙ rpc.fbs:788-819: ordered scan +
-    limit paging."""
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    """etcd-style Range scan [key, range_end) with limit over the REAL
+    ``KVStore`` contents (seeded with the nation keyspace; value =
+    nationkey).  ≙ rpc.fbs:788-819: ordered scan + limit paging."""
+    eng = get_engine(spark, sf_dir)
+    kvdf = eng.kv.to_df(spark).select(
+        F.decode("key", "UTF-8").alias("key"),
+        F.decode("value", "UTF-8").cast("long").alias("version"),
+    )
     return (
-        nation.where((F.col("n_name") >= "NATION_1") & (F.col("n_name") < "NATION_2"))
-        .select(F.col("n_name").alias("key"), F.col("n_nationkey").cast("long").alias("version"))
+        kvdf.where((F.col("key") >= "NATION_1") & (F.col("key") < "NATION_2"))
         .orderBy("key")
         .limit(8)
     )
 
 
 def payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-on-read: decode the opaque JSON `props` payload into typed
-    columns at query time and aggregate on a decoded field.  ≙ the
-    payload-is-opaque-bytes contract (flat_record.rs:30) + Spark's
-    from_json convention."""
-    env = events_envelope(spark, sf_dir)
-    decoded = env.withColumn("props_struct", F.from_json(F.col("props"), "k INT"))
+    """Schema-on-read over the whole log: decode the opaque payload into
+    typed columns (including the nested ``props`` JSON) and aggregate on a
+    decoded field."""
+    eng = get_engine(spark, sf_dir)
+    decoded = _decoded(eng.log.records()).withColumn(
+        "props_struct", F.from_json(F.col("p.props"), "k INT")
+    )
     return (
         decoded.groupBy(
             F.floor(F.col("props_struct.k") / 10).cast("long").alias("k_decile")
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum("p.value"), 4).alias("sum_value"),
         )
         .orderBy("k_decile")
     )

@@ -78,10 +78,19 @@ def events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     properties, payload) + the original event columns for decode-free
     checking."""
     ev = load_table(spark, sf_dir, "events")
+    # stream_id = lexical rank of event_type, computed on a tiny distinct
+    # dim (|streams| rows) and broadcast back — the big events table never
+    # passes through a global (single-partition) window.
     sid = Window.orderBy("event_type")
+    stream_dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("stream_id", (F.dense_rank().over(sid) - 1).cast("long"))
+    )
     off = Window.partitionBy("event_type").orderBy("ts", "event_id")
     return (
-        ev.withColumn("stream_id", (F.dense_rank().over(sid) - 1).cast("long"))
+        ev.join(F.broadcast(stream_dim), "event_type")
+        .select(*ev.columns, "stream_id")  # restore original column order
         .withColumn("offset", (F.row_number().over(off) - 1).cast("long"))
         .withColumn("range_index", F.floor(F.col("offset") / RANGE_SIZE).cast("int"))
         .withColumn("properties", F.create_map(F.lit("event_type"), F.col("event_type")))
