@@ -94,8 +94,18 @@ class RangeMeta:
 @dataclass
 class _CatalogState:
     next_stream_id: int = 0
+    revision: int = 0  # monotone change-feed revision (≙ etcd mod_revision)
     streams: dict = field(default_factory=dict)  # str(stream_id) -> StreamMeta dict
     ranges: dict = field(default_factory=dict)  # str(stream_id) -> [RangeMeta dict]
+
+
+# Change-feed event schema (≙ LIST/WATCH_RESOURCE, rpc.fbs:691-778: each
+# event carries the resource, the change kind, and the catalog revision —
+# the continuation token a watcher resumes from).
+CHANGES_SCHEMA = (
+    "revision BIGINT, ts_ms BIGINT, kind STRING, resource_type STRING, "
+    "stream_id BIGINT, range_index BIGINT, detail STRING"
+)
 
 
 class StreamCatalog:
@@ -118,8 +128,61 @@ class StreamCatalog:
         with open(self._lock_path, "a") as lockf:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             state = self._load()
+            state.pending_events = []  # staged by _emit, flushed on commit
             yield state
+            self._flush_events(state)
             self._commit(state)
+
+    @staticmethod
+    def _emit(
+        st: _CatalogState,
+        kind: str,
+        resource_type: str,
+        stream_id: int,
+        range_index: int | None = None,
+        **detail,
+    ) -> None:
+        """Stage a change-feed event inside the current txn (≙ the
+        resource events of WATCH_RESOURCE, rpc.fbs:735-760)."""
+        st.pending_events.append((kind, resource_type, stream_id, range_index, detail))
+
+    def _flush_events(self, st: _CatalogState) -> None:
+        """Write staged events as one JSON-lines file under ``changes/``,
+        stamping consecutive revisions.  Written BEFORE the catalog.json
+        commit: a crash in between replays the same revisions next txn
+        (file overwritten) — the change feed is at-least-once, matching
+        etcd watch semantics; it never silently drops a committed change.
+        One file per txn keeps the directory a valid Structured-Streaming
+        file source (``watch_resources``)."""
+        evs = getattr(st, "pending_events", [])
+        if not evs:
+            return
+        changes_dir = os.path.join(self.root, "changes")
+        os.makedirs(changes_dir, exist_ok=True)
+        first_rev = st.revision + 1
+        now_ms = int(time.time() * 1000)
+        lines = []
+        for kind, rtype, sid, ridx, detail in evs:
+            st.revision += 1
+            lines.append(
+                json.dumps(
+                    {
+                        "revision": st.revision,
+                        "ts_ms": now_ms,
+                        "kind": kind,
+                        "resource_type": rtype,
+                        "stream_id": sid,
+                        "range_index": ridx,
+                        "detail": json.dumps(detail, sort_keys=True),
+                    }
+                )
+            )
+        path = os.path.join(changes_dir, f"{first_rev:012d}.json")
+        # tmp lives OUTSIDE changes/ so file-source listings never see it
+        tmp = os.path.join(self.root, f".changes-{first_rev}.tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
 
     def _load(self) -> _CatalogState:
         if not os.path.exists(self._meta_path):
@@ -161,6 +224,8 @@ class StreamCatalog:
             # first mutable range, index 0  (≙ first append triggers
             # CreateRange — pd/pkg/server/cluster/range.go:188-239)
             st.ranges[str(sid)] = [asdict(RangeMeta(sid, 0, 0, 0))]
+            self._emit(st, "created", "stream", sid)
+            self._emit(st, "created", "range", sid, 0, start=0)
             return meta
 
     def describe_stream(self, stream_id: int) -> StreamMeta:
@@ -183,6 +248,7 @@ class StreamCatalog:
             if raw is None or raw["deleted"]:
                 raise StreamNotFound(stream_id)
             raw.update(updates)
+            self._emit(st, "updated", "stream", stream_id, **updates)
             return StreamMeta(**raw)
 
     def delete_stream(self, stream_id: int) -> None:
@@ -193,6 +259,7 @@ class StreamCatalog:
             if raw is None:
                 raise StreamNotFound(stream_id)
             raw["deleted"] = True
+            self._emit(st, "deleted", "stream", stream_id)
 
     def list_streams(self, include_deleted: bool = False) -> list[StreamMeta]:
         st = self._load()
@@ -266,6 +333,17 @@ class StreamCatalog:
                     RangeMeta(stream_id, last["range_index"] + 1, new_epoch, sealed_end)
                 )
             )
+            self._emit(
+                st, "sealed", "range", stream_id, last["range_index"], end=sealed_end
+            )
+            self._emit(
+                st,
+                "created",
+                "range",
+                stream_id,
+                last["range_index"] + 1,
+                start=sealed_end,
+            )
             return RangeMeta(**last)
 
     # --------------------------------------------------------- offset ops
@@ -324,7 +402,51 @@ class StreamCatalog:
             st.ranges[str(stream_id)] = ranges
             sraw["next_offset"] = next_offset
             sraw["epoch"] = n_full
+            for r in ranges:
+                self._emit(
+                    st,
+                    "created",
+                    "range",
+                    stream_id,
+                    r["range_index"],
+                    start=r["start"],
+                    end=r["end"],
+                )
             return [RangeMeta(**r) for r in ranges]
+
+    # ------------------------------------------------------- change feed
+
+    @property
+    def revision(self) -> int:
+        """Current catalog revision — the continuation token a watcher
+        resumes from (≙ rpc.fbs:713-716 resource_version)."""
+        return self._load().revision
+
+    def changes(self, spark, from_revision: int = 0):
+        """LIST_RESOURCE-style batch read of the change feed: every
+        committed catalog mutation with revision > ``from_revision``, in
+        revision order."""
+        from pyspark.sql import functions as F
+
+        changes_dir = os.path.join(self.root, "changes")
+        if not os.path.isdir(changes_dir) or not os.listdir(changes_dir):
+            return spark.createDataFrame([], CHANGES_SCHEMA)
+        df = spark.read.schema(CHANGES_SCHEMA).json(changes_dir)
+        return df.where(F.col("revision") > from_revision).orderBy("revision")
+
+    def watch_resources(self, spark, from_revision: int = 0):
+        """WATCH_RESOURCE ≙ rpc.fbs:762-778: a streaming DataFrame of
+        catalog mutations after ``from_revision``.  Built on the file
+        source (one small JSON file per committed txn), so standard
+        Structured Streaming checkpointing gives resumable, in-order,
+        at-least-once watch delivery — the same contract etcd watch
+        gives the reference's PD clients."""
+        from pyspark.sql import functions as F
+
+        changes_dir = os.path.join(self.root, "changes")
+        os.makedirs(changes_dir, exist_ok=True)
+        sdf = spark.readStream.schema(CHANGES_SCHEMA).json(changes_dir)
+        return sdf.where(F.col("revision") > from_revision)
 
     def trim_stream(self, stream_id: int, new_start_offset: int) -> StreamMeta:
         """≙ TRIM_STREAM 0x3005 (rpc.fbs:571-581): advance the minimum
@@ -343,9 +465,14 @@ class StreamCatalog:
             kept = []
             for raw in st.ranges[str(stream_id)]:
                 if raw["end"] is not None and raw["end"] <= new_start_offset:
-                    continue  # entirely below the trim point → dropped
+                    # entirely below the trim point → dropped
+                    self._emit(st, "deleted", "range", stream_id, raw["range_index"])
+                    continue
                 if raw["start"] < new_start_offset:
                     raw["start"] = new_start_offset  # straddling → shrink
                 kept.append(raw)
             st.ranges[str(stream_id)] = kept
+            self._emit(
+                st, "trimmed", "stream", stream_id, start_offset=new_start_offset
+            )
             return StreamMeta(**sraw)

@@ -73,6 +73,21 @@ class StreamLog:
 
         ``batch`` needs columns ``ts``; optional ``properties``, ``payload``.
         """
+        batch = self.prepare_batch(batch)
+        n = batch.count()
+        if n == 0:
+            meta = self.catalog.describe_stream(stream_id)
+            return meta.next_offset, meta.next_offset
+        base, rng = self.catalog.reserve_offsets(stream_id, n, epoch=epoch)
+        self.write_stamped(stream_id, batch, base, rng.range_index)
+        return base, base + n
+
+    def prepare_batch(self, batch: DataFrame) -> DataFrame:
+        """Normalize an input batch to the payload columns and materialize
+        it once (eager localCheckpoint), so the counted rows and the
+        written rows are the same physical data: a non-deterministic input
+        (sample/shuffle re-execution, foreachBatch recompute) must not
+        write a different row count than the reserved block."""
         missing = {"ts"} - set(batch.columns)
         if missing:
             raise ValueError(f"append batch missing columns: {missing}")
@@ -82,26 +97,23 @@ class StreamLog:
             )
         if "payload" not in batch.columns:
             batch = batch.withColumn("payload", F.lit(None).cast("binary"))
-        batch = batch.select(*PAYLOAD_COLS)
+        return batch.select(*PAYLOAD_COLS).localCheckpoint(eager=True)
 
-        # Materialize once (eager localCheckpoint) so the counted rows and
-        # the written rows are the same physical data: a non-deterministic
-        # input (sample/shuffle re-execution, foreachBatch recompute) must
-        # not write a different row count than the reserved block.
-        batch = batch.localCheckpoint(eager=True)
-        n = batch.count()
-        if n == 0:
-            meta = self.catalog.describe_stream(stream_id)
-            return meta.next_offset, meta.next_offset
-        base, rng = self.catalog.reserve_offsets(stream_id, n, epoch=epoch)
-
+    def write_stamped(
+        self, stream_id: int, batch: DataFrame, base: int, range_index: int
+    ) -> None:
+        """Write a prepared batch with offsets ``base + row_number - 1``
+        into the given range.  Split out from ``append`` so an
+        exactly-once sink can replay a write against an ALREADY-reserved
+        block (same base/range) after a crash, instead of reserving anew
+        and double-appending."""
         from pyspark.sql import Window
 
         w = Window.orderBy(F.col("ts"), F.monotonically_increasing_id())
         out = (
             batch.withColumn("offset", F.lit(base) + F.row_number().over(w) - 1)
             .withColumn("stream_id", F.lit(stream_id).cast("long"))
-            .withColumn("range_index", F.lit(rng.range_index).cast("int"))
+            .withColumn("range_index", F.lit(range_index).cast("int"))
             .select([f.name for f in RECORD_SCHEMA.fields])
         )
         (
@@ -109,7 +121,18 @@ class StreamLog:
             .partitionBy("stream_id", "range_index")
             .parquet(self.records_root)
         )
-        return base, base + n
+
+    def has_offset(self, stream_id: int, offset: int) -> bool:
+        """True iff a record at exactly (stream_id, offset) is durably in
+        the log — the reconcile probe for crash-recovery (partition-pruned
+        point read)."""
+        return (
+            self.records()
+            .where((F.col("stream_id") == stream_id) & (F.col("offset") == offset))
+            .limit(1)
+            .count()
+            > 0
+        )
 
     def bulk_load(self, records: DataFrame) -> None:
         """Bulk-ingest pre-stamped records (all RECORD_SCHEMA columns
@@ -132,7 +155,13 @@ class StreamLog:
 
     def records(self) -> DataFrame:
         """The full log as a DataFrame (all streams). Partition columns
-        stream_id/range_index come back typed per RECORD_SCHEMA."""
+        stream_id/range_index come back typed per RECORD_SCHEMA.  An
+        empty (never-written) log reads as an empty DataFrame — crash
+        recovery probes the log before the first write may have landed."""
+        import os
+
+        if not os.path.exists(self.records_root):
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
         return (
             self.spark.read.option("basePath", self.records_root)
             .schema(RECORD_SCHEMA)

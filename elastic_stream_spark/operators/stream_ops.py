@@ -156,6 +156,25 @@ def kv_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def list_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIST_RESOURCE (≙ rpc.fbs:691-733): one row per live resource —
+    streams and ranges — from the CATALOG's registered metadata (not a
+    data scan).  range_index = -1 marks stream rows; a NULL ``end`` marks
+    the mutable range.  The companion WATCH_RESOURCE change feed is
+    ``StreamCatalog.watch_resources`` (streaming; exercised in pytest)."""
+    eng = get_engine(spark, sf_dir)
+    rows = []
+    for s in eng.catalog.list_streams():
+        rows.append(("stream", s.stream_id, -1, s.start_offset, s.next_offset))
+        for r in eng.catalog.list_ranges(s.stream_id):
+            rows.append(("range", s.stream_id, r.range_index, r.start, r.end))
+    return spark.createDataFrame(
+        rows,
+        "resource_type STRING, stream_id BIGINT, range_index BIGINT, "
+        "start BIGINT, end BIGINT",
+    ).orderBy("resource_type", "stream_id", "range_index")
+
+
 def payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read over the whole log: decode the opaque payload into
     typed columns (including the nested ``props`` JSON) and aggregate on a
@@ -183,6 +202,7 @@ QUERIES = {
     "trim_fetch": trim_fetch,
     "offset_accounting": offset_accounting,
     "kv_range_scan": kv_range_scan,
+    "list_resources": list_resources,
     "payload_decode": payload_decode,
 }
 
@@ -227,6 +247,26 @@ ORACLES = {
         FROM nation
         WHERE n_name >= 'NATION_1' AND n_name < 'NATION_2'
         ORDER BY key LIMIT 8
+    """,
+    "list_resources": f"""
+        {_ENV}, counts AS (
+          SELECT stream_id, count(*) AS n FROM records GROUP BY stream_id
+        ), idx AS (
+          SELECT stream_id, n,
+                 unnest(generate_series(0, CAST(n // 1000 AS BIGINT))) AS i
+          FROM counts
+        )
+        SELECT 'stream' AS resource_type, stream_id,
+               CAST(-1 AS BIGINT) AS range_index,
+               CAST(0 AS BIGINT) AS start, CAST(n AS BIGINT) AS "end"
+        FROM counts
+        UNION ALL
+        SELECT 'range', stream_id, CAST(i AS BIGINT),
+               CAST(i * 1000 AS BIGINT),
+               CASE WHEN i < n // 1000 THEN CAST((i + 1) * 1000 AS BIGINT)
+                    ELSE NULL END
+        FROM idx
+        ORDER BY resource_type, stream_id, range_index
     """,
     "payload_decode": f"""
         {_ENV}

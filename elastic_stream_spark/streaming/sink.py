@@ -3,19 +3,28 @@
 The reference gives at-least-once appends with idempotent offset dedup
 (range_manager/window.rs:18-21 OffsetCommitted).  Spark's retried
 microbatches give the same at-least-once raw material; we upgrade to
-exactly-once with batchId-keyed idempotence inside ``foreachBatch``
-(SURVEY.md §2.8, §7 hard-part 4): the (query_id, batch_id) → appended
-marker is CAS-committed to the KV store *after* the append, and a replayed
-batch that finds its marker is skipped.
+exactly-once with a two-phase, batchId-keyed marker in the KV store
+(SURVEY.md §2.8, §7 hard-part 4):
 
-Crash window analysis: append happens before the marker commit, so a
-crash between them can leave orphaned records from the incomplete batch —
-visible only past the recorded next_offset?  No: ``StreamLog.append``
-reserves offsets through the catalog first, so a replay would double-
-append.  Therefore the marker is checked FIRST and written LAST, and the
-test asserts the replay path; full transactional rollback of a torn batch
-is the catalog's vacuum-above-next_offset job (documented limitation — the
-same torn-write window a Kafka idempotent producer closes with epochs).
+1. reserve the offset block through the catalog, then CAS-create the
+   marker ``reserved:<base>:<end>:<range_index>`` (create-if-absent — a
+   concurrent/zombie attempt loses the CAS and backs off);
+2. write the stamped records;
+3. flip the marker to ``committed:<base>:<end>``.
+
+Crash windows, all safe:
+- after reserve, before marker  → the reservation leaks (offset gap, no
+  duplicate) — the same gap a fenced writer leaves in the reference;
+- after marker, before write    → replay finds ``reserved`` and NO record
+  at ``base`` → re-writes the SAME offsets via ``write_stamped`` (no new
+  reservation, no duplicates);
+- after write, before commit    → replay finds ``reserved`` and a record
+  at ``base`` → flips to committed without writing.
+
+Mode contract: the sink is for ``append``/``update`` output modes, where
+each microbatch carries only new/changed rows.  ``complete`` mode re-emits
+the whole result every trigger — appending it would duplicate prior
+windows by design; use foreachBatch overwrite semantics for that.
 """
 
 from __future__ import annotations
@@ -28,7 +37,7 @@ from elastic_stream_spark.log import StreamLog
 
 class ExactlyOnceAppendSink:
     """``foreachBatch`` callable appending a streaming query's output to a
-    stream with batchId idempotence."""
+    stream with two-phase batchId idempotence (see module docstring)."""
 
     def __init__(self, log: StreamLog, kv: KVStore, stream_id: int, query_name: str):
         self.log = log
@@ -41,7 +50,38 @@ class ExactlyOnceAppendSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         marker = self._marker(batch_id)
-        if self.kv.get(marker) is not None:
-            return  # replayed microbatch — already appended (exactly-once)
-        base, end = self.log.append(self.stream_id, batch_df)
-        self.kv.put(marker, f"{base}:{end}".encode())
+        ent = self.kv.get(marker)
+        if ent is not None:
+            value, version = ent
+            state = value.decode()
+            if state.startswith("committed:"):
+                return  # replayed microbatch — already fully applied
+            # torn attempt: reserved:<base>:<end>:<range_index>
+            _, base_s, end_s, ridx_s = state.split(":")
+            base, end, ridx = int(base_s), int(end_s), int(ridx_s)
+            if not self.log.has_offset(self.stream_id, base):
+                batch = self.log.prepare_batch(batch_df)
+                n = batch.count()
+                if n != end - base:
+                    raise RuntimeError(
+                        f"replayed batch {batch_id} size {n} != reserved "
+                        f"block [{base},{end}) — non-deterministic source replay"
+                    )
+                self.log.write_stamped(self.stream_id, batch, base, ridx)
+            self.kv.cas(marker, version, f"committed:{base}:{end}".encode())
+            return
+
+        batch = self.log.prepare_batch(batch_df)
+        n = batch.count()
+        if n == 0:
+            self.kv.cas(marker, 0, b"committed:0:0")
+            return
+        base, rng = self.log.catalog.reserve_offsets(self.stream_id, n)
+        if not self.kv.cas(
+            marker, 0, f"reserved:{base}:{base + n}:{rng.range_index}".encode()
+        ):
+            return  # lost the create race — another attempt owns this batch
+        self.log.write_stamped(self.stream_id, batch, base, rng.range_index)
+        ent = self.kv.get(marker)
+        assert ent is not None
+        self.kv.cas(marker, ent[1], f"committed:{base}:{base + n}".encode())

@@ -120,3 +120,50 @@ def test_range_contains(workdir):
     assert not sealed.contains(10)  # right-exclusive
     mutable = cat.writable_range(sid)
     assert mutable.contains(10**12)  # open-ended while mutable
+
+
+def test_change_feed_records_lifecycle_in_order(spark, workdir):
+    """WATCH_RESOURCE analogue: create/seal/trim emit ordered, versioned
+    change events readable both batch and as a stream."""
+    from pyspark.sql import functions as F
+
+    cat = StreamCatalog(workdir)
+    sid = cat.create_stream().stream_id
+    cat.reserve_offsets(sid, 10)
+    cat.seal_range(sid, epoch=0)
+    cat.trim_stream(sid, 3)
+    cat.update_stream(sid, retention_ms=1000)
+
+    ch = cat.changes(spark).collect()
+    kinds = [(r.kind, r.resource_type, r.range_index) for r in ch]
+    assert kinds == [
+        ("created", "stream", None),
+        ("created", "range", 0),
+        ("sealed", "range", 0),
+        ("created", "range", 1),
+        ("trimmed", "stream", None),
+        ("updated", "stream", None),
+    ]
+    revs = [r.revision for r in ch]
+    assert revs == sorted(revs) and len(set(revs)) == len(revs)
+    assert cat.revision == revs[-1]
+
+    # continuation token: resume past the first three events
+    later = cat.changes(spark, from_revision=revs[2]).collect()
+    assert [r.kind for r in later] == ["created", "trimmed", "updated"]
+
+    # streaming watch delivers the same events
+    q = (
+        cat.watch_resources(spark)
+        .writeStream.format("memory")
+        .queryName("t_watch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    watched = spark.sql("SELECT * FROM t_watch ORDER BY revision").collect()
+    assert [r.kind for r in watched] == [k for k, _, _ in kinds]
+
+    # a mutation after the watch point is visible to a fresh incremental run
+    cat.delete_stream(sid)
+    assert cat.changes(spark, from_revision=revs[-1]).collect()[0].kind == "deleted"

@@ -150,6 +150,42 @@ def test_exactly_once_sink_replay(spark, log, workdir):
     assert log.fetch(sid, 0, 100).count() == 8
 
 
+def test_sink_replays_torn_write_same_offsets(spark, log, workdir):
+    """Crash between marker-reserve and write: the replay must write the
+    SAME reserved offsets (no new reservation, no duplicate, no gap)."""
+    kv = KVStore(workdir + "/kv_torn1")
+    sid = log.catalog.create_stream().stream_id
+    sink = ExactlyOnceAppendSink(log, kv, sid, "qt")
+    batch = log.prepare_batch(_events(spark, 4))
+    # simulate phase 1 only: reserve + marker, then "crash" before write
+    base, rng = log.catalog.reserve_offsets(sid, 4)
+    assert kv.cas(sink._marker(0), 0, f"reserved:{base}:{base + 4}:{rng.range_index}".encode())
+    assert log.fetch(sid, 0, 100).count() == 0
+    # replay completes the torn batch at the same offsets
+    sink(batch, batch_id=0)
+    assert log.next_offset(sid) == 4
+    assert [r.offset for r in log.fetch(sid, 0, 100).collect()] == [0, 1, 2, 3]
+    assert kv.get(sink._marker(0))[0].decode().startswith("committed:")
+    # and a second replay is a pure no-op
+    sink(batch, batch_id=0)
+    assert log.fetch(sid, 0, 100).count() == 4
+
+
+def test_sink_replays_after_write_before_commit(spark, log, workdir):
+    """Crash between write and marker-commit: the replay must NOT write
+    again (it finds the record at base) — just flips the marker."""
+    kv = KVStore(workdir + "/kv_torn2")
+    sid = log.catalog.create_stream().stream_id
+    sink = ExactlyOnceAppendSink(log, kv, sid, "qt2")
+    batch = log.prepare_batch(_events(spark, 3))
+    base, rng = log.catalog.reserve_offsets(sid, 3)
+    assert kv.cas(sink._marker(0), 0, f"reserved:{base}:{base + 3}:{rng.range_index}".encode())
+    log.write_stamped(sid, batch, base, rng.range_index)  # crash after this
+    sink(batch, batch_id=0)
+    assert log.fetch(sid, 0, 100).count() == 3  # not duplicated
+    assert kv.get(sink._marker(0))[0].decode().startswith("committed:")
+
+
 def test_stream_end_to_end_pipeline(spark, log, workdir):
     """append → readStream → windowed agg → exactly-once sink into a
     second stream → fetch: the full reference dataflow on Spark."""
