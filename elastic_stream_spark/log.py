@@ -22,6 +22,8 @@ matching the reference's claim that throughput is flat in stream count).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -51,9 +53,12 @@ class StreamLog:
     """
 
     def __init__(self, spark: SparkSession, catalog: StreamCatalog):
+        from elastic_stream_spark.objects import ObjectStore
+
         self.spark = spark
         self.catalog = catalog
         self.records_root = f"{catalog.root}/records"
+        self.objects = ObjectStore(catalog.root)
 
     # ----------------------------------------------------------- append
 
@@ -158,8 +163,6 @@ class StreamLog:
         stream_id/range_index come back typed per RECORD_SCHEMA.  An
         empty (never-written) log reads as an empty DataFrame — crash
         recovery probes the log before the first write may have landed."""
-        import os
-
         if not os.path.exists(self.records_root):
             return self.spark.createDataFrame([], RECORD_SCHEMA)
         return (
@@ -192,6 +195,76 @@ class StreamLog:
     def next_offset(self, stream_id: int) -> int:
         """≙ DESCRIBE_RANGE's max-offset answer (SURVEY.md §2.3 row 17)."""
         return self.catalog.describe_stream(stream_id).next_offset
+
+    # ---------------------------------------------------- objects plane
+
+    def _range_dir(self, stream_id: int, range_index: int) -> str:
+        return f"{self.records_root}/stream_id={stream_id}/range_index={range_index}"
+
+    def commit_objects(self, stream_id: int) -> int:
+        """Register every not-yet-committed data file of the stream in the
+        objects catalog (≙ COMMIT_OBJECT, rpc.fbs:653-689: offloaded data
+        becomes readable metadata).  Idempotent; returns the number of
+        newly committed objects.  Row counts come from parquet footers —
+        no data is read."""
+        import glob as _glob
+
+        from elastic_stream_spark.objects import file_row_count, parquet_files
+
+        known = {o.path for o in self.objects.list_objects(stream_id)}
+        n_new = 0
+        for d in sorted(
+            _glob.glob(f"{self.records_root}/stream_id={stream_id}/range_index=*")
+        ):
+            ridx = int(d.rsplit("=", 1)[1])
+            for p in parquet_files(d):
+                if p in known:
+                    continue
+                self.objects.commit(
+                    stream_id, ridx, p, file_row_count(p), os.path.getsize(p)
+                )
+                n_new += 1
+        return n_new
+
+    def optimize(self, stream_id: int) -> dict[int, tuple[int, int]]:
+        """Compact each SEALED multi-file range into one object
+        (≙ range_accumulator.rs:129-170 small-object compaction).  Sealed
+        ranges are immutable, so the rewrite races with nothing; the
+        mutable range is skipped (it still takes appends).  Returns
+        {range_index: (files_before, files_after)}.  Fetch results are
+        identical before/after — only the object layout changes.  The
+        swap uses the same crash-safe ordering as vacuum."""
+        import shutil
+
+        from elastic_stream_spark.objects import parquet_files
+
+        scratch = f"{self.catalog.root}/_optimize_tmp"
+        os.makedirs(scratch, exist_ok=True)
+        out: dict[int, tuple[int, int]] = {}
+        for r in self.catalog.list_ranges(stream_id):
+            if not r.sealed:
+                continue
+            d = self._range_dir(stream_id, r.range_index)
+            files = parquet_files(d)
+            if len(files) <= 1:
+                continue
+            tag = f"s{stream_id}-r{r.range_index}"
+            tmp = f"{scratch}/rewrite-{tag}"
+            old = f"{scratch}/old-{tag}"
+            (
+                self.spark.read.parquet(d)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            os.replace(d, old)
+            shutil.move(tmp, d)
+            shutil.rmtree(old)
+            self.objects.remove(files)
+            out[r.range_index] = (len(files), len(parquet_files(d)))
+        if out:
+            self.commit_objects(stream_id)
+        return out
 
     # ------------------------------------------------- maintenance jobs
 

@@ -175,6 +175,24 @@ def list_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("resource_type", "stream_id", "range_index")
 
 
+def list_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Objects catalog per range (≙ COMMIT_OBJECT bookkeeping,
+    rpc.fbs:653-689): object counts + exact record counts registered from
+    parquet footers at commit time.  The bulk-load path writes one object
+    per range (single writer task per stream), which the oracle asserts;
+    compaction invariants are exercised in tests/test_objects.py."""
+    eng = get_engine(spark, sf_dir)
+    return (
+        eng.log.objects.to_df(spark)
+        .groupBy("stream_id", "range_index")
+        .agg(
+            F.count("*").alias("n_objects"),
+            F.sum("n_records").alias("total_records"),
+        )
+        .orderBy("stream_id", "range_index")
+    )
+
+
 def payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read over the whole log: decode the opaque payload into
     typed columns (including the nested ``props`` JSON) and aggregate on a
@@ -203,6 +221,7 @@ QUERIES = {
     "offset_accounting": offset_accounting,
     "kv_range_scan": kv_range_scan,
     "list_resources": list_resources,
+    "list_objects": list_objects,
     "payload_decode": payload_decode,
 }
 
@@ -267,6 +286,13 @@ ORACLES = {
                     ELSE NULL END
         FROM idx
         ORDER BY resource_type, stream_id, range_index
+    """,
+    "list_objects": f"""
+        {_ENV}
+        SELECT stream_id, range_index, CAST(1 AS BIGINT) AS n_objects,
+               count(*) AS total_records
+        FROM records GROUP BY stream_id, range_index
+        ORDER BY stream_id, range_index
     """,
     "payload_decode": f"""
         {_ENV}
