@@ -16,7 +16,12 @@ driver collects):
   banded into 4×16-bit chunks for bucketing (any ≤3-bit-different pair
   collides on ≥1 chunk — pigeonhole).
 - **embedding**      cosine-threshold pairs via block-join on an LSH-free
-  exact path at fixture scale; the scale path is `similarity.ann_lsh`.
+  exact path at fixture scale; the 100 TB path for TIGHT thresholds
+  (cosine ≳ 0.8, the realistic near-dup setting) is
+  `similarity.ann_lsh_candidates` → `lsh_verified_pairs` — at this
+  fixture's loose 0.45 threshold the dup/background angles are too close
+  for any hyperplane LSH to separate (see similarity.py docstring), so
+  the exact path is also the honest one here.
 
 Thresholds are calibrated to the fixture corpus: planted near-dup pairs
 sit at Jaccard ≥ 0.9 with the background below 0.5 (measured at sf0.01),
@@ -270,7 +275,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.45 (fixture-calibrated).
     Exact path at fixture scale (sorted-id join halves the pair space);
-    the 100 TB path buckets by LSH first — see similarity.ann_lsh."""
+    at 100 TB with a tight threshold (cosine ≳ 0.8) bucket by
+    random-hyperplane LSH first — ``similarity.lsh_verified_pairs``
+    (same output columns, candidates ∝ bucket collisions)."""
     from elastic_stream_spark.functions.vectorfns import dot, unit
 
     emb = load_table(spark, sf_dir, "embeddings").select(
