@@ -111,21 +111,23 @@ class StreamLog:
         into the given range.  Split out from ``append`` so an
         exactly-once sink can replay a write against an ALREADY-reserved
         block (same base/range) after a crash, instead of reserving anew
-        and double-appending."""
+        and double-appending.
+
+        The write lands DIRECTLY in the range's partition directory (an
+        append addresses exactly one range), not via ``partitionBy`` over
+        the whole tree: concurrent appends to different streams then use
+        disjoint output dirs — including disjoint job staging dirs — so
+        cross-stream appends never contend on anything but the catalog's
+        microsecond offset reservation.  (Same-stream concurrent writers
+        are excluded by epoch fencing — the one-writer-per-stream rule.)
+        """
         from pyspark.sql import Window
 
         w = Window.orderBy(F.col("ts"), F.monotonically_increasing_id())
-        out = (
-            batch.withColumn("offset", F.lit(base) + F.row_number().over(w) - 1)
-            .withColumn("stream_id", F.lit(stream_id).cast("long"))
-            .withColumn("range_index", F.lit(range_index).cast("int"))
-            .select([f.name for f in RECORD_SCHEMA.fields])
-        )
-        (
-            out.write.mode("append")
-            .partitionBy("stream_id", "range_index")
-            .parquet(self.records_root)
-        )
+        out = batch.withColumn(
+            "offset", (F.lit(base) + F.row_number().over(w) - 1).cast("long")
+        ).select("offset", "ts", "properties", "payload")
+        out.write.mode("append").parquet(self._range_dir(stream_id, range_index))
 
     def has_offset(self, stream_id: int, offset: int) -> bool:
         """True iff a record at exactly (stream_id, offset) is durably in

@@ -94,6 +94,11 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir).select(
         "doc_id", "blob", F.col("meta.mime").alias("mime")
     )
+    # the fixture parquet is a single input split → one Python worker;
+    # rebalance small inputs so the Arrow stage uses the whole machine
+    # (a real 100 TB scan arrives already multi-partition and skips this)
+    if media.rdd.getNumPartitions() < 8:
+        media = media.repartition(32)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
+    # Shuffle/broadcast scratch on tmpfs when available: this host's /tmp
+    # is network-backed and stalls intermittently (seconds-long D-state
+    # waits), which serializes shuffle-heavy stages.  On a real cluster
+    # spark.local.dir is the node's local SSD — tmpfs is the local-mode
+    # equivalent.  Data volumes here are MBs, far below the tmpfs size.
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -186,6 +186,55 @@ def test_sink_replays_after_write_before_commit(spark, log, workdir):
     assert kv.get(sink._marker(0))[0].decode().startswith("committed:")
 
 
+def test_metrics_recorder_captures_batches(spark, log, workdir):
+    """REPORT_METRICS analogue: the listener records one gauge row per
+    microbatch; the summary aggregation sees the rates."""
+    from elastic_stream_spark.streaming import (
+        MetricsRecorder,
+        metrics_summary,
+        read_metrics,
+    )
+
+    rec = MetricsRecorder(workdir)
+    spark.streams.addListener(rec)
+    try:
+        tmp = workdir + "/msrc"
+        _events(spark, 20).write.mode("append").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(tmp)
+        q = (
+            sdf.groupBy()
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("metrics_probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async — wait for the files to land
+        import time as _t
+
+        for _ in range(40):
+            if read_metrics(spark, workdir).count() >= 1:
+                break
+            _t.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+
+    m = read_metrics(spark, workdir)
+    rows = m.where(F.col("query_name") == "metrics_probe").collect()
+    assert len(rows) >= 1  # at least one progress event recorded
+    assert sum(r.num_input_rows for r in rows) == 20
+    assert all(r.batch_id >= 0 and r.trigger_ms >= 0 for r in rows)
+    assert any(r.processed_rows_per_sec > 0 for r in rows)
+
+    s = metrics_summary(spark, workdir).where(
+        F.col("query_name") == "metrics_probe"
+    ).collect()
+    assert len(s) == 1 and s[0].total_rows == 20 and s[0].n_batches == len(rows)
+
+
 def test_stream_end_to_end_pipeline(spark, log, workdir):
     """append → readStream → windowed agg → exactly-once sink into a
     second stream → fetch: the full reference dataflow on Spark."""
