@@ -270,13 +270,22 @@ class StreamCatalog:
 
     # ---------------------------------------------------------- range ops
 
-    def list_ranges(self, stream_id: int) -> list[RangeMeta]:
-        """≙ LIST_RANGE 0x2001 (pd/pkg/server/cluster/range.go:49-126)."""
+    def list_ranges(
+        self,
+        stream_id: int,
+        filter: "Callable[[RangeMeta], bool] | None" = None,
+    ) -> list[RangeMeta]:
+        """≙ LIST_RANGE 0x2001 (pd/pkg/server/cluster/range.go:49-126).
+        ``filter`` is the range-filter closure of the reference's store
+        scan API (components/store/src/lib.rs:68-84): a predicate applied
+        per range during the scan, e.g. ``lambda r: r.sealed`` or an
+        offset-window overlap test."""
         st = self._load()
         raws = st.ranges.get(str(stream_id))
         if raws is None:
             raise StreamNotFound(stream_id)
-        return [RangeMeta(**r) for r in raws]
+        out = [RangeMeta(**r) for r in raws]
+        return [r for r in out if filter(r)] if filter is not None else out
 
     def writable_range(self, stream_id: int) -> RangeMeta:
         last = self.list_ranges(stream_id)[-1]

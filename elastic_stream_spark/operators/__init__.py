@@ -21,13 +21,23 @@ def _modules():
         dedup,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         stream_ops,
         streaming_ops,
         text,
     )
 
-    return [stream_ops, relational, dedup, similarity, text, streaming_ops, multimodal]
+    return [
+        stream_ops,
+        relational,
+        relational_ext,
+        dedup,
+        similarity,
+        text,
+        streaming_ops,
+        multimodal,
+    ]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

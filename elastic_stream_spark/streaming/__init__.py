@@ -1,4 +1,8 @@
-from elastic_stream_spark.streaming.source import read_stream, read_records_stream
+from elastic_stream_spark.streaming.source import (
+    poll_fetch,
+    read_records_stream,
+    read_stream,
+)
 from elastic_stream_spark.streaming.sink import ExactlyOnceAppendSink
 from elastic_stream_spark.streaming.metrics import (
     MetricsRecorder,
@@ -10,6 +14,7 @@ from elastic_stream_spark.streaming.metrics import (
 __all__ = [
     "read_stream",
     "read_records_stream",
+    "poll_fetch",
     "ExactlyOnceAppendSink",
     "MetricsRecorder",
     "metrics_summary",

@@ -46,6 +46,24 @@ def test_offset_reservation_contiguous(workdir):
     assert cat.describe_stream(sid).next_offset == 15
 
 
+def test_list_ranges_filter_closure(workdir):
+    """≙ the store scan API's range-filter closure
+    (components/store/src/lib.rs:68-84): predicate applied per range."""
+    cat = StreamCatalog(workdir)
+    sid = cat.create_stream().stream_id
+    cat.reserve_offsets(sid, 10)
+    cat.seal_range(sid, epoch=0)  # range 0 sealed [0,10), range 1 open @10
+    cat.reserve_offsets(sid, 5, epoch=1)
+    sealed = cat.list_ranges(sid, filter=lambda r: r.sealed)
+    assert [r.range_index for r in sealed] == [0]
+    # offset-window overlap test: ranges covering [8, 12)
+    hit = cat.list_ranges(
+        sid, filter=lambda r: r.start < 12 and (r.end is None or r.end > 8)
+    )
+    assert [r.range_index for r in hit] == [0, 1]
+    assert len(cat.list_ranges(sid)) == 2  # no filter → all
+
+
 def test_seal_opens_successor_and_fences(workdir):
     cat = StreamCatalog(workdir)
     sid = cat.create_stream().stream_id

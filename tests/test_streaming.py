@@ -12,6 +12,7 @@ from elastic_stream_spark.kv import KVStore
 from elastic_stream_spark.log import StreamLog
 from elastic_stream_spark.streaming import (
     ExactlyOnceAppendSink,
+    poll_fetch,
     read_stream,
 )
 
@@ -57,6 +58,73 @@ def test_streaming_fetch_sees_appends(spark, log):
     _run_available_now(sdf2, "t_fetch2")
     got2 = spark.sql("SELECT offset FROM t_fetch2 ORDER BY offset").collect()
     assert [r.offset for r in got2] == [5, 6, 7]
+
+
+def test_per_stream_subscription_prunes_listing(spark, log):
+    """A per-stream subscription must list ONLY the stream's partition
+    directory — discovery cost tracks the subscribed stream, not the log
+    (≙ per-stream FETCH addressing one range server, not the cluster)."""
+    a = log.catalog.create_stream().stream_id
+    b = log.catalog.create_stream().stream_id
+    log.append(a, _events(spark, 4))
+    log.append(b, _events(spark, 6))
+    sdf = read_stream(spark, log, a)
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_prune")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the FileStreamSource's listing root is the stream's directory
+    desc = q.lastProgress["sources"][0]["description"]
+    assert f"stream_id={a}" in desc, desc
+    got = spark.sql("SELECT stream_id, offset FROM t_prune").collect()
+    assert {r.stream_id for r in got} == {a}
+    assert sorted(r.offset for r in got) == [0, 1, 2, 3]
+
+
+def test_byte_admission_splits_microbatches(spark, log):
+    """max_fetch_bytes (≙ FETCH byte budget / maxBytesPerTrigger): with a
+    1-byte budget each microbatch admits exactly one file, so three
+    appends stream as three batches — and the union is still complete."""
+    sid = log.catalog.create_stream().stream_id
+    for k in range(3):
+        log.append(sid, _events(spark, 2, base_ts=k * 1_000_000))
+    sdf = read_stream(spark, log, sid, max_fetch_bytes=1)
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_bytes")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 3, [p["numInputRows"] for p in q.recentProgress]
+    assert all(p["numInputRows"] == 2 for p in batches)
+    got = spark.sql("SELECT offset FROM t_bytes ORDER BY offset").collect()
+    assert [r.offset for r in got] == list(range(6))
+
+
+def test_poll_fetch_long_poll_semantics(spark, log):
+    """poll_fetch = synchronous long-poll FETCH: bounded admission
+    (max_records), immediate return when data is available, timed-out
+    empty return at the committed tail."""
+    sid = log.catalog.create_stream().stream_id
+    log.append(sid, _events(spark, 5))
+    df, end = poll_fetch(log, sid, 0, max_records=3)
+    assert end == 3 and [r.offset for r in df.collect()] == [0, 1, 2]
+    df, end = poll_fetch(log, sid, end)
+    assert end == 5 and [r.offset for r in df.collect()] == [3, 4]
+    # at the tail: waits max_wait_ms then returns empty without blocking
+    import time as _t
+
+    t0 = _t.monotonic()
+    df, end = poll_fetch(log, sid, 5, max_wait_ms=300)
+    assert end == 5 and df.count() == 0
+    assert 0.2 <= _t.monotonic() - t0 < 5
 
 
 def test_streaming_tumbling_matches_batch(spark, log):
@@ -215,8 +283,10 @@ def test_metrics_recorder_captures_batches(spark, log, workdir):
         # listener callbacks are async — wait for the files to land
         import time as _t
 
-        for _ in range(40):
-            if read_metrics(spark, workdir).count() >= 1:
+        for _ in range(60):
+            m = read_metrics(spark, workdir)
+            got = m.agg(F.sum("num_input_rows")).collect()[0][0]
+            if got is not None and got >= 20:
                 break
             _t.sleep(0.5)
     finally:
