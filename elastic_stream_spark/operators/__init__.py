@@ -20,6 +20,7 @@ def _modules():
     from elastic_stream_spark.operators import (
         dedup,
         multimodal,
+        pipeline,
         relational,
         relational_ext,
         similarity,
@@ -33,6 +34,7 @@ def _modules():
         relational,
         relational_ext,
         dedup,
+        pipeline,
         similarity,
         text,
         streaming_ops,

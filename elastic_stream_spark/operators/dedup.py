@@ -118,6 +118,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard over the frequency-capped index — are exact at every scale;
     at fixture scale (max df ≈ 25) the cap is provably inert and the
     result equals uncapped Jaccard."""
+    return ngram_pair_set(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def ngram_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered verified near-dup pair set (doc_a < doc_b, jaccard) —
+    the edge list consumed by ``dedup_ngram_jaccard`` (sorted output) and
+    ``pipeline.dedup_clusters`` (connected components)."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     rare = (
@@ -150,7 +157,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round(F.col("common") / union_sz, 6).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -337,8 +343,11 @@ _JACCARD_ORACLE = f"""
 
 # ngram variant: identical except the pair space is generated from the
 # frequency-capped index (mirrors SHINGLE_DF_CAP — see dedup_ngram_jaccard).
-_CAPPED_JACCARD_ORACLE = f"""
-    WITH toks AS (
+# Exposed as a CTE fragment (ends at ``vpairs(doc_a, doc_b, jaccard)``) so
+# downstream oracles (pipeline.py connected components) can build on the
+# same verified pair set.
+CAPPED_PAIRS_SQL = f"""
+    toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
@@ -351,18 +360,23 @@ _CAPPED_JACCARD_ORACLE = f"""
       SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {SHINGLE_DF_CAP}
     ), idx AS (
       SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
-    ), pairs AS (
+    ), cpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
       FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY doc_a, doc_b
+    ), vpairs AS (
+      SELECT doc_a, doc_b,
+             round(common * 1.0 / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+      FROM cpairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE common * {JACCARD_DEN} >= {JACCARD_NUM} * (sa.n_shingles + sb.n_shingles - common)
     )
-    SELECT doc_a, doc_b,
-           round(common * 1.0 / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE common * {JACCARD_DEN} >= {JACCARD_NUM} * (sa.n_shingles + sb.n_shingles - common)
-    ORDER BY doc_a, doc_b
+"""
+
+_CAPPED_JACCARD_ORACLE = f"""
+    WITH {CAPPED_PAIRS_SQL}
+    SELECT doc_a, doc_b, jaccard FROM vpairs ORDER BY doc_a, doc_b
 """
 
 ORACLES = {

@@ -1,0 +1,196 @@
+"""End-to-end training-data pipeline operators over ``documents``.
+
+These compose the dedup/text primitives into the two operations a
+corpus-curation pipeline actually runs:
+
+- ``dedup_clusters`` — connected components over the verified near-dup
+  pair graph: every near-dup group gets one canonical representative
+  (the min doc_id in its component), not just pairwise flags.  Spark
+  side: iterative hash-min label propagation — each iteration is one
+  distributed join + aggregate; the driver loop only checks a
+  convergence counter (O(component diameter) iterations; near-dup
+  clusters are shallow, so 2-4 in practice).  At 100 TB this is the
+  standard formulation (the GraphX/GraphFrames CC algorithm is the same
+  fixpoint); lineage is truncated per iteration with localCheckpoint so
+  plans stay flat.  DuckDB oracle: recursive CTE computing the same
+  min-label fixpoint.
+
+- ``pipeline_keep_list`` — the full filter verdict per document:
+  quality score, exact-duplicate flag (bag-of-words fingerprint, keep
+  min doc_id), near-duplicate flag (in a CC cluster, not the
+  representative), and the final ``keep`` decision.  One pass over the
+  corpus joined against two driver-free side tables — exactly the job
+  that decides what enters a training run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from elastic_stream_spark.functions.textfns import bow_fingerprint
+from elastic_stream_spark.operators.dedup import CAPPED_PAIRS_SQL, ngram_pair_set
+from elastic_stream_spark.operators.text import QUALITY_SQL, quality_score_col
+from elastic_stream_spark.sources.envelope import load_table
+
+CC_MAX_ITER = 25  # safety bound; hash-min converges in O(diameter)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
+    """Hash-min label propagation over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` for every node that
+    appears in an edge; ``cluster_id`` = min doc_id of the component.
+
+    Each iteration: neighbor-min join + per-node min — two shuffles on
+    doc_id, fully distributed; the driver sees only a scalar
+    convergence count.  ``localCheckpoint`` truncates lineage so the
+    plan does not grow with iterations (the classic iterative-algorithm
+    pitfall)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components of the verified
+    3-gram-Jaccard ≥ 0.8 pair graph, with component size and the kept
+    representative flag."""
+    comp = connected_components(ngram_pair_set(spark, sf_dir))
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.withColumn("n_docs", F.count("*").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_docs",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdict: quality score, exact-dup flag
+    (bag-of-words fingerprint — keep the min doc_id of each group),
+    near-dup flag (non-representative member of a CC cluster), and the
+    final keep decision (quality ≥ 0.5 AND not a dropped duplicate).
+
+    Plan: one corpus scan computing (q, fp) → fingerprint-keep via a
+    window over fp (one shuffle) → left join the cluster table (itself
+    the CC fixpoint).  No collects; every stage partial-aggregable or
+    key-partitioned."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_col().alias("q"), bow_fingerprint("text").alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    flagged = docs.withColumn("fp_keep", F.min("doc_id").over(w))
+    comp = connected_components(ngram_pair_set(spark, sf_dir))
+    out = flagged.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "q",
+        (F.col("doc_id") != F.col("fp_keep")).alias("exact_dup"),
+        (F.col("cluster_id").isNotNull() & (F.col("doc_id") != F.col("cluster_id"))).alias(
+            "near_dup"
+        ),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("q") >= 0.5) & ~F.col("exact_dup") & ~F.col("near_dup"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "pipeline_keep_list": pipeline_keep_list,
+}
+
+# Recursive min-label fixpoint over the same verified pair set the Spark
+# side uses; UNION (not UNION ALL) deduplicates states → termination.
+_CC_SQL = f"""
+    {CAPPED_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM vpairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM vpairs
+    ),
+    walk(node, lbl) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node
+    )
+"""
+
+ORACLES = {
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_CC_SQL}
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+               doc_id = cluster_id AS is_representative
+        FROM comp
+        ORDER BY cluster_id, doc_id
+    """,
+    "pipeline_keep_list": f"""
+        WITH RECURSIVE {_CC_SQL},
+        {QUALITY_SQL},
+        fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(text), ' '))), ' ')) AS fp
+          FROM documents
+        ),
+        flagged AS (
+          SELECT f.doc_id,
+                 q.q,
+                 f.doc_id <> min(f.doc_id) OVER (PARTITION BY f.fp) AS exact_dup,
+                 c.cluster_id IS NOT NULL AND f.doc_id <> c.cluster_id AS near_dup
+          FROM fp f
+          JOIN q_per_doc q ON f.doc_id = q.doc_id
+          LEFT JOIN comp c ON f.doc_id = c.doc_id
+        )
+        SELECT doc_id, q, exact_dup, near_dup,
+               q >= 0.5 AND NOT exact_dup AND NOT near_dup AS keep
+        FROM flagged
+        ORDER BY doc_id
+    """,
+}

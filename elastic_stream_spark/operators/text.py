@@ -55,11 +55,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score per doc: length band + stopword ratio +
-    mean token length, combined into [0,1].  Returns the per-lang score
-    distribution (docs, avg score, low-quality count at < 0.5)."""
-    d = _docs(spark, sf_dir)
+def quality_score_col() -> "F.Column":
+    """The per-doc heuristic quality score in [0,1] (length band +
+    stopword ratio + mean token length) as a reusable column expression
+    over a ``text`` column — shared by ``text_quality_score`` and the
+    end-to-end ``pipeline_keep_list``."""
     t = tokens("text")
     n_tok = F.size(t)
     stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN)))
@@ -69,7 +69,40 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when((stop_hits / n_tok >= 0.02) & (stop_hits / n_tok <= 0.4), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when((mean_len >= 3) & (mean_len <= 8), F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    scored = d.select("lang", F.round(score, 4).alias("q"))
+    return F.round(score, 4)
+
+
+# DuckDB per-doc equivalent of quality_score_col (CTE fragment; yields
+# (doc_id, lang, q) per document).
+QUALITY_SQL = f"""
+  q_per_doc AS (
+    SELECT doc_id, lang,
+           round(
+             (CASE WHEN len(string_split(lower(text), ' ')) >= 30 THEN 0.4 ELSE 0.1 END)
+           + (CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                        x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                     * 1.0 / len(string_split(lower(text), ' ')) >= 0.02
+                AND len(list_filter(string_split(lower(text), ' '),
+                                        x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                     * 1.0 / len(string_split(lower(text), ' ')) <= 0.4
+               THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN (length(text) - len(string_split(lower(text), ' ')) + 1)
+                          * 1.0 / len(string_split(lower(text), ' ')) >= 3
+                AND (length(text) - len(string_split(lower(text), ' ')) + 1)
+                          * 1.0 / len(string_split(lower(text), ' ')) <= 8
+               THEN 0.3 ELSE 0.0 END)
+           , 4) AS q
+    FROM documents
+  )
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per doc: length band + stopword ratio +
+    mean token length, combined into [0,1].  Returns the per-lang score
+    distribution (docs, avg score, low-quality count at < 0.5)."""
+    d = _docs(spark, sf_dir)
+    scored = d.select("lang", quality_score_col().alias("q"))
     return (
         scored.groupBy("lang")
         .agg(
