@@ -36,17 +36,22 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (TPC-H Q17/Q22 family): orders whose
     totalprice exceeds 1.5× the average totalprice of the SAME customer.
     Decorrelated form: per-customer average via a window over the
-    correlation key — one shuffle on o_custkey, no per-row subplan."""
+    correlation key — one shuffle on o_custkey, no per-row subplan.
+    The output carries the (integer, engine-stable) per-customer order
+    count rather than the rounded average: a mean of 2-decimal prices
+    frequently lands exactly on a round-half boundary where the two
+    engines' summation order flips the 4th decimal."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
     return (
         orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .withColumn("n_orders", F.count("*").over(w))
         .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select(
             "o_orderkey",
             "o_custkey",
             F.round("o_totalprice", 4).alias("o_totalprice"),
-            F.round("cust_avg", 4).alias("cust_avg"),
+            "n_orders",
         )
         .orderBy("o_orderkey")
     )
@@ -213,10 +218,11 @@ ORACLES = {
     "above_avg_orders": """
         SELECT o_orderkey, o_custkey,
                round(o_totalprice, 4) AS o_totalprice,
-               round(cust_avg, 4) AS cust_avg
+               n_orders
         FROM (
           SELECT o_orderkey, o_custkey, o_totalprice,
-                 avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+                 avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg,
+                 count(*) OVER (PARTITION BY o_custkey) AS n_orders
           FROM orders
         )
         WHERE o_totalprice > 1.5 * cust_avg

@@ -291,6 +291,42 @@ def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
     return int(row["d"])
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics: member count and mean cosine of
+    members to their label centroid — the cluster-cohesion profile an
+    embedding-curation pipeline computes before IVF training.
+
+    Formulated in LONG form (posexplode to (vec_id, label, pos, val))
+    on purpose: element-wise centroid means become a plain
+    ``groupBy(label, pos).avg`` — partial-aggregable, no array state in
+    the aggregation, and the same shape DuckDB can express with a
+    lateral ``generate_series`` — so the op is oracle-checkable AND the
+    100 TB plan is two shuffles (label·dim keys, then label).  Dots and
+    norms come from the same long table; no vector is ever collected.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnRenamed("pos", "pos").withColumnRenamed("col", "val")
+    cent = emb.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    joined = emb.join(cent, ["label", "pos"])
+    per_vec = joined.groupBy("vec_id", "label").agg(
+        F.sum(F.col("val") * F.col("cval")).alias("dot"),
+        F.sum(F.col("val") * F.col("val")).alias("n2v"),
+    )
+    cnorm = cent.groupBy("label").agg(F.sum(F.col("cval") * F.col("cval")).alias("n2c"))
+    cos = F.col("dot") / F.sqrt(F.col("n2v") * F.col("n2c"))
+    return (
+        per_vec.join(cnorm, "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(cos), 4).alias("avg_cos_to_centroid"),
+            F.round(F.min(cos), 4).alias("min_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
+
+
 # NOTE: LSH is deliberately NOT in the QUERIES registry.  On this fixture
 # the near-dup threshold (0.45) sits at angles indistinguishable from
 # background for hyperplane hashing (collision prob 0.648 vs 0.623/bit),
@@ -302,6 +338,7 @@ def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_ivf": sim_ann_ivf,
+    "emb_label_centroids": emb_label_centroids,
 }
 
 ORACLES = {
@@ -323,4 +360,28 @@ ORACLES = {
         ORDER BY query_id, rank
     """,
     # sim_ann_ivf / sim_ann_lsh: approximate — rows-only checks by design.
+    "emb_label_centroids": """
+        WITH long AS (
+          SELECT vec_id, label,
+                 unnest(generate_series(1, len(embedding))) AS pos,
+                 unnest(CAST(embedding AS DOUBLE[])) AS val
+          FROM embeddings
+        ), cent AS (
+          SELECT label, pos, avg(val) AS cval FROM long GROUP BY label, pos
+        ), per_vec AS (
+          SELECT l.vec_id, l.label,
+                 sum(l.val * c.cval) AS dot,
+                 sum(l.val * l.val) AS n2v
+          FROM long l JOIN cent c ON l.label = c.label AND l.pos = c.pos
+          GROUP BY l.vec_id, l.label
+        ), cnorm AS (
+          SELECT label, sum(cval * cval) AS n2c FROM cent GROUP BY label
+        )
+        SELECT p.label, count(*) AS n_vectors,
+               round(avg(p.dot / sqrt(p.n2v * n.n2c)), 4) AS avg_cos_to_centroid,
+               round(min(p.dot / sqrt(p.n2v * n.n2c)), 4) AS min_cos_to_centroid
+        FROM per_vec p JOIN cnorm n ON p.label = n.label
+        GROUP BY p.label
+        ORDER BY p.label
+    """,
 }

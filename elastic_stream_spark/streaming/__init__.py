@@ -4,6 +4,7 @@ from elastic_stream_spark.streaming.source import (
     read_stream,
 )
 from elastic_stream_spark.streaming.sink import ExactlyOnceAppendSink
+from elastic_stream_spark.streaming.stateful import stream_offset_tracker
 from elastic_stream_spark.streaming.metrics import (
     MetricsRecorder,
     metrics_summary,
@@ -16,6 +17,7 @@ __all__ = [
     "read_records_stream",
     "poll_fetch",
     "ExactlyOnceAppendSink",
+    "stream_offset_tracker",
     "MetricsRecorder",
     "metrics_summary",
     "read_metrics",

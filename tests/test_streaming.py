@@ -305,6 +305,55 @@ def test_metrics_recorder_captures_batches(spark, log, workdir):
     assert len(s) == 1 and s[0].total_rows == 20 and s[0].n_batches == len(rows)
 
 
+def test_stateful_offset_tracker(spark, log):
+    """Custom stateful op (applyInPandasWithState): per-stream counters
+    accumulate across microbatches; the final emission per stream equals
+    the batch ground truth, and emissions are monotone."""
+    from elastic_stream_spark.streaming import read_records_stream, stream_offset_tracker
+
+    a = log.catalog.create_stream().stream_id
+    b = log.catalog.create_stream().stream_id
+    for k in range(3):
+        log.append(a, _events(spark, 4, base_ts=k * 1_000_000))
+    log.append(b, _events(spark, 7))
+
+    sdf = read_records_stream(spark, log, max_files_per_trigger=1)
+    out = stream_offset_tracker(sdf)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_state").collect()
+    # last emission per stream = accumulated totals
+    final = {}
+    for r in rows:  # memory sink appends update-mode emissions in order
+        final[r.stream_id] = (r.n_records, r.n_bytes, r.max_offset)
+    truth = {
+        sid: (
+            log.fetch(sid, 0, 1 << 30).count(),
+            sum(
+                len(r.payload)
+                for r in log.fetch(sid, 0, 1 << 30).collect()
+                if r.payload is not None
+            ),
+            log.next_offset(sid) - 1,
+        )
+        for sid in (a, b)
+    }
+    assert final == truth
+    # monotone per stream across emissions
+    seen: dict[int, int] = {}
+    for r in rows:
+        assert r.n_records >= seen.get(r.stream_id, 0)
+        seen[r.stream_id] = r.n_records
+    # stream a streamed over multiple microbatches → >1 emission
+    assert sum(1 for r in rows if r.stream_id == a) >= 2
+
+
 def test_stream_end_to_end_pipeline(spark, log, workdir):
     """append → readStream → windowed agg → exactly-once sink into a
     second stream → fetch: the full reference dataflow on Spark."""
