@@ -97,6 +97,12 @@ class _CatalogState:
     revision: int = 0  # monotone change-feed revision (≙ etcd mod_revision)
     streams: dict = field(default_factory=dict)  # str(stream_id) -> StreamMeta dict
     ranges: dict = field(default_factory=dict)  # str(stream_id) -> [RangeMeta dict]
+    # last txn's change-feed file, carried INSIDE the atomic catalog.json
+    # commit: {"name": "<rev>.json", "lines": [...]} — republished to
+    # changes/ after commit (idempotent, byte-identical), so the feed can
+    # never contain events of an uncommitted txn and never permanently
+    # misses events of a committed one.
+    pending_changes: dict | None = None
 
 
 # Change-feed event schema (≙ LIST/WATCH_RESOURCE, rpc.fbs:691-778: each
@@ -125,13 +131,25 @@ class StreamCatalog:
 
     @contextmanager
     def _txn(self):
+        """Metadata transaction.  Change-feed ordering (the crash-safe
+        part): staged events are serialized INTO the catalog.json commit
+        (``pending_changes``), and the ``changes/`` file is written only
+        AFTER that commit.  A crash before the commit leaves no trace (no
+        phantom events for a txn that never happened); a crash after the
+        commit but before the file write is repaired by the next txn /
+        ``changes()`` read, which republishes the exact recorded bytes —
+        same name, same content — so a FileStreamSource watcher (which
+        never re-reads a filename) still sees every committed revision
+        exactly once."""
         with open(self._lock_path, "a") as lockf:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             state = self._load()
-            state.pending_events = []  # staged by _emit, flushed on commit
+            self._publish_pending(state)  # repair a prior crash window
+            state.pending_events = []  # staged by _emit
             yield state
-            self._flush_events(state)
+            self._stage_events(state)
             self._commit(state)
+            self._publish_pending(state)
 
     @staticmethod
     def _emit(
@@ -146,19 +164,16 @@ class StreamCatalog:
         resource events of WATCH_RESOURCE, rpc.fbs:735-760)."""
         st.pending_events.append((kind, resource_type, stream_id, range_index, detail))
 
-    def _flush_events(self, st: _CatalogState) -> None:
-        """Write staged events as one JSON-lines file under ``changes/``,
-        stamping consecutive revisions.  Written BEFORE the catalog.json
-        commit: a crash in between replays the same revisions next txn
-        (file overwritten) — the change feed is at-least-once, matching
-        etcd watch semantics; it never silently drops a committed change.
-        One file per txn keeps the directory a valid Structured-Streaming
-        file source (``watch_resources``)."""
+    def _stage_events(self, st: _CatalogState) -> None:
+        """Serialize staged events into ``st.pending_changes`` (one
+        JSON-lines file per txn, named by first revision), stamping
+        consecutive revisions and the event timestamp.  The serialized
+        lines are recorded verbatim so a post-crash republish is
+        byte-identical."""
         evs = getattr(st, "pending_events", [])
         if not evs:
+            st.pending_changes = None
             return
-        changes_dir = os.path.join(self.root, "changes")
-        os.makedirs(changes_dir, exist_ok=True)
         first_rev = st.revision + 1
         now_ms = int(time.time() * 1000)
         lines = []
@@ -177,11 +192,26 @@ class StreamCatalog:
                     }
                 )
             )
-        path = os.path.join(changes_dir, f"{first_rev:012d}.json")
+        st.pending_changes = {"name": f"{first_rev:012d}.json", "lines": lines}
+
+    def _publish_pending(self, st: _CatalogState) -> None:
+        """Write the committed txn's events file under ``changes/`` if not
+        already present.  Idempotent and deterministic (exact recorded
+        bytes): safe to call from any reader/writer at any time after the
+        catalog commit.  One file per txn keeps the directory a valid
+        Structured-Streaming file source (``watch_resources``)."""
+        pending = st.pending_changes
+        if not pending:
+            return
+        changes_dir = os.path.join(self.root, "changes")
+        os.makedirs(changes_dir, exist_ok=True)
+        path = os.path.join(changes_dir, pending["name"])
+        if os.path.exists(path):
+            return
         # tmp lives OUTSIDE changes/ so file-source listings never see it
-        tmp = os.path.join(self.root, f".changes-{first_rev}.tmp")
+        tmp = os.path.join(self.root, f".changes-{pending['name']}.tmp")
         with open(tmp, "w") as f:
-            f.write("\n".join(lines) + "\n")
+            f.write("\n".join(pending["lines"]) + "\n")
         os.replace(tmp, path)
 
     def _load(self) -> _CatalogState:
@@ -328,15 +358,22 @@ class StreamCatalog:
                 raise ValueError(
                     f"seal end {sealed_end} beyond next_offset {sraw['next_offset']}"
                 )
+            # offsets in [end, next_offset) are already assigned — and may
+            # be physically written in this range's directory.  Sealing
+            # below them would leave records above the metadata end, which
+            # a later trim+vacuum at >= end would silently delete.  Reject
+            # instead of clamping (the reference seals at the confirmed
+            # offset, which is never below assigned-and-acked).
+            if sealed_end < sraw["next_offset"]:
+                raise ValueError(
+                    f"seal end {sealed_end} below next_offset "
+                    f"{sraw['next_offset']}: offsets past it are already "
+                    "assigned; seal at next_offset or later"
+                )
             last["end"] = sealed_end
             last["sealed"] = True
             new_epoch = sraw["epoch"] + 1
             sraw["epoch"] = new_epoch
-            # never move next_offset backwards: offsets in
-            # [sealed_end, next_offset) may already be reserved/written and
-            # must not be re-assigned (duplicate offsets in the log).  The
-            # successor range opens at the clamped position.
-            sraw["next_offset"] = max(sraw["next_offset"], sealed_end)
             ranges.append(
                 asdict(
                     RangeMeta(stream_id, last["range_index"] + 1, new_epoch, sealed_end)
@@ -437,6 +474,7 @@ class StreamCatalog:
         revision order."""
         from pyspark.sql import functions as F
 
+        self._publish_pending(self._load())  # repair a prior crash window
         changes_dir = os.path.join(self.root, "changes")
         if not os.path.isdir(changes_dir) or not os.listdir(changes_dir):
             return spark.createDataFrame([], CHANGES_SCHEMA)
@@ -452,6 +490,7 @@ class StreamCatalog:
         gives the reference's PD clients."""
         from pyspark.sql import functions as F
 
+        self._publish_pending(self._load())  # repair a prior crash window
         changes_dir = os.path.join(self.root, "changes")
         os.makedirs(changes_dir, exist_ok=True)
         sdf = spark.readStream.schema(CHANGES_SCHEMA).json(changes_dir)

@@ -88,11 +88,18 @@ class StreamLog:
         return base, base + n
 
     def prepare_batch(self, batch: DataFrame) -> DataFrame:
-        """Normalize an input batch to the payload columns and materialize
-        it once (eager localCheckpoint), so the counted rows and the
-        written rows are the same physical data: a non-deterministic input
+        """Normalize an input batch to the payload columns and truncate its
+        lineage (LAZY localCheckpoint), so the counted rows and the written
+        rows are the same physical data: a non-deterministic input
         (sample/shuffle re-execution, foreachBatch recompute) must not
-        write a different row count than the reserved block."""
+        write a different row count than the reserved block.
+
+        Lazy on purpose: the caller's first action (``append``'s count)
+        materializes the checkpoint AND returns the row count in ONE Spark
+        job, instead of the eager-checkpoint + count double job — the
+        append path is two jobs total (materialize-count, write), which is
+        what keeps per-append overhead low enough for aggregate throughput
+        to scale with stream count (docs/benchmark.md:27-32)."""
         missing = {"ts"} - set(batch.columns)
         if missing:
             raise ValueError(f"append batch missing columns: {missing}")
@@ -102,7 +109,7 @@ class StreamLog:
             )
         if "payload" not in batch.columns:
             batch = batch.withColumn("payload", F.lit(None).cast("binary"))
-        return batch.select(*PAYLOAD_COLS).localCheckpoint(eager=True)
+        return batch.select(*PAYLOAD_COLS).localCheckpoint(eager=False)
 
     def write_stamped(
         self, stream_id: int, batch: DataFrame, base: int, range_index: int
@@ -140,6 +147,45 @@ class StreamLog:
             .count()
             > 0
         )
+
+    def count_span(self, stream_id: int, base: int, end: int) -> int:
+        """Rows durably in the log with offset in ``[base, end)`` —
+        partition-pruned, footer-stats-skipped count.  The crash-recovery
+        reconcile probe: a completed write of a reserved block counts
+        exactly ``end - base``; a torn (mid-job-commit) write counts
+        something in between."""
+        return (
+            self.records()
+            .where(
+                (F.col("stream_id") == stream_id)
+                & (F.col("offset") >= base)
+                & (F.col("offset") < end)
+            )
+            .count()
+        )
+
+    def delete_offset_span(self, stream_id: int, range_index: int, base: int, end: int) -> int:
+        """Remove data files of one range whose footer offset stats overlap
+        ``[base, end)`` — torn-write cleanup before a replay re-writes the
+        block.  Offsets in a reserved block belong to exactly one append
+        attempt, so any overlapping file is a partial product of that
+        attempt.  A file without stats is conservatively deleted only if
+        the whole range is being replayed (never happens with our writer —
+        Spark always writes offset stats).  Returns files removed."""
+        from elastic_stream_spark.objects import file_offset_span, parquet_files
+
+        removed: list[str] = []
+        for p in parquet_files(self._range_dir(stream_id, range_index)):
+            span = file_offset_span(p)
+            if span is None:
+                continue
+            lo, hi = span
+            if lo < end and hi >= base:
+                os.remove(p)
+                removed.append(p)
+        if removed:
+            self.objects.remove(removed)
+        return len(removed)
 
     def bulk_load(self, records: DataFrame) -> None:
         """Bulk-ingest pre-stamped records (all RECORD_SCHEMA columns
@@ -275,8 +321,17 @@ class StreamLog:
         streams.  Rewrites only the straddling range partition; ranges
         entirely below the horizon are removed wholesale (cheap directory
         deletes — the common case, ≙ WAL segment reclaim wal.rs:435-541).
+
+        The objects catalog is reconciled in the same pass: descriptors of
+        deleted files are dropped, and if the rewritten straddling range
+        had committed descriptors, its new file is committed in their
+        place — the metadata plane never points at reclaimed data
+        (≙ compaction never leaves committed object metadata behind,
+        components/store/src/index/compaction.rs:18-56).
         """
         import shutil
+
+        from elastic_stream_spark.objects import parquet_files
 
         st = self.catalog._load()
         sraw = st.streams.get(str(stream_id))
@@ -290,6 +345,7 @@ class StreamLog:
         for d in glob.glob(f"{self.records_root}/stream_id={stream_id}/range_index=*"):
             ridx = int(d.rsplit("=", 1)[1])
             if sraw["deleted"] or ridx not in live:
+                self.objects.remove(parquet_files(d))
                 shutil.rmtree(d)
                 continue
         if sraw["deleted"]:
@@ -313,10 +369,16 @@ class StreamLog:
             tag = f"s{stream_id}-r{r['range_index']}"
             tmp = f"{scratch}/rewrite-{tag}"
             old = f"{scratch}/old-{tag}"
+            old_files = parquet_files(d)
             kept.write.mode("overwrite").parquet(tmp)
             os.replace(d, old)
             shutil.move(tmp, d)
             shutil.rmtree(old)
+            # metadata reconcile: drop descriptors of the replaced files;
+            # if any existed, the stream's objects are catalog-managed —
+            # commit the rewritten file(s) so the catalog matches disk.
+            if self.objects.remove(old_files):
+                self.commit_objects(stream_id)
 
     def expire_retention(self, stream_id: int, now_ms: int) -> int:
         """Retention job ≙ wal.rs:362-377 check_expired_segment: trim the

@@ -159,3 +159,30 @@ def file_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def file_offset_span(path: str) -> tuple[int, int] | None:
+    """(min_offset, max_offset) of a log data file from parquet row-group
+    statistics (no data read) — the same footer min/max the fetch path's
+    predicate pushdown prunes on.  None if stats are absent."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    col_idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == "offset":
+            col_idx = i
+            break
+    if col_idx is None:
+        return None
+    lo: int | None = None
+    hi: int | None = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None or hi is None:
+        return None
+    return int(lo), int(hi)

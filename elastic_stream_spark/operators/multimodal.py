@@ -69,10 +69,11 @@ def fake_byte_features(blob: bytes) -> tuple[int, float, int]:
     return s, (s / n if n else 0.0), n
 
 
-def batch_byte_features(blobs: "pd.Series") -> "np.ndarray":
-    """Vectorized byte_sum over a whole Arrow batch: one flat uint8 view of
-    all blobs + a prefix-sum, so per-blob sums are two array lookups — no
-    per-row Python in the loop."""
+def batch_byte_features(blobs: "pd.Series") -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized (byte_sum, n_bytes) over a whole Arrow batch: one flat
+    uint8 view of all blobs + a prefix-sum, so per-blob sums are two array
+    lookups — no per-row Python in the loop.  Lengths fall out of the same
+    pass, so callers never re-walk the blobs."""
     import numpy as np
 
     lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
@@ -80,7 +81,7 @@ def batch_byte_features(blobs: "pd.Series") -> "np.ndarray":
     csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
     ends = np.cumsum(lens)
     starts = ends - lens
-    return csum[ends] - csum[starts]
+    return csum[ends] - csum[starts], lens
 
 
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,19 +96,23 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "blob", F.col("meta.mime").alias("mime")
     )
     # the fixture parquet is a single input split → one Python worker;
-    # rebalance small inputs so the Arrow stage uses the whole machine
-    # (a real 100 TB scan arrives already multi-partition and skips this)
-    if media.rdd.getNumPartitions() < 8:
-        media = media.repartition(32)
+    # rebalance small inputs so the Arrow stage uses the whole machine.
+    # Split-count comes from driver-side file metadata (no RDD conversion,
+    # no job); a real 100 TB scan arrives already multi-split and skips
+    # this entirely.
+    base = load_table(spark, sf_dir, "documents")
+    if len(base.inputFiles()) < 8:
+        media = media.repartition(spark.sparkContext.defaultParallelism)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            sums, lens = batch_byte_features(pdf["blob"])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["mime"],
-                    "byte_sum": batch_byte_features(pdf["blob"]),
-                    "n_bytes": pdf["blob"].map(len),
+                    "byte_sum": sums,
+                    "n_bytes": lens,
                 }
             )
 

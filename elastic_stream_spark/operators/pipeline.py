@@ -60,6 +60,7 @@ def connected_components(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -86,6 +87,14 @@ def connected_components(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silent early exit would split one component into several
+        # "representatives" and let pipeline_keep_list keep duplicates —
+        # fail loudly instead (a chain this deep means the near-dup graph
+        # is pathological; raise max_iter or densify edges upstream).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -58,7 +58,10 @@ class MetricsRecorder(StreamingQueryListener):
             "trigger_ms": int(durations.get("triggerExecution", 0)),
         }
         path = os.path.join(self.metrics_dir, f"{p.id}-{p.batchId}.json")
-        tmp = path + ".tmp"
+        # dot-prefixed staging name: spark file listings (batch and
+        # streaming) skip hidden files, so a reader never ingests a
+        # half-written row; os.replace makes the visible name atomic.
+        tmp = os.path.join(self.metrics_dir, f".{p.id}-{p.batchId}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(row, f)
         os.replace(tmp, path)

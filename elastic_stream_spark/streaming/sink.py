@@ -15,11 +15,17 @@ exactly-once with a two-phase, batchId-keyed marker in the KV store
 Crash windows, all safe:
 - after reserve, before marker  → the reservation leaks (offset gap, no
   duplicate) — the same gap a fenced writer leaves in the reference;
-- after marker, before write    → replay finds ``reserved`` and NO record
-  at ``base`` → re-writes the SAME offsets via ``write_stamped`` (no new
+- after marker, before write    → replay counts 0 rows in ``[base, end)``
+  → re-writes the SAME offsets via ``write_stamped`` (no new
   reservation, no duplicates);
-- after write, before commit    → replay finds ``reserved`` and a record
-  at ``base`` → flips to committed without writing.
+- DURING the write (torn job commit — parquet task files land
+  independently, the job commit is not atomic) → replay counts
+  ``0 < n < end - base`` rows → deletes the partial files of that offset
+  span (footer offset stats identify them; a reserved block belongs to
+  exactly one attempt) and re-writes the block — no silent tail loss, no
+  doubled offsets;
+- after write, before commit    → replay counts exactly ``end - base``
+  rows → flips to committed without writing.
 
 Mode contract: the sink is for ``append``/``update`` output modes, where
 each microbatch carries only new/changed rows.  ``complete`` mode re-emits
@@ -59,7 +65,15 @@ class ExactlyOnceAppendSink:
             # torn attempt: reserved:<base>:<end>:<range_index>
             _, base_s, end_s, ridx_s = state.split(":")
             base, end, ridx = int(base_s), int(end_s), int(ridx_s)
-            if not self.log.has_offset(self.stream_id, base):
+            n_present = self.log.count_span(self.stream_id, base, end)
+            if n_present != end - base:
+                # 0 < n_present < end-base: the crash tore the parquet job
+                # commit mid-way — some task files landed, some didn't.
+                # Remove the partial files for this reserved span before
+                # re-writing, else the append-mode rewrite would double
+                # the offsets that did land.
+                if n_present > 0:
+                    self.log.delete_offset_span(self.stream_id, ridx, base, end)
                 batch = self.log.prepare_batch(batch_df)
                 n = batch.count()
                 if n != end - base:
