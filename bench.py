@@ -41,6 +41,11 @@ HEADLINE = [
     "session_windows",
     "asof_join_purchase_click",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "pipeline_keep_list",
     "sim_topk_bruteforce",
     "text_token_stats",
     "mm_byte_features",

@@ -380,6 +380,45 @@ class StreamLog:
             if self.objects.remove(old_files):
                 self.commit_objects(stream_id)
 
+    def sweep(self, now_ms: int | None = None, optimize: bool = False) -> dict:
+        """One maintenance pass over ALL streams — the engine's analogue of
+        the reference's background reclaim + offload loops
+        (components/store/src/io/wal.rs:362-377 check_expired_segment on a
+        timer; components/object-storage/src/range_accumulator.rs:129-170
+        compaction): per stream, retention trim → vacuum (which reconciles
+        the objects catalog), deleted-stream data reclaim, optional
+        compaction of sealed multi-file ranges, and a final orphan-descriptor
+        reconcile.  Idempotent; safe to run on any schedule.  Returns a
+        per-stream report.
+
+        At 100 TB each step is either driver-side metadata or a
+        partition-pruned per-range Spark job; streams are independent, so
+        a cluster deployment can shard the loop by stream_id."""
+        import time as _time
+
+        now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+        report: dict = {}
+        for meta in self.catalog.list_streams(include_deleted=True):
+            sid = meta.stream_id
+            if meta.deleted:
+                self.vacuum(sid)  # reclaims dirs + object descriptors
+                report[sid] = {"deleted": True}
+                continue
+            entry: dict = {}
+            entry["start_offset"] = self.expire_retention(sid, now_ms)
+            if optimize:
+                entry["optimized"] = self.optimize(sid)
+            report[sid] = entry
+        # catch-all reconcile: drop descriptors whose file no longer
+        # exists (e.g. metadata committed by an older engine version) —
+        # after this, the objects catalog exactly mirrors the data plane.
+        stale = [
+            o.path for o in self.objects.list_objects() if not os.path.exists(o.path)
+        ]
+        if stale:
+            self.objects.remove(stale)
+        return report
+
     def expire_retention(self, stream_id: int, now_ms: int) -> int:
         """Retention job ≙ wal.rs:362-377 check_expired_segment: trim the
         stream to the first offset whose ts is within the retention window.

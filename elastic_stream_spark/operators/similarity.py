@@ -54,6 +54,20 @@ LSH_BITS = 12
 LSH_TABLES = 16
 LSH_SEED = 7
 
+# Planted-twin derivation for the LSH-dedup gate query: vec_id < TWIN_N
+# get a twin at id + TWIN_ID_BASE, perturbed by TWIN_EPS on one coordinate
+# (k = vec_id mod dim) and re-normalized ⇒ cosine(twin, base) ≈
+# 1/sqrt(1+eps²) ± one component ≈ 0.97, far above the 0.51 background.
+# Recall argument at θ = arccos(.97): p_bit = 1-θ/π ≈ 0.922, per-table
+# (12 bits) ≈ 0.38, miss over 24 tables ≈ (1-.38)^24 ≈ 1e-5 — the
+# LSH-verified pair set provably equals the exact pair set on this
+# fixture, which is what lets the driver hash-check it against DuckDB.
+TWIN_N = 30
+TWIN_ID_BASE = 1_000_000
+TWIN_EPS = 0.25
+LSH_DEDUP_THRESHOLD = 0.85
+LSH_DEDUP_TABLES = 24
+
 
 def _unit_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
@@ -88,28 +102,37 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- IVF
 
-_CENTROID_CACHE: dict[str, tuple[int, int, list[list[float]]]] = {}
+_CENTROID_CACHE: dict[tuple, tuple[int, int, list[list[float]]]] = {}
 
 
-def _train_centroids(spark: SparkSession, sf_dir: str) -> tuple[int, int, list[list[float]]]:
+def train_ivf(
+    emb: DataFrame,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+    seed: int = 0,
+) -> tuple[int, int, list[list[float]]]:
     """(nlist, nprobe, centroids) — k-means on a bounded deterministic
-    sample, driver-side (the coordinator-trains/broadcast pattern every
-    IVF build uses; sample is O(nlist), independent of corpus size)."""
-    cached = _CENTROID_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
+    sample of ``emb`` (columns vec_id, u), driver-side (the
+    coordinator-trains/broadcast pattern every IVF build uses; the sample
+    is O(nlist), independent of corpus size).
 
+    ``nlist``/``nprobe`` are the standard user knobs (faiss convention):
+    nlist ∝ √n cells by default; nprobe cells scanned per query, so the
+    candidate fraction is ≈ nprobe/nlist on balanced cells — asserted in
+    tests/test_operators.py on a clustered planted fixture."""
     import numpy as np
 
-    emb = _unit_emb(spark, sf_dir)
     n = emb.count()
-    nlist = max(4, min(4096, int(math.isqrt(n))))
-    # The fixture's embeddings are near-uniform on the sphere (no cluster
-    # structure), where IVF recall ≈ fraction of corpus scanned — probing
-    # half the cells buys ~0.85 recall (measured).  Real corpora cluster,
-    # so production tunings use nprobe ≈ nlist/16..nlist/4; the ratio is
-    # the standard user knob, the plan shape is identical.
-    nprobe = max(4, (nlist + 1) // 2)
+    if nlist is None:
+        nlist = max(4, min(4096, int(math.isqrt(n))))
+    if nprobe is None:
+        # The driver fixture's embeddings are near-uniform on the sphere
+        # (no cluster structure), where IVF recall ≈ fraction of corpus
+        # scanned — probing half the cells buys ~0.85 recall (measured).
+        # Real corpora cluster; production tunings use nprobe ≈
+        # nlist/16..nlist/4 (the clustered-fixture test runs at 1/4).
+        nprobe = max(4, (nlist + 1) // 2)
+    nprobe = min(nprobe, nlist)
     sample_size = min(n, nlist * IVF_TRAIN_PER_CELL)
     # deterministic sample: stride over vec_id order
     stride = max(1, n // sample_size)
@@ -120,21 +143,33 @@ def _train_centroids(spark: SparkSession, sf_dir: str) -> tuple[int, int, list[l
         .collect()
     )
     X = np.array([r["u"] for r in sample], dtype=np.float64)
-    rng = np.random.default_rng(0)  # fixed seed: deterministic build
-    centers = X[rng.choice(len(X), size=nlist, replace=False)]
+    rng = np.random.default_rng(seed)  # fixed seed: deterministic build
+    centers = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
     for _ in range(IVF_KMEANS_ITERS):
         # cosine assignment (unit vectors): nearest = max dot
         assign = np.argmax(X @ centers.T, axis=1)
-        for c in range(nlist):
+        for c in range(len(centers)):
             members = X[assign == c]
             if len(members):
                 m = members.mean(axis=0)
                 norm = np.linalg.norm(m)
                 if norm > 0:
                     centers[c] = m / norm
-    result = (nlist, nprobe, centers.tolist())
-    _CENTROID_CACHE[sf_dir] = result
-    return result
+    return nlist, nprobe, centers.tolist()
+
+
+def _train_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+) -> tuple[int, int, list[list[float]]]:
+    key = (sf_dir, nlist, nprobe)
+    cached = _CENTROID_CACHE.get(key)
+    if cached is None:
+        cached = train_ivf(_unit_emb(spark, sf_dir), nlist, nprobe)
+        _CENTROID_CACHE[key] = cached
+    return cached
 
 
 def _centroid_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
@@ -143,12 +178,11 @@ def _centroid_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame
     )
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Corpus → nearest-centroid cell (the IVF index build): broadcast
     trained centroids, distributed argmax-dot assignment.  Returns
     (vec_id, u, cell)."""
-    _, _, centroids = _train_centroids(spark, sf_dir)
-    emb = _unit_emb(spark, sf_dir)
+    spark = emb.sparkSession
     cdf = _centroid_df(spark, centroids)
     scored = (
         emb.repartition(32)
@@ -163,17 +197,19 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via IVF probe: for each query (vec_id < 50),
-    score only vectors in the NPROBE nearest cells.  Rows-only driver
-    check (approximate); recall ≥ 0.8 vs brute force asserted in tests."""
-    nlist, nprobe, centroids = _train_centroids(spark, sf_dir)
-    assigned = ivf_assignments(spark, sf_dir)
-    emb = _unit_emb(spark, sf_dir)
+def ivf_candidates(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, qu, vec_id, u) candidate pairs: each query scores only
+    the corpus vectors assigned to its ``nprobe`` nearest cells —
+    candidate fraction ≈ nprobe/nlist on balanced cells (asserted in
+    tests).  ``queries`` needs columns (query_id, qu)."""
+    spark = emb.sparkSession
+    assigned = ivf_assign(emb, centroids)
     cdf = _centroid_df(spark, centroids)
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
-    )
     qcell = queries.join(F.broadcast(cdf)).select(
         "query_id", "qu", "cell", dot(F.col("qu"), F.col("cu")).alias("sim")
     )
@@ -183,10 +219,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= nprobe)
         .select("query_id", "qu", "cell")
     )
-    cand = assigned.repartition(32, "cell").join(F.broadcast(probes), "cell").where(
-        F.col("query_id") != F.col("vec_id")
+    return (
+        assigned.repartition(32, "cell")
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qu", "vec_id", "u")
     )
-    scored = cand.select(
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Approximate cosine top-k over the IVF index: score candidates from
+    the probed cells, rank per query."""
+    scored = ivf_candidates(emb, queries, centroids, nprobe).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(dot(F.col("qu"), F.col("u")), 6).alias("cosine"),
@@ -194,9 +244,27 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def sim_ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Approximate top-5 via IVF probe: for each query (vec_id < 50),
+    score only vectors in the ``nprobe`` nearest cells.  Rows-only driver
+    check (approximate); recall ≥ 0.8 vs brute force AND candidate
+    pruning ≈ nprobe/nlist asserted in tests (test_operators.py)."""
+    nlist, nprobe, centroids = _train_centroids(spark, sf_dir, nlist, nprobe)
+    emb = _unit_emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    return ivf_topk(emb, queries, centroids, nprobe)
 
 
 # --------------------------------------------------------------- LSH
@@ -266,11 +334,18 @@ def ann_lsh_candidates(
     )
 
 
-def lsh_verified_pairs(emb: DataFrame, dim: int, threshold: float) -> DataFrame:
+def lsh_verified_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float,
+    k_bits: int = LSH_BITS,
+    n_tables: int = LSH_TABLES,
+    seed: int = LSH_SEED,
+) -> DataFrame:
     """LSH candidates → exact-cosine verification ≥ threshold.  Work ∝
     candidates: each side of the candidate pair joins back to its unit
     vector, one dot per pair."""
-    cand = ann_lsh_candidates(emb, dim)
+    cand = ann_lsh_candidates(emb, dim, k_bits, n_tables, seed)
     ua = emb.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
     ub = emb.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
     return (
@@ -281,6 +356,39 @@ def lsh_verified_pairs(emb: DataFrame, dim: int, threshold: float) -> DataFrame:
         )
         .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def planted_twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic planted twins (see TWIN_* constants) —
+    the tight-threshold near-dup fixture the LSH dedup contract holds on.
+    Pure column expressions (transform/when), so the DuckDB oracle derives
+    the identical corpus."""
+    emb = _unit_emb(spark, sf_dir)
+    k = (F.col("vec_id") % F.size("u")).cast("int")
+    perturbed = F.transform(
+        F.col("u"),
+        lambda x, i: x + F.when(i == k, F.lit(TWIN_EPS)).otherwise(F.lit(0.0)),
+    )
+    twins = emb.where(F.col("vec_id") < TWIN_N).select(
+        (F.col("vec_id") + TWIN_ID_BASE).alias("vec_id"),
+        unit(perturbed).alias("u"),
+    )
+    return emb.unionByName(twins)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.85 via hyperplane-LSH
+    bucketing + exact verify — the 100 TB embedding-dedup path, exercised
+    at a threshold where the LSH contract holds (planted twins at ≈ 0.97;
+    recall argument at TWIN_* above).  The plan is the bucket equi-join —
+    candidates ∝ collisions — with NO all-pairs join anywhere; contrast
+    ``dedup_embedding`` (exact, fixture-honest at its loose 0.45
+    threshold, quadratic)."""
+    corpus = planted_twin_corpus(spark, sf_dir)
+    dim = _emb_dim(spark, sf_dir)
+    return lsh_verified_pairs(
+        corpus, dim, LSH_DEDUP_THRESHOLD, n_tables=LSH_DEDUP_TABLES
     )
 
 
@@ -327,17 +435,19 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE: LSH is deliberately NOT in the QUERIES registry.  On this fixture
-# the near-dup threshold (0.45) sits at angles indistinguishable from
-# background for hyperplane hashing (collision prob 0.648 vs 0.623/bit),
-# so an LSH-pruned query here would return a misleading fraction of the
-# exact answer.  The operator is exercised where its contract holds —
-# tests/test_operators.py plants cosine≈0.95 twins and asserts recall
-# ≥ 0.9 WITH pruning (candidates < 35% of all pairs).
+# NOTE on thresholds: at the fixture's loose 0.45 near-dup threshold the
+# dup/background angles are indistinguishable for hyperplane hashing
+# (collision prob 0.648 vs 0.623/bit), so ``dedup_embedding`` stays exact
+# there.  The LSH path enters the gate at a threshold where its contract
+# HOLDS — ``dedup_embedding_lsh`` over the planted-twin corpus (cosine
+# ≈ 0.97 twins, ≥ 0.85 threshold), hash-checked against the exact DuckDB
+# pair set; pruning is additionally asserted in tests/test_operators.py
+# (recall ≥ 0.9 with candidates < 35% of all pairs).
 
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_ivf": sim_ann_ivf,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "emb_label_centroids": emb_label_centroids,
 }
 
@@ -359,7 +469,36 @@ ORACLES = {
         WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
     """,
-    # sim_ann_ivf / sim_ann_lsh: approximate — rows-only checks by design.
+    # sim_ann_ivf: approximate — rows-only check by design.
+    "dedup_embedding_lsh": f"""
+        WITH base AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> x / sqrt(list_sum(list_transform(
+                              CAST(embedding AS DOUBLE[]), y -> y * y)))) AS u
+          FROM embeddings
+        ), perturbed AS (
+          SELECT vec_id AS orig_id,
+                 list_transform(u, (x, i) ->
+                     x + CASE WHEN i - 1 = orig_id % len(u)
+                              THEN {TWIN_EPS} ELSE 0.0 END) AS p
+          FROM base WHERE vec_id < {TWIN_N}
+        ), twins AS (
+          SELECT orig_id + {TWIN_ID_BASE} AS vec_id,
+                 list_transform(p, x -> x / sqrt(list_sum(list_transform(
+                              p, y -> y * y)))) AS u
+          FROM perturbed
+        ), corpus AS (
+          SELECT vec_id, u FROM base
+          UNION ALL
+          SELECT vec_id, u FROM twins
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.u, b.u), 6) AS cosine
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.u, b.u), 6) >= {LSH_DEDUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
     "emb_label_centroids": """
         WITH long AS (
           SELECT vec_id, label,

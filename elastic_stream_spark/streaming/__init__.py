@@ -3,6 +3,7 @@ from elastic_stream_spark.streaming.source import (
     read_records_stream,
     read_stream,
 )
+from elastic_stream_spark.streaming.datasource import StreamLogDataSource
 from elastic_stream_spark.streaming.sink import ExactlyOnceAppendSink
 from elastic_stream_spark.streaming.stateful import stream_offset_tracker
 from elastic_stream_spark.streaming.metrics import (
@@ -17,6 +18,7 @@ __all__ = [
     "read_records_stream",
     "poll_fetch",
     "ExactlyOnceAppendSink",
+    "StreamLogDataSource",
     "stream_offset_tracker",
     "MetricsRecorder",
     "metrics_summary",

@@ -110,6 +110,72 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_ivf_pruning_and_recall_on_clustered_fixture(spark):
+    """On clustered data (the setting IVF exists for), with nprobe/nlist
+    = 1/4 the probe must (a) scan ≈ nprobe/nlist of the corpus per query
+    and (b) still reach recall ≥ 0.8 vs brute force — the mirror of the
+    LSH pruning test.  The driver fixture is near-uniform on the sphere
+    (no cluster structure), so the scale claim is demonstrated here on a
+    planted 8-cluster corpus instead."""
+    import numpy as np
+
+    from elastic_stream_spark.functions.vectorfns import unit
+    from elastic_stream_spark.operators.similarity import (
+        ivf_candidates,
+        ivf_topk,
+        train_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    n_clusters, per_cluster, dim = 8, 100, 16
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for c in range(n_clusters):
+        noise = 0.15 * rng.standard_normal((per_cluster, dim))
+        X = centers[c] + noise
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        pts.extend(X.tolist())
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pts)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).select("vec_id", unit(F.col("embedding")).alias("u"))
+
+    nlist, nprobe = 8, 2  # nprobe/nlist = 1/4
+    nlist, nprobe, centroids = train_ivf(emb, nlist=nlist, nprobe=nprobe)
+    queries = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    n_queries = queries.count()
+    n_corpus = emb.count()
+
+    # (a) pruning: candidates per query ≈ nprobe/nlist of the corpus
+    n_cand = ivf_candidates(emb, queries, centroids, nprobe).count()
+    frac = n_cand / (n_queries * (n_corpus - 1))
+    assert frac <= 1.5 * nprobe / nlist, f"IVF did not prune: {frac:.2f}"
+
+    # (b) recall vs brute force on the same corpus
+    from elastic_stream_spark.functions.vectorfns import dot
+    from pyspark.sql.window import Window
+
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", dot(F.col("qu"), F.col("nu")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    )
+    approx = ivf_topk(emb, queries, centroids, nprobe, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} too low at nprobe/nlist=1/4"
+
+
 # ------------------------------------------------------------ lsh recall
 
 

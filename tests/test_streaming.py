@@ -108,6 +108,44 @@ def test_byte_admission_splits_microbatches(spark, log):
     assert [r.offset for r in got] == list(range(6))
 
 
+def test_record_admission_caps_microbatches(spark, log):
+    """maxRecordsPerTrigger (≙ FETCH record budget, docs/sbp.md:220-285;
+    Kafka's maxOffsetsPerTrigger): the stream_log Python data source
+    advances its offset by at most the cap per microbatch — no batch
+    exceeds it, the union is complete, and appends made while the query
+    runs are admitted under the same cap."""
+    from elastic_stream_spark.streaming import StreamLogDataSource
+
+    sid = log.catalog.create_stream().stream_id
+    log.append(sid, _events(spark, 17))
+    spark.dataSource.register(StreamLogDataSource)
+    sdf = (
+        spark.readStream.format("stream_log")
+        .option("root", log.catalog.root)
+        .option("streamId", sid)
+        .option("maxRecordsPerTrigger", 5)
+        .load()
+    )
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_reccap")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        log.append(sid, _events(spark, 7, base_ts=10_000_000))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert batches and all(n <= 5 for n in batches), batches
+    assert len(batches) >= 5  # 24 records / cap 5 → at least 5 non-empty
+    got = spark.sql("SELECT offset FROM t_reccap ORDER BY offset").collect()
+    assert [r.offset for r in got] == list(range(24))
+
+
 def test_poll_fetch_long_poll_semantics(spark, log):
     """poll_fetch = synchronous long-poll FETCH: bounded admission
     (max_records), immediate return when data is available, timed-out
