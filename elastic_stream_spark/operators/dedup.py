@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from elastic_stream_spark.functions.textfns import bow_fingerprint, shingles
 from elastic_stream_spark.functions.vectorfns import cosine_similarity
-from elastic_stream_spark.sources.envelope import load_table
+from elastic_stream_spark.sources.envelope import load_table, load_table_balanced
 
 JACCARD_NUM, JACCARD_DEN = 4, 5  # threshold 0.8 as an exact ratio
 SHINGLE_N = 3
@@ -47,7 +47,9 @@ EMB_THRESHOLD = 0.45  # fixture-calibrated (see module docstring)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # balanced: the single-split fixture would serialize the shingle
+    # explode + index joins onto one core
+    return load_table_balanced(spark, sf_dir, "documents")
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,25 +167,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified at ≥ 0.8.  With the fixture's planted dups at j ≥ 0.9, band
     recall is 1 - (1-j²)^8 > 0.999998 — the verified output equals the
     brute-force oracle; the driver's hash-check asserts exactly that.
+
+    All K minhashes come from ONE aggregation over the shingle table
+    (per-seed ``min(xxhash64(seed, shingle))`` — codegen'd 64-bit hashing,
+    no K-way row explosion, no string hashing), then bands are a per-doc
+    projection: the only data-sized shuffles are the shingle groupBy and
+    the band equi-join.
     """
     sh = _doc_shingles(spark, sf_dir)
-    # one row per (doc, seed): the minhash, computed shuffle-free by
-    # posexplode of a seed array then min-aggregated per doc.
-    seeds = F.array(*[F.lit(i) for i in range(MINHASH_K)])
-    mh = (
-        sh.select("doc_id", F.explode(seeds).alias("seed"), "shingle")
-        .withColumn(
-            "h",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
     )
-    # band signature: concat of the band's row minhashes, re-hashed.
-    bands = (
-        mh.withColumn("band", F.floor(F.col("seed") / LSH_ROWS))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    # band bucket = hash of the band's row minhashes (projection, no agg)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("bucket"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = bands.alias("a")
     b = bands.alias("b")

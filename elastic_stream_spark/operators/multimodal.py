@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from elastic_stream_spark.sources.envelope import load_table
+from elastic_stream_spark.sources.envelope import load_table_balanced
 
 MEDIA_SCHEMA = (
     "doc_id BIGINT, blob BINARY, "
@@ -34,8 +34,11 @@ MEDIA_SCHEMA = (
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → multimodal table: opaque blob + typed metadata struct."""
-    d = load_table(spark, sf_dir, "documents")
+    """documents → multimodal table: opaque blob + typed metadata struct.
+    Balanced load: blobs are built by projection, so rebalancing the
+    single-split fixture BEFORE encoding shuffles the text once and every
+    downstream Arrow stage uses the whole machine."""
+    d = load_table_balanced(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("blob"),
@@ -95,14 +98,6 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir).select(
         "doc_id", "blob", F.col("meta.mime").alias("mime")
     )
-    # the fixture parquet is a single input split → one Python worker;
-    # rebalance small inputs so the Arrow stage uses the whole machine.
-    # Split-count comes from driver-side file metadata (no RDD conversion,
-    # no job); a real 100 TB scan arrives already multi-split and skips
-    # this entirely.
-    base = load_table(spark, sf_dir, "documents")
-    if len(base.inputFiles()) < 8:
-        media = media.repartition(spark.sparkContext.defaultParallelism)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

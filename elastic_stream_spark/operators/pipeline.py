@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 from elastic_stream_spark.functions.textfns import bow_fingerprint
 from elastic_stream_spark.operators.dedup import CAPPED_PAIRS_SQL, ngram_pair_set
 from elastic_stream_spark.operators.text import QUALITY_SQL, quality_score_col
-from elastic_stream_spark.sources.envelope import load_table
+from elastic_stream_spark.sources.envelope import load_table_balanced
 
 CC_MAX_ITER = 25  # safety bound; hash-min converges in O(diameter)
 
@@ -126,7 +126,7 @@ def pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over fp (one shuffle) → left join the cluster table (itself
     the CC fixpoint).  No collects; every stage partial-aggregable or
     key-partitioned."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_balanced(spark, sf_dir, "documents").select(
         "doc_id", quality_score_col().alias("q"), bow_fingerprint("text").alias("fp")
     )
     w = Window.partitionBy("fp")

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from elastic_stream_spark.functions.vectorfns import dot, unit
-from elastic_stream_spark.sources.envelope import load_table
+from elastic_stream_spark.sources.envelope import load_table, load_table_balanced
 
 N_QUERIES = 50  # query set: vec_id < 50
 TOP_K = 5
@@ -70,7 +70,9 @@ LSH_DEDUP_TABLES = 24
 
 
 def _unit_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    # balanced: the single-split fixture would serialize signature /
+    # scoring stages onto one core
+    return load_table_balanced(spark, sf_dir, "embeddings").select(
         "vec_id", unit(F.col("embedding")).alias("u")
     )
 

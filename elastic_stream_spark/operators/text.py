@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elastic_stream_spark.functions.textfns import bow_fingerprint, tokens
-from elastic_stream_spark.sources.envelope import load_table
+from elastic_stream_spark.sources.envelope import load_table_balanced
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in")
 # BPE-ish token regex: word pieces of up to 4 chars — a deterministic
@@ -25,7 +25,7 @@ BPE_PIECE_RE = "[a-z]{1,4}"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return load_table_balanced(spark, sf_dir, "documents")
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_table_balanced(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + rebalance: the fixture parquet is one input split,
+    which would serialize any explode/join/UDF pipeline built on it onto a
+    single core.  Split count comes from driver-side file metadata (no
+    job, no RDD conversion); a real 100 TB scan arrives already
+    multi-split and skips the shuffle entirely."""
+    df = load_table(spark, sf_dir, name)
+    if len(df.inputFiles()) < 8:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 # DuckDB-side equivalent of the events ts normalization (micros floor).
 EVENTS_NORM_SQL = """
   events_n AS (
