@@ -185,3 +185,42 @@ def test_change_feed_records_lifecycle_in_order(spark, workdir):
     # a mutation after the watch point is visible to a fresh incremental run
     cat.delete_stream(sid)
     assert cat.changes(spark, from_revision=revs[-1]).collect()[0].kind == "deleted"
+
+
+def test_change_feed_crash_window_republish(spark, workdir):
+    """Crash between catalog.json commit and the changes/ file write must
+    not lose committed revisions: the recorded pending_changes republish
+    the exact bytes on the next read/txn (a FileStreamSource watcher that
+    never re-reads filenames still sees every committed revision)."""
+    import glob
+    import os
+
+    cat = StreamCatalog(workdir)
+    sid = cat.create_stream().stream_id
+    files = sorted(glob.glob(os.path.join(workdir, "changes", "*.json")))
+    assert len(files) == 1
+    original = open(files[0]).read()
+    # simulate the crash window: committed catalog, events file missing
+    os.remove(files[0])
+    # any read repairs it, byte-identically
+    ch = cat.changes(spark).collect()
+    assert open(files[0]).read() == original
+    assert [r.kind for r in ch] == ["created", "created"]
+    # and a later txn would repair it too (idempotent republish)
+    os.remove(files[0])
+    cat.update_stream(sid, retention_ms=99)
+    assert open(files[0]).read() == original
+
+
+def test_seal_below_next_offset_rejected(workdir):
+    """Offsets past the seal end are already assigned (and may be
+    written); sealing below them would let trim+vacuum silently delete
+    live records — the catalog rejects it."""
+    cat = StreamCatalog(workdir)
+    sid = cat.create_stream().stream_id
+    cat.reserve_offsets(sid, 10)
+    with pytest.raises(ValueError, match="below next_offset"):
+        cat.seal_range(sid, epoch=0, end=7)
+    # sealing at exactly next_offset is the valid path
+    sealed = cat.seal_range(sid, epoch=0, end=10)
+    assert sealed.end == 10

@@ -292,6 +292,29 @@ def test_sink_replays_after_write_before_commit(spark, log, workdir):
     assert kv.get(sink._marker(0))[0].decode().startswith("committed:")
 
 
+def test_sink_recovers_torn_partial_job_commit(spark, log, workdir):
+    """Crash DURING the parquet job commit: some task files of the
+    reserved block landed, some didn't.  The replay must count the
+    partial span, delete its files (footer offset stats), and re-write
+    the whole block — no silent tail loss, no doubled offsets."""
+    kv = KVStore(workdir + "/kv_torn3")
+    sid = log.catalog.create_stream().stream_id
+    sink = ExactlyOnceAppendSink(log, kv, sid, "qt3")
+    full = log.prepare_batch(_events(spark, 4))
+    base, rng = log.catalog.reserve_offsets(sid, 4)
+    assert kv.cas(sink._marker(0), 0, f"reserved:{base}:{base + 4}:{rng.range_index}".encode())
+    # simulate the torn commit: only the first 2 rows of the block landed
+    partial = log.prepare_batch(_events(spark, 2))
+    log.write_stamped(sid, partial, base, rng.range_index)
+    assert log.count_span(sid, base, base + 4) == 2
+    # replay reconciles: partial files removed, full block re-written once
+    sink(full, batch_id=0)
+    rows = log.fetch(sid, 0, 100).collect()
+    assert [r.offset for r in rows] == [0, 1, 2, 3]  # no dups, no gaps
+    assert log.count_span(sid, base, base + 4) == 4
+    assert kv.get(sink._marker(0))[0].decode().startswith("committed:")
+
+
 def test_metrics_recorder_captures_batches(spark, log, workdir):
     """REPORT_METRICS analogue: the listener records one gauge row per
     microbatch; the summary aggregation sees the rates."""
