@@ -125,6 +125,56 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SIZE = 256  # bytes per decoded "frame"
+FRAME_STRIDE = 4  # keep every 4th frame (uniform temporal sampling)
+FRAME_DOC_CAP = 50  # gate query bounds output to doc_id < cap
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media blobs — the video-pipeline shape
+    (decode → pick every k-th frame → per-frame feature): blobs are cut
+    into fixed 256-byte "frames" (the deterministic stand-in for a real
+    frame decoder, same seam as ``decode_image``), every 4th frame is
+    kept, and each kept frame emits (doc_id, frame_idx, n_bytes, md5).
+
+    Plumbing is the real thing: one Arrow pass (``mapInPandas``), typed
+    row-per-frame output, no shuffle before the final sort; a real
+    decoder slots into ``extract`` unchanged.  At 100 TB frames explode
+    ~1:N per blob inside the Python stage and only the small typed rows
+    cross back.  The fixture blob is ASCII text, so the oracle derives
+    identical frames with substr+md5 in SQL."""
+    import hashlib
+
+    media = media_table(spark, sf_dir).where(F.col("doc_id") < FRAME_DOC_CAP)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_len, out_md5 = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                n_frames = (len(b) + FRAME_SIZE - 1) // FRAME_SIZE
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    frame = b[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_len.append(len(frame))
+                    out_md5.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "n_bytes": out_len,
+                    "frame_md5": out_md5,
+                }
+            )
+
+    frames = media.select("doc_id", "blob").mapInPandas(
+        extract,
+        schema="doc_id BIGINT, frame_idx INT, n_bytes INT, frame_md5 STRING",
+    )
+    return frames.orderBy("doc_id", "frame_idx")
+
+
 def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata query over the multimodal table (no decode): per
     (mime, source) blob counts and byte totals — pure columnar pruning,
@@ -140,6 +190,7 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "mm_byte_features": mm_byte_features,
+    "mm_frame_sample": mm_frame_sample,
     "mm_metadata_stats": mm_metadata_stats,
 }
 
@@ -157,6 +208,23 @@ ORACLES = {
                CAST(sum(byte_sum) AS BIGINT) AS total_byte_sum,
                CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         FROM per_doc GROUP BY mime ORDER BY mime
+    """,
+    "mm_frame_sample": f"""
+        WITH frames AS (
+          SELECT doc_id,
+                 unnest(generate_series(0,
+                     CAST(ceil(length(text) / {FRAME_SIZE}.0) AS BIGINT) - 1,
+                     {FRAME_STRIDE})) AS frame_idx
+          FROM documents
+          WHERE doc_id < {FRAME_DOC_CAP} AND length(text) > 0
+        )
+        SELECT f.doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+               CAST(length(substr(d.text, f.frame_idx * {FRAME_SIZE} + 1,
+                                  {FRAME_SIZE})) AS INT) AS n_bytes,
+               md5(substr(d.text, f.frame_idx * {FRAME_SIZE} + 1,
+                          {FRAME_SIZE})) AS frame_md5
+        FROM frames f JOIN documents d USING (doc_id)
+        ORDER BY doc_id, frame_idx
     """,
     "mm_metadata_stats": """
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,

@@ -41,6 +41,9 @@ from elastic_stream_spark.sources.materialize import get_engine, trimmed_engine
 # Fixed fetch window exercised by the correctness gate.
 FETCH_STREAM, FETCH_LO, FETCH_HI = 1, 50, 150
 TRIM_AT = 120
+# Fixed probe for the offset-for-timestamp lookup (events span Jan 2024
+# at every SF, so mid-month splits each stream).
+PROBE_TS = "2024-01-15 00:00:00"
 
 # Schema of the JSON payload written by the envelope (schema-on-read).
 PAYLOAD_JSON_SCHEMA = (
@@ -123,6 +126,28 @@ def trim_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_records"),
         )
         .orderBy("range_index")
+    )
+
+
+def offset_for_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH-by-time: per stream, the first offset whose record ts is at
+    or after the probe timestamp, plus the records remaining from there —
+    the ``offsetsForTimes`` lookup a consumer does to start reading "from
+    time T" (beyond the reference's offset-only FETCH; its envelope
+    orders offsets by ts, so the answer is exact).  The ts predicate
+    pushes to parquet row-group stats; per-stream min/count is a pruned
+    partial aggregate — at 100 TB this reads only row groups overlapping
+    the probe boundary plus the tail."""
+    eng = get_engine(spark, sf_dir)
+    return (
+        eng.log.records()
+        .where(F.col("ts") >= F.lit(PROBE_TS).cast("timestamp"))
+        .groupBy("stream_id")
+        .agg(
+            F.min("offset").alias("first_offset"),
+            F.count("*").alias("n_after"),
+        )
+        .orderBy("stream_id")
     )
 
 
@@ -219,6 +244,7 @@ QUERIES = {
     "list_ranges": list_ranges,
     "trim_fetch": trim_fetch,
     "offset_accounting": offset_accounting,
+    "offset_for_timestamp": offset_for_timestamp,
     "kv_range_scan": kv_range_scan,
     "list_resources": list_resources,
     "list_objects": list_objects,
@@ -260,6 +286,13 @@ ORACLES = {
         {_ENV}
         SELECT stream_id, event_type, max("offset") + 1 AS next_offset
         FROM records GROUP BY stream_id, event_type ORDER BY stream_id
+    """,
+    "offset_for_timestamp": f"""
+        {_ENV}
+        SELECT stream_id, min("offset") AS first_offset, count(*) AS n_after
+        FROM records
+        WHERE ts >= TIMESTAMP '{PROBE_TS}'
+        GROUP BY stream_id ORDER BY stream_id
     """,
     "kv_range_scan": """
         SELECT n_name AS key, CAST(n_nationkey AS BIGINT) AS version

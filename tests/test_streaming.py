@@ -146,6 +146,34 @@ def test_record_admission_caps_microbatches(spark, log):
     assert [r.offset for r in got] == list(range(24))
 
 
+def test_record_admission_survives_restart(spark, log):
+    """The reader's admission window must stay ≤ maxRecordsPerTrigger
+    across a query restart: subscription progress persisted on commit()
+    floors the next window, so a fresh reader instance does not re-admit
+    from startOffset (which would both break the cap and replan consumed
+    spans)."""
+    from elastic_stream_spark.streaming.datasource import StreamLogStreamReader
+
+    sid = log.catalog.create_stream().stream_id
+    log.append(sid, _events(spark, 12))
+    opts = {"root": log.catalog.root, "streamid": str(sid), "maxrecordspertrigger": "5"}
+
+    r1 = StreamLogStreamReader(dict(opts))
+    assert r1.initialOffset() == {"offset": 0}
+    assert r1.latestOffset() == {"offset": 5}  # capped
+    assert r1.latestOffset() == {"offset": 10}
+    r1.commit({"offset": 10})  # Spark committed two microbatches
+
+    # restart: a NEW reader resumes admission from the committed floor
+    r2 = StreamLogStreamReader(dict(opts))
+    assert r2.latestOffset() == {"offset": 12}  # 10 + ≤5, clamped to tail
+    # partitions for the planned window slice only the overlapping range
+    parts = r2.partitions({"offset": 10}, {"offset": 12})
+    assert len(parts) == 1 and (parts[0].lo, parts[0].hi) == (10, 12)
+    # empty window → no partitions
+    assert r2.partitions({"offset": 12}, {"offset": 12}) == []
+
+
 def test_poll_fetch_long_poll_semantics(spark, log):
     """poll_fetch = synchronous long-poll FETCH: bounded admission
     (max_records), immediate return when data is available, timed-out
