@@ -88,6 +88,83 @@ def _append_bench(spark) -> dict[str, float]:
     return out
 
 
+BULK_RECORDS = 400_000
+BULK_PAYLOAD = 1024  # bytes per record → ~400 MB of payload
+
+
+def _bulk_throughput_bench(spark) -> dict[str, float]:
+    """Data-plane MB/s, comparable in spirit to the reference's headline
+    append throughput (docs/benchmark.md:27-32: 500-1000 MB/s on
+    i4i.2xlarge): bulk-ingest ~100 MB of 1 KB-payload records through the
+    log's partitioned write (the object-offload ingest path, one
+    distributed job), then scan the payload bytes back through a pruned
+    fetch plan.  Uses tmpfs when available — the local-mode analogue of
+    the reference's NVMe WAL."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from elastic_stream_spark.catalog import StreamCatalog
+    from elastic_stream_spark.log import StreamLog
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="esspark-bulkbench-", dir=base)
+    log = StreamLog(spark, StreamCatalog(root))
+    sid = log.catalog.create_stream().stream_id
+    records = (
+        spark.range(BULK_RECORDS)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
+        .select(
+            F.lit(sid).alias("stream_id"),
+            (F.col("id") / 25_000).cast("int").alias("range_index"),
+            F.col("id").alias("offset"),
+            F.timestamp_millis(F.col("id")).alias("ts"),
+            F.lit(None).cast("map<string,string>").alias("properties"),
+            F.encode(
+                F.rpad(F.col("id").cast("string"), BULK_PAYLOAD, "x"), "UTF-8"
+            ).alias("payload"),
+        )
+        .localCheckpoint(eager=True)  # exclude generation from the timing
+    )
+    # untimed warm-up into a throwaway stream: the first parquet write in
+    # a JVM pays codec/committer init a long-running ingest never sees
+    warm_sid = log.catalog.create_stream().stream_id
+    log.bulk_load(records.limit(1000).withColumn("stream_id", F.lit(warm_sid)))
+    mb = BULK_RECORDS * BULK_PAYLOAD / 1e6
+    # best-of-2 (same hygiene as the query timings): the second ingest
+    # goes to a separate stream so offsets never collide
+    w = None
+    for target in (warm_sid, sid):
+        batch = records if target == sid else records.withColumn(
+            "stream_id", F.lit(target)
+        )
+        t0 = time.time()
+        log.bulk_load(batch)
+        dt = time.time() - t0
+        w = dt if w is None else min(w, dt)
+    log.catalog.bulk_register(sid, BULK_RECORDS, 25_000)
+    t0 = time.time()
+    log.fetch(sid, 0, BULK_RECORDS).agg({"payload": "count"}).collect()
+    scan_only = time.time() - t0
+    t0 = time.time()
+    read_mb = (
+        log.fetch(sid, 0, BULK_RECORDS)
+        .agg(F.sum(F.length("payload")).alias("b"))
+        .collect()[0]["b"]
+        / 1e6
+    )
+    r = time.time() - t0
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "ingest_mb_per_sec": round(mb / w, 1),
+        "scan_mb_per_sec": round(read_mb / r, 1),
+        "scan_meta_only_sec": round(scan_only, 3),
+        "payload_mb": round(mb, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from elastic_stream_spark.operators import all_queries
@@ -122,6 +199,8 @@ def main() -> None:
 
     append = _append_bench(spark)
     print(f"# append: {append}", file=sys.stderr, flush=True)
+    bulk = _bulk_throughput_bench(spark)
+    print(f"# bulk: {bulk}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -133,6 +212,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "append": append,
+                "bulk": bulk,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),
