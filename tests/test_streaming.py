@@ -443,6 +443,56 @@ def test_stateful_offset_tracker(spark, log):
     assert sum(1 for r in rows if r.stream_id == a) >= 2
 
 
+def test_stream_log_source_to_exactly_once_sink(spark, log, workdir):
+    """The full reference dataflow on the NEW source: append → stream_log
+    (record-admitted) → windowed agg → exactly-once sink into a second
+    stream → fetch.  Record admission splits the input across several
+    microbatches and the sink's batchId idempotence still lands each
+    window exactly once (update mode emits each finalized count once the
+    watermark passes)."""
+    from elastic_stream_spark.streaming import StreamLogDataSource
+
+    kv = KVStore(workdir + "/kv3")
+    src = log.catalog.create_stream().stream_id
+    dst = log.catalog.create_stream().stream_id
+    log.append(src, _events(spark, 30))
+
+    spark.dataSource.register(StreamLogDataSource)
+    sdf = (
+        spark.readStream.format("stream_log")
+        .option("root", log.catalog.root)
+        .option("streamId", src)
+        .option("maxRecordsPerTrigger", 12)
+        .load()
+    )
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").cast("string").alias("cnt"))
+        .select(
+            F.col("w.start").alias("ts"),
+            F.create_map(F.lit("n"), F.col("cnt")).alias("properties"),
+            F.encode(F.col("cnt"), "UTF-8").alias("payload"),
+        )
+    )
+    sink = ExactlyOnceAppendSink(log, kv, dst, "agg_q_ds")
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # push the watermark past the last window so it finalizes
+        log.append(src, _events(spark, 1, base_ts=3_600_000))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = log.fetch(dst, 0, 100).collect()
+    assert sorted(bytes(r.payload) for r in out) == [b"10", b"10", b"10"]
+
+
 def test_stream_end_to_end_pipeline(spark, log, workdir):
     """append → readStream → windowed agg → exactly-once sink into a
     second stream → fetch: the full reference dataflow on Spark."""
