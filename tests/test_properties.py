@@ -1,0 +1,143 @@
+"""Property-style invariant tests — the Spark-world stand-in for the
+reference's TLA+ spec (docs/tlaplus/ElasticStream.tla: single-stream
+lifetime, write/ack quorums, fencing, recovery — SURVEY.md §5).
+
+The replication quorum machinery is replaced by storage durability here,
+so the invariants that survive are the metadata-plane ones: offset-space
+partitioning by ranges, monotonicity of trim/next_offset/revision, seal
+fencing, and KV linearizability against a model.  All driver-side (no
+Spark jobs), so hypothesis can run many random schedules quickly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from elastic_stream_spark.catalog import (
+    SealedRange,
+    StreamCatalog,
+)
+from elastic_stream_spark.kv import KVStore
+
+# A random schedule of metadata ops: ("reserve", n) / ("seal",) / ("trim", frac)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("reserve"), st.integers(min_value=1, max_value=50)),
+        st.tuples(st.just("seal")),
+        st.tuples(st.just("trim"), st.floats(min_value=0.0, max_value=1.0)),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _check_range_invariants(cat: StreamCatalog, sid: int) -> None:
+    """The offset space [start_offset, next_offset) is exactly partitioned
+    by the live ranges, in order, with at most one (terminal) mutable
+    range — the metadata-plane core of the TLA+ stream-lifetime spec."""
+    s = cat.describe_stream(sid)
+    ranges = cat.list_ranges(sid)
+    assert s.start_offset <= s.next_offset
+    assert ranges, "a live stream always has at least one range"
+    # indices strictly increasing; starts non-decreasing and contiguous
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.range_index < b.range_index
+        assert a.sealed and a.end is not None, "only the last range is mutable"
+        assert a.end == b.start, "ranges tile the offset space with no gap"
+    first, last = ranges[0], ranges[-1]
+    assert first.start == s.start_offset
+    if last.sealed:
+        assert last.end == s.next_offset
+    else:
+        assert last.end is None
+        assert last.start <= s.next_offset
+    # every sealed range is non-empty after trim shrinkage
+    for r in ranges[:-1]:
+        assert r.start <= r.end
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ops=_OPS)
+def test_catalog_offset_space_invariants(ops):
+    with tempfile.TemporaryDirectory(prefix="ess-prop-") as root:
+        cat = StreamCatalog(root)
+        sid = cat.create_stream().stream_id
+        epoch = 0
+        appended = 0  # model: total offsets ever reserved
+        trimmed = 0  # model: current trim horizon
+        last_rev = cat.revision
+        for op in ops:
+            if op[0] == "reserve":
+                base, _ = cat.reserve_offsets(sid, op[1], epoch=epoch)
+                assert base == appended, "reservations are gap-free, in order"
+                appended += op[1]
+            elif op[0] == "seal":
+                try:
+                    cat.seal_range(sid, epoch=epoch)
+                    epoch += 1
+                except SealedRange:
+                    # sealing an empty just-opened range twice in a row is
+                    # impossible only in the terminal state, which this
+                    # schedule never constructs
+                    raise
+            else:  # trim to a fraction of the appended space
+                target = int(op[1] * appended)
+                if target > appended:
+                    continue
+                cat.trim_stream(sid, target)
+                trimmed = max(trimmed, target)
+            s = cat.describe_stream(sid)
+            assert s.next_offset == appended, "next_offset == total reserved"
+            assert s.start_offset == trimmed, "trim is monotone"
+            _check_range_invariants(cat, sid)
+            assert cat.revision >= last_rev, "revision is monotone"
+            last_rev = cat.revision
+
+
+_KV_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("put"), st.integers(0, 5), st.integers(0, 99)),
+        st.tuples(st.just("delete"), st.integers(0, 5)),
+        st.tuples(st.just("cas_blind"), st.integers(0, 5), st.integers(0, 99)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ops=_KV_OPS)
+def test_kv_matches_model(ops):
+    """Model-based check: the KV store agrees with a plain dict under any
+    schedule of put/delete/CAS; CAS succeeds iff the presented version is
+    current (the etcd Txn compare semantics, rpc.fbs:788-819)."""
+    with tempfile.TemporaryDirectory(prefix="ess-kvprop-") as root:
+        kv = KVStore(root)
+        model: dict[bytes, bytes] = {}
+        for op in ops:
+            key = f"k{op[1]}".encode()
+            if op[0] == "put":
+                val = f"v{op[2]}".encode()
+                kv.put(key, val)
+                model[key] = val
+            elif op[0] == "delete":
+                kv.delete_range(key, key + b"\x00")
+                model.pop(key, None)
+            else:  # cas against the CURRENT version — must succeed
+                ent = kv.get(key)
+                version = ent[1] if ent else 0
+                val = f"c{op[2]}".encode()
+                assert kv.cas(key, version, val)
+                model[key] = val
+                # a replay of the same CAS (stale version) must now fail
+                if version != 0:
+                    assert not kv.cas(key, version, b"zombie")
+            got = kv.get(key)
+            assert (got[0] if got else None) == model.get(key)
+        # full range scan agrees with the model
+        items, more = kv.range(b"", KVStore.FROM_KEY)
+        assert not more
+        assert {k: v for k, v, _ in items} == model
