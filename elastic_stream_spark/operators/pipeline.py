@@ -38,15 +38,26 @@ CC_MAX_ITER = 25  # safety bound; hash-min converges in O(diameter)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
-    """Hash-min label propagation over an undirected edge list
-    ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` for every node that
-    appears in an edge; ``cluster_id`` = min doc_id of the component.
+    """Hash-min label propagation WITH path shortcutting over an
+    undirected edge list ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)``
+    for every node that appears in an edge; ``cluster_id`` = min doc_id
+    of the component.
 
-    Each iteration: neighbor-min join + per-node min — two shuffles on
-    doc_id, fully distributed; the driver sees only a scalar
-    convergence count.  ``localCheckpoint`` truncates lineage so the
-    plan does not grow with iterations (the classic iterative-algorithm
-    pitfall)."""
+    Each iteration: (1) neighbor-min join — every node takes the min
+    label over itself and its neighbors; (2) pointer-doubling shortcut —
+    every node then takes its label's label (labels are always node ids,
+    so the lookup is a self-join).  Step 2 roughly doubles how far the
+    component minimum has propagated per round, so convergence is
+    O(log diameter) instead of O(diameter) — a 60-deep near-dup chain
+    converges in ~8 rounds, and ``max_iter`` = 25 covers any component a
+    real corpus can produce (the GraphFrames/large-star trick in
+    DataFrame form).  Labels only decrease and are bounded by the
+    component min, so the fixpoint is exact.
+
+    Each round is a bounded number of shuffles on doc_id, fully
+    distributed; the driver sees only a scalar convergence count.
+    ``localCheckpoint`` truncates lineage so the plan does not grow with
+    iterations (the classic iterative-algorithm pitfall)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -67,11 +78,22 @@ def connected_components(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: label ← label(label).  Every label is a node
+        # id present in `stepped`, so the lookup is a self-join.
+        lmap = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
+            stepped.join(lmap, "label", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                F.least(F.col("label"), F.coalesce("label2", F.col("label"))).alias(
                     "label"
                 ),
             )

@@ -229,6 +229,28 @@ def test_lsh_recall_and_pruning_on_planted_dups(spark):
     )
 
 
+# ------------------------------------------------- connected components
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """Pointer doubling must make CC converge in O(log diameter): a
+    200-deep chain (far beyond CC_MAX_ITER=25 neighbor-propagation hops)
+    plus disjoint small clusters resolve to exact component minima."""
+    from elastic_stream_spark.operators.pipeline import connected_components
+
+    chain = [(i, i + 1) for i in range(200)]  # one component, min 0
+    triangle = [(1000, 1001), (1001, 1002), (1000, 1002)]
+    lone_pair = [(2000, 2001)]
+    pairs = spark.createDataFrame(
+        chain + triangle + lone_pair, "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert all(got[i] == 0 for i in range(201))
+    assert got[1000] == got[1001] == got[1002] == 1000
+    assert got[2000] == got[2001] == 2000
+    assert len(got) == 201 + 3 + 2
+
+
 # ------------------------------------------------------------ multimodal
 
 
