@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from elastic_stream_spark.operators import (
+        curation,
         dedup,
         multimodal,
         pipeline,
@@ -37,6 +38,7 @@ def _modules():
         pipeline,
         similarity,
         text,
+        curation,
         streaming_ops,
         multimodal,
     ]

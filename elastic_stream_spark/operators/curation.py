@@ -1,0 +1,297 @@
+"""Training-data curation operators (north-star, beyond the reference).
+
+The four ops a large-scale LLM data pipeline runs after dedup
+(``operators/dedup.py``) and quality scoring (``operators/text.py``):
+
+- **decontaminate_ngrams** — train/test decontamination: flag every
+  training document that shares a word-5-gram with the held-out eval set.
+  The eval n-gram set is aggregated small (distinct n-grams of the eval
+  docs) and the probe is an equi-join on the n-gram — candidates ∝
+  co-occurrence, never |train| × |eval|.  At 100 TB the eval side of a
+  real benchmark suite is a few million n-grams → broadcast join; the
+  train side stays one exploded scan with map-side distinct.
+- **pipeline_pack_sequences** — sequence packing: assign documents to
+  fixed token-budget bins (context windows) in deterministic order.
+  Formulated as a running-sum window per source shard, so packing is
+  embarrassingly parallel across shards — the partition key IS the
+  training-shard key, exactly how a 1000-executor packing job shards.
+- **pipeline_sample_mix** — deterministic stratified sampling to hit
+  per-source mix targets: keep a doc iff the first 16 bits of
+  ``md5(source:doc_id)`` fall under the source's rate threshold.
+  Hash-gated sampling is reproducible, join-free, and shuffle-free
+  (the verdict per row is a pure projection); the same hash prefix
+  compares identically in any engine, which is what makes the mix
+  oracle-checkable.
+- **text_pii_redact** — PII scrubbing: regex redaction of emails and
+  phone-like tokens with per-source audit counts.  The fixture corpus
+  contains no PII, so a *planted-dirty* derivation (same pattern as the
+  planted-twin embedding corpus, similarity.py) injects deterministic
+  emails/phones by column expression — the oracle derives the identical
+  dirty corpus in SQL, so redaction semantics are hash-checked end to
+  end.  One linear scan, all JVM ``regexp_*`` codegen — no UDF.
+
+Reference parity note: the reference engine stops at the storage/stream
+layer (its payloads are opaque bytes — components/model/src/record.rs);
+these operators are the data-plane consumers a training pipeline mounts
+on top, expressed Spark-first per SURVEY.md §2.9/§6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from elastic_stream_spark.sources.envelope import load_table_balanced
+
+NGRAM_N = 5  # word n-gram width for decontamination
+EVAL_MOD = 10  # eval set = doc_id % EVAL_MOD == 0 (deterministic 10% holdout)
+PACK_BUDGET = 512  # tokens per packed context window
+# stratified-mix thresholds on the first 16 bits of md5: even-numbered
+# sources keep ~50% ('7fff'), odd-numbered ~25% ('3fff')
+RATE_HEX_EVEN, RATE_HEX_ODD = "7fff", "3fff"
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table_balanced(spark, sf_dir, "documents")
+
+
+def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): distinct word n-grams per document — one exploded
+    scan; ``transform`` over a ``sequence`` index builds the n-gram list
+    JVM-side (no Python)."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return docs.where(F.size(toks) >= n).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by the eval holdout: any shared
+    word-5-gram flags the doc; output = (doc_id, shared_ngrams), the
+    audit list a curation pipeline subtracts before training.
+
+    Plan: eval-side distinct n-grams (small by construction — the eval
+    set is a fixed holdout) equi-join the train-side inverted scan, then
+    a per-doc count.  Catalyst broadcasts the eval side at real-world
+    sizes; no pair explosion is possible (join key is the n-gram, output
+    ∝ true overlap)."""
+    ng = _word_ngrams(_docs(spark, sf_dir), NGRAM_N)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_ng = ng.where(is_eval).select("g").distinct()
+    return (
+        ng.where(~is_eval)
+        .join(eval_ng, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order sequence packing: per source shard, documents are
+    packed into 512-token context windows by running token count; bin k
+    holds the docs whose preceding cumulative tokens fall in
+    [k·512, (k+1)·512).  Output = per (source, bin) doc count and token
+    total — the packing manifest.
+
+    The window is partitioned by ``source`` (the shard key), so packing
+    parallelizes across shards with one shuffle; no shard's documents
+    ever leave their partition.  At 100 TB the shard key would be the
+    output-file key — same plan."""
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET).cast(
+            "long"
+        ),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("source", "bin")
+    )
+
+
+def pipeline_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling toward a target source mix:
+    even-numbered sources keep ~50% of docs, odd-numbered ~25%, gated by
+    the first 16 bits of ``md5(source:doc_id)`` — reproducible across
+    engines and runs, no RNG state, no shuffle for the keep decision.
+    Output = per-source totals, kept counts, and the realized fraction
+    (the mix report a data-recipe run emits)."""
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring("source", 4, 10).cast("int")
+    threshold = F.when(src_num % 2 == 0, F.lit(RATE_HEX_EVEN)).otherwise(
+        F.lit(RATE_HEX_ODD)
+    )
+    gate = F.substring(
+        F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    kept = F.when(gate < threshold, 1).otherwise(0)
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dirty_text() -> F.Column:
+    """The planted-dirty corpus: deterministic emails on doc_id % 7 == 0,
+    phone-like tokens on doc_id % 11 == 0 (both where the oracle can
+    derive the identical bytes)."""
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ok"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone)
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit over the planted-dirty corpus: per source,
+    how many emails/phones were found and how many characters the
+    redaction removed (``<EMAIL>`` / ``<PHONE>`` substitution).  Pure
+    ``regexp_count``/``regexp_replace`` projections — whole-stage
+    codegen, one scan, no UDF; the shuffle is the 20-row source agg."""
+    dirty = _docs(spark, sf_dir).select("source", _dirty_text().alias("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        dirty.select(
+            "source",
+            F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("emails"),
+            F.regexp_count(F.col("text"), F.lit(PHONE_RE)).alias("phones"),
+            (F.length("text") - F.length(clean)).alias("delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("emails").alias("n_emails"),
+            F.sum("phones").alias("n_phones"),
+            F.sum("delta").alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
+    "pipeline_sample_mix": pipeline_sample_mix,
+    "text_pii_redact": text_pii_redact,
+}
+
+_NGRAMS_SQL = f"""
+  toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  ), ng AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - {NGRAM_N - 1}),
+             i -> array_to_string(t[i:i+{NGRAM_N - 1}], ' ')))) AS g
+    FROM toks WHERE len(t) >= {NGRAM_N}
+  )
+"""
+
+_DIRTY_SQL = """
+  dirty AS (
+    SELECT source,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ok'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+                   ELSE '' END AS text
+    FROM documents
+  )
+"""
+
+ORACLES = {
+    "decontaminate_ngrams": f"""
+        WITH {_NGRAMS_SQL},
+        eval_ng AS (
+          SELECT DISTINCT g FROM ng WHERE doc_id % {EVAL_MOD} = 0
+        )
+        SELECT n.doc_id, count(DISTINCT n.g) AS shared_ngrams
+        FROM ng n JOIN eval_ng e USING (g)
+        WHERE n.doc_id % {EVAL_MOD} != 0
+        GROUP BY n.doc_id ORDER BY n.doc_id
+    """,
+    "pipeline_pack_sequences": f"""
+        WITH docs AS (
+          SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        ), binned AS (
+          SELECT source, n_tokens,
+                 CAST(floor(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {PACK_BUDGET}) AS BIGINT) AS bin
+          FROM docs
+        )
+        SELECT source, bin, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        FROM binned GROUP BY source, bin ORDER BY source, bin
+    """,
+    "pipeline_sample_mix": f"""
+        WITH gated AS (
+          SELECT source,
+                 CASE WHEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                               THEN '{RATE_HEX_EVEN}' ELSE '{RATE_HEX_ODD}' END
+                      THEN 1 ELSE 0 END AS kept
+          FROM documents
+        )
+        SELECT source, count(*) AS n_total, sum(kept) AS n_kept,
+               round(sum(kept) * 1.0 / count(*), 4) AS kept_frac
+        FROM gated GROUP BY source ORDER BY source
+    """,
+    "text_pii_redact": f"""
+        WITH {_DIRTY_SQL},
+        per_doc AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '{EMAIL_RE}')) AS emails,
+                 len(regexp_extract_all(text, '{PHONE_RE}')) AS phones,
+                 length(text)
+                   - length(regexp_replace(regexp_replace(text,
+                       '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g'))
+                   AS delta
+          FROM dirty
+        )
+        SELECT source, count(*) AS n_docs, sum(emails) AS n_emails,
+               sum(phones) AS n_phones, sum(delta) AS chars_redacted
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+}

