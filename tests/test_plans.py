@@ -1,0 +1,119 @@
+"""Physical-plan shape assertions — the 100 TB contract, checked in CI.
+
+Correctness says WHAT a query returns; these tests pin HOW Catalyst will
+execute it at scale: dimension joins must broadcast (no shuffle of the
+big side), offset/stream predicates must reach the parquet scan
+(partition pruning + row-group stats), LSH/decontamination candidate
+generation must be equi-joins (never a cartesian/nested-loop product),
+and column pruning must drop unused fixture columns from ReadSchema.
+A regression that keeps results identical but silently degrades any of
+these (e.g. a join rewritten so it stops broadcasting) fails here long
+before a cluster run would reveal it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dimension_joins_broadcast(spark):
+    """TPC-H-style joins: every dimension side must broadcast — the big
+    fact table shuffles at most once (for its aggregation), never for a
+    dimension join."""
+    from elastic_stream_spark.operators.relational import (
+        q3_shipping_priority,
+        q5_local_supplier,
+    )
+
+    p3 = plan_of(q3_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p3
+    p5 = plan_of(q5_local_supplier(spark, SF_DIR))
+    # q5 joins 5 dimensions around lineitem⋈orders; all must broadcast
+    assert p5.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p5
+
+
+def test_fetch_pushes_offset_predicates_to_scan(spark):
+    """FETCH = partition-pruned directory scan + offset row-group
+    pushdown: the stream_id predicate must appear as a partition filter
+    and the offset bounds as pushed data filters — the sparse-index
+    contract (SURVEY.md §2 row 5)."""
+    from elastic_stream_spark.operators.stream_ops import FETCH_HI, FETCH_LO, FETCH_STREAM
+    from elastic_stream_spark.sources.materialize import get_engine
+
+    eng = get_engine(spark, SF_DIR)
+    plan = plan_of(eng.log.fetch(FETCH_STREAM, FETCH_LO, FETCH_HI))
+    assert "PartitionFilters" in plan and "stream_id" in plan
+    assert "PushedFilters" in plan
+    # offset bounds reach the parquet reader (row-group stats skipping)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("offset" in l for l in pushed), pushed
+
+
+def test_lsh_and_decontamination_have_no_product_joins(spark):
+    """Candidate generation must stay an equi-join on the bucket/n-gram
+    key: a cartesian or broadcast-nested-loop product anywhere means the
+    plan is quadratic in corpus size."""
+    from elastic_stream_spark.operators.curation import decontaminate_ngrams
+    from elastic_stream_spark.operators.dedup import dedup_minhash_lsh
+    from elastic_stream_spark.operators.similarity import dedup_embedding_lsh
+
+    for q in (dedup_minhash_lsh, dedup_embedding_lsh, decontaminate_ngrams):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_column_pruning_reaches_scan(spark):
+    """text_token_stats touches only (source, text): the parquet
+    ReadSchema must exclude the unused fixture columns lang/n_chars."""
+    from elastic_stream_spark.operators.text import text_token_stats
+
+    plan = plan_of(text_token_stats(spark, SF_DIR))
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and all("lang" not in l and "n_chars" not in l for l in rs), rs
+
+
+def test_whole_stage_codegen_covers_aggregation(spark):
+    """The pricing-summary scan→filter→project→partial-agg pipeline must
+    run inside ONE whole-stage-codegen span (JVM, vectorized) — no
+    interpreted projections in the hot path.  (AQE shows codegen ids only
+    on the executed final plan, so run the query first.)"""
+    from elastic_stream_spark.operators.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    span1 = [l for l in plan.splitlines() if "codegen id : 1" in l]
+    # scan-side ops fused into span 1: filter, project, partial aggregate
+    assert any("Filter" in l for l in span1), span1
+    assert any("HashAggregate" in l for l in span1), span1
+
+
+def test_sample_mix_is_shuffle_minimal(spark):
+    """The sampling gate is a pure projection: exactly one exchange (the
+    20-row source aggregation) and no join anywhere."""
+    from elastic_stream_spark.operators.curation import pipeline_sample_mix
+
+    import re
+
+    plan = plan_of(pipeline_sample_mix(spark, SF_DIR))
+    assert "Join" not in plan
+    # allowed exchanges: the single-split fixture rebalance, the
+    # groupBy(source) agg shuffle, and the 20-row orderBy range exchange —
+    # the keep-gate itself must add none
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 3, plan
