@@ -458,6 +458,17 @@ class StreamCatalog:
                     start=r["start"],
                     end=r["end"],
                 )
+            # stream post-image (≙ WATCH_RESOURCE events carrying the full
+            # resource payload, rpc.fbs:735-760): a watcher folding the
+            # feed can reconstruct stream extent without reading ranges
+            self._emit(
+                st,
+                "updated",
+                "stream",
+                stream_id,
+                start_offset=sraw["start_offset"],
+                next_offset=next_offset,
+            )
             return [RangeMeta(**r) for r in ranges]
 
     # ------------------------------------------------------- change feed
@@ -518,6 +529,15 @@ class StreamCatalog:
                     continue
                 if raw["start"] < new_start_offset:
                     raw["start"] = new_start_offset  # straddling → shrink
+                    # post-image for feed folders (fold_resource_feed)
+                    self._emit(
+                        st,
+                        "updated",
+                        "range",
+                        stream_id,
+                        raw["range_index"],
+                        start=new_start_offset,
+                    )
                 kept.append(raw)
             st.ranges[str(stream_id)] = kept
             self._emit(

@@ -238,7 +238,88 @@ def payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fold_resource_feed(feed: DataFrame) -> DataFrame:
+    """WATCH_RESOURCE → current state: fold the change feed into the live
+    resource set (the CDC read-model every PD client maintains —
+    rpc.fbs:762-778's contract that replaying the watch stream from
+    revision 0 reproduces LIST_RESOURCE).
+
+    Per resource key, take the last-by-revision value of each post-image
+    field (``last(ignorenulls)`` — events carry partial images, e.g.
+    ``sealed`` only stamps ``end``) and the last lifecycle kind; a
+    resource is live iff its last kind isn't ``deleted`` and its stream
+    is live.  All window partitions are per-resource keys (bounded, tiny)
+    — a 1000-executor watcher folds shards of the keyspace
+    independently."""
+    from pyspark.sql.window import Window
+
+    d = F.from_json(
+        "detail",
+        "start BIGINT, `end` BIGINT, start_offset BIGINT, next_offset BIGINT",
+    )
+    key = [F.col("resource_type"), F.col("stream_id"), F.col("range_index")]
+    w = (
+        Window.partitionBy(*key)
+        .orderBy("revision")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    folded = (
+        feed.withColumn("range_index", F.coalesce("range_index", F.lit(-1)))
+        .withColumn("d", d)
+        .select(
+            "resource_type",
+            "stream_id",
+            "range_index",
+            "revision",
+            F.last("kind").over(w).alias("last_kind"),
+            F.last(F.col("d.start"), ignorenulls=True).over(w).alias("f_start"),
+            F.last(F.col("d.end"), ignorenulls=True).over(w).alias("f_end"),
+            F.last(F.col("d.start_offset"), ignorenulls=True).over(w).alias("f_so"),
+            F.last(F.col("d.next_offset"), ignorenulls=True).over(w).alias("f_no"),
+            F.row_number()
+            .over(Window.partitionBy(*key).orderBy(F.desc("revision")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    live = folded.where(F.col("last_kind") != "deleted")
+    dead_streams = folded.where(
+        (F.col("resource_type") == "stream") & (F.col("last_kind") == "deleted")
+    ).select("stream_id")
+    live = live.join(dead_streams, "stream_id", "left_anti")
+    streams = live.where(F.col("resource_type") == "stream").select(
+        "resource_type",
+        "stream_id",
+        F.col("range_index").cast("long"),
+        F.coalesce("f_so", F.lit(0)).alias("start"),
+        F.col("f_no").alias("end"),
+    )
+    # a sealed range's end comes from the seal event; the mutable range's
+    # trimmed start comes from the stream's trim (ranges share the
+    # stream's start floor when the trim point lands inside them)
+    ranges = live.where(F.col("resource_type") == "range").select(
+        "resource_type",
+        "stream_id",
+        F.col("range_index").cast("long"),
+        F.col("f_start").alias("start"),
+        F.col("f_end").alias("end"),
+    )
+    return streams.unionByName(ranges).orderBy(
+        "resource_type", "stream_id", "range_index"
+    )
+
+
+def resource_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay WATCH_RESOURCE from revision 0 and reconstruct the live
+    resource set — must equal ``list_resources`` (same oracle): the
+    watch-feed completeness guarantee, checked end to end through the
+    engine's own change log."""
+    eng = get_engine(spark, sf_dir)
+    return fold_resource_feed(eng.catalog.changes(spark))
+
+
 QUERIES = {
+    "resource_latest_state": resource_latest_state,
     "fetch_range": fetch_range,
     "describe_streams": describe_streams,
     "list_ranges": list_ranges,
@@ -334,3 +415,7 @@ ORACLES = {
         FROM records GROUP BY k_decile ORDER BY k_decile
     """,
 }
+
+# Replaying the watch feed must reproduce LIST_RESOURCE exactly — the
+# fold is checked against the same envelope-math oracle.
+ORACLES["resource_latest_state"] = ORACLES["list_resources"]

@@ -159,6 +159,7 @@ def test_change_feed_records_lifecycle_in_order(spark, workdir):
         ("created", "range", 0),
         ("sealed", "range", 0),
         ("created", "range", 1),
+        ("updated", "range", 0),  # straddling range shrunk by the trim
         ("trimmed", "stream", None),
         ("updated", "stream", None),
     ]
@@ -168,7 +169,7 @@ def test_change_feed_records_lifecycle_in_order(spark, workdir):
 
     # continuation token: resume past the first three events
     later = cat.changes(spark, from_revision=revs[2]).collect()
-    assert [r.kind for r in later] == ["created", "trimmed", "updated"]
+    assert [r.kind for r in later] == ["created", "updated", "trimmed", "updated"]
 
     # streaming watch delivers the same events
     q = (

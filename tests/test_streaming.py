@@ -522,3 +522,72 @@ def test_stream_end_to_end_pipeline(spark, log, workdir):
     out = log.fetch(dst, 0, 100).collect()
     assert len(out) == 3  # 30 minutes of minute-spaced events → 3 windows
     assert sorted(r.payload for r in out) == [b"10", b"10", b"10"]
+
+
+def test_resource_fold_reproduces_catalog_after_trim_and_delete(spark, log):
+    """Replaying WATCH_RESOURCE reproduces LIST_RESOURCE through every
+    lifecycle transition: bulk-register, trim (dropped + shrunk ranges),
+    delete.  ≙ the etcd-watch contract the reference's PD clients rely
+    on: state folded from the feed == state read from the store."""
+    from elastic_stream_spark.operators.stream_ops import fold_resource_feed
+
+    cat = log.catalog
+    a = cat.create_stream().stream_id
+    b = cat.create_stream().stream_id
+    cat.bulk_register(a, 2500, 1000)
+    cat.bulk_register(b, 1500, 1000)
+    cat.trim_stream(a, 1200)  # drops range 0, shrinks range 1
+    cat.delete_stream(b)
+
+    got = [
+        (r.resource_type, r.stream_id, r.range_index, r.start, r.end)
+        for r in fold_resource_feed(cat.changes(spark)).collect()
+    ]
+    exp = []
+    for s in cat.list_streams():
+        exp.append(("stream", s.stream_id, -1, s.start_offset, s.next_offset))
+        for r in cat.list_ranges(s.stream_id):
+            exp.append(("range", s.stream_id, r.range_index, r.start, r.end))
+    assert got == sorted(exp)
+
+
+def test_stream_stream_windowed_join(spark, log):
+    """Stream-stream inner join with watermarks on BOTH sides (the
+    attribution shape: purchases ⋈ clicks within a time bound), each side
+    a stream_log source over its own stream.  State is bounded by the
+    watermark; the streamed result must equal the batch join."""
+    from elastic_stream_spark.streaming import StreamLogDataSource
+
+    spark.dataSource.register(StreamLogDataSource)
+    pa = log.catalog.create_stream().stream_id
+    cl = log.catalog.create_stream().stream_id
+    # base ts 1 h: an event AT epoch 0 equals the initial watermark and
+    # would be dropped as late in the first batch
+    log.append(pa, _events(spark, 20, base_ts=3_600_000))  # ts = 1h + i min
+    log.append(cl, _events(spark, 20, base_ts=3_630_000))  # + 30 s
+
+    def side(sid: int, alias: str):
+        sdf = (
+            spark.readStream.format("stream_log")
+            .option("root", log.catalog.root)
+            .option("streamId", sid)
+            .load()
+        )
+        return sdf.select(
+            F.col("properties")["i"].cast("long").alias(f"{alias}_user"),
+            F.col("ts").alias(f"{alias}_ts"),
+        ).withWatermark(f"{alias}_ts", "10 minutes")
+
+    joined = side(pa, "p").join(
+        side(cl, "c"),
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts AND p_ts + interval 90 seconds"
+        ),
+    )
+    q = _run_available_now(joined, "ssj")
+    q.stop()
+    rows = spark.table("ssj").collect()
+    # each purchase i matches exactly its own click 30 s later
+    assert len(rows) == 20
+    assert all(r.p_user == r.c_user for r in rows)
+    assert all((r.c_ts - r.p_ts).total_seconds() == 30.0 for r in rows)
