@@ -48,7 +48,13 @@ HEADLINE = [
     "pipeline_keep_list",
     "sim_topk_bruteforce",
     "text_token_stats",
+    "text_pii_redact",
+    "decontaminate_ngrams",
+    "pipeline_pack_sequences",
+    "pipeline_sample_mix",
+    "resource_latest_state",
     "mm_byte_features",
+    "mm_frame_sample",
 ]
 
 APPEND_PER_STREAM = 2_000
