@@ -24,6 +24,7 @@ def _modules():
         pipeline,
         relational,
         relational_ext,
+        relational_tpch,
         similarity,
         stream_ops,
         streaming_ops,
@@ -34,6 +35,7 @@ def _modules():
         stream_ops,
         relational,
         relational_ext,
+        relational_tpch,
         dedup,
         pipeline,
         similarity,
