@@ -591,3 +591,37 @@ def test_stream_stream_windowed_join(spark, log):
     assert len(rows) == 20
     assert all(r.p_user == r.c_user for r in rows)
     assert all((r.c_ts - r.p_ts).total_seconds() == 30.0 for r in rows)
+
+
+def test_streaming_drop_duplicates_with_watermark(spark, log):
+    """Streaming exact dedup with bounded state: dropDuplicates on a
+    payload fingerprint + event-time watermark (Spark evicts seen-keys
+    older than the watermark — the native streaming analogue of
+    ``dedup_exact``).  Re-appended duplicate payloads inside the
+    watermark horizon are emitted once."""
+    from elastic_stream_spark.streaming import StreamLogDataSource
+
+    spark.dataSource.register(StreamLogDataSource)
+    sid = log.catalog.create_stream().stream_id
+    batch = _events(spark, 10, base_ts=3_600_000)
+    log.append(sid, batch)
+    log.append(sid, batch)  # duplicate payloads at new offsets
+
+    sdf = (
+        spark.readStream.format("stream_log")
+        .option("root", log.catalog.root)
+        .option("streamId", sid)
+        .load()
+    )
+    deduped = (
+        sdf.select(
+            F.col("ts"), F.md5(F.decode("payload", "UTF-8")).alias("fp")
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["fp"])
+    )
+    q = _run_available_now(deduped, "sdedup")
+    q.stop()
+    rows = spark.table("sdedup").collect()
+    assert len(rows) == 10  # 20 records in the log, 10 distinct payloads
+    assert len({r.fp for r in rows}) == 10
