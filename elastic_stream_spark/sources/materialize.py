@@ -108,8 +108,7 @@ def trimmed_engine(
 
     base = get_engine(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="esspark-engine-trim-")
-    shutil.copy(os.path.join(base.root, "catalog.json"), os.path.join(root, "catalog.json"))
-    catalog = StreamCatalog(root)
+    catalog = base.catalog.clone_to(root)
     log = StreamLog(spark, catalog)
     log.records_root = base.log.records_root  # share the immutable data files
     catalog.trim_stream(stream_id, trim_at)

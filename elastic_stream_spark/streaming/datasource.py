@@ -66,26 +66,28 @@ class RangeSlice(InputPartition):
     hi: int  # exclusive
 
 
+def _read_shard(root: str, stream_id: int) -> dict | None:
+    """The stream's catalog shard (``streams/<sid>.json``) — a plain JSON
+    read so partition planning needs no catalog class on executors; one
+    shard is O(this stream), independent of catalog size."""
+    path = os.path.join(root, "streams", f"{stream_id}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def _read_next_offset(root: str, stream_id: int) -> int:
-    """Committed next_offset from the catalog snapshot — the availability
+    """Committed next_offset from the catalog shard — the availability
     probe (driver-side, metadata-only; ≙ the long-poll's confirm-offset
     check, docs/sbp.md:246-252)."""
-    path = os.path.join(root, "catalog.json")
-    if not os.path.exists(path):
-        return 0
-    with open(path) as f:
-        st = json.load(f)
-    raw = st.get("streams", {}).get(str(stream_id))
-    return 0 if raw is None else int(raw["next_offset"])
+    data = _read_shard(root, stream_id)
+    return 0 if data is None else int(data["stream"]["next_offset"])
 
 
 def _read_ranges(root: str, stream_id: int) -> list[dict]:
-    path = os.path.join(root, "catalog.json")
-    if not os.path.exists(path):
-        return []
-    with open(path) as f:
-        st = json.load(f)
-    return st.get("ranges", {}).get(str(stream_id), [])
+    data = _read_shard(root, stream_id)
+    return [] if data is None else data["ranges"]
 
 
 class StreamLogStreamReader(DataSourceStreamReader):
