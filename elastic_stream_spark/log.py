@@ -260,7 +260,7 @@ class StreamLog:
         from elastic_stream_spark.objects import file_row_count, parquet_files
 
         known = {o.path for o in self.objects.list_objects(stream_id)}
-        n_new = 0
+        entries = []
         for d in sorted(
             _glob.glob(f"{self.records_root}/stream_id={stream_id}/range_index=*")
         ):
@@ -268,11 +268,12 @@ class StreamLog:
             for p in parquet_files(d):
                 if p in known:
                     continue
-                self.objects.commit(
-                    stream_id, ridx, p, file_row_count(p), os.path.getsize(p)
+                entries.append(
+                    (stream_id, ridx, p, file_row_count(p), os.path.getsize(p))
                 )
-                n_new += 1
-        return n_new
+        if entries:  # one txn for the whole stream, not one per file
+            self.objects.commit_batch(entries)
+        return len(entries)
 
     def optimize(self, stream_id: int) -> dict[int, tuple[int, int]]:
         """Compact each SEALED multi-file range into one object
