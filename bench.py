@@ -50,6 +50,7 @@ HEADLINE = [
     "text_token_stats",
     "text_pii_redact",
     "decontaminate_ngrams",
+    "text_boilerplate",
     "pipeline_pack_sequences",
     "pipeline_sample_mix",
     "resource_latest_state",

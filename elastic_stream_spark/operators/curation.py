@@ -207,8 +207,54 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEG_WORDS = 8  # fixed segmentation width (the "paragraph" unit here)
+BOILER_DF = 3  # segments in >= this many distinct docs are boilerplate
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — segment-level dedup across documents: cut
+    every doc into fixed 8-word segments (the paragraph analogue for the
+    unstructured fixture; a real corpus would split on newlines), count
+    each segment's document frequency, and flag per doc how many of its
+    segments are corpus-boilerplate (df ≥ 3) and how many tokens removing
+    them would strip — the header/footer/nav-chrome removal step of a web
+    -scale curation pipeline.
+
+    Plan: one exploded scan → segment-df aggregate (map-side combinable)
+    → semi-join back on the segment key.  Candidates ∝ true boilerplate
+    occurrences; no pairwise doc comparison anywhere, so the shape is the
+    inverted-index one that survives 100 TB."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    segs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / SEG_WORDS).cast("int")),
+            lambda k: F.concat_ws(" ", F.slice(toks, k * SEG_WORDS + 1, SEG_WORDS)),
+        )
+    )
+    seg = docs.where(F.size(toks) >= SEG_WORDS).select(
+        "doc_id", F.explode(segs).alias("s")
+    )
+    boiler = (
+        seg.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= BOILER_DF)
+        .select("s")
+    )
+    return (
+        seg.join(boiler, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_boiler_segments"),
+            F.sum(F.size(F.split(F.col("s"), " "))).alias("tokens_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
+    "text_boilerplate": text_boilerplate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_sample_mix": pipeline_sample_mix,
     "text_pii_redact": text_pii_redact,
@@ -240,6 +286,23 @@ _DIRTY_SQL = """
 """
 
 ORACLES = {
+    "text_boilerplate": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), seg AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(0, CAST(floor((len(t)-1)/{SEG_WORDS}) AS BIGINT)),
+                   k -> array_to_string(t[k*{SEG_WORDS}+1:k*{SEG_WORDS}+{SEG_WORDS}], ' ')))) AS s
+          FROM toks WHERE len(t) >= {SEG_WORDS}
+        ), boiler AS (
+          SELECT s FROM seg GROUP BY s
+          HAVING count(DISTINCT doc_id) >= {BOILER_DF}
+        )
+        SELECT seg.doc_id, count(*) AS n_boiler_segments,
+               sum(len(string_split(seg.s, ' '))) AS tokens_removed
+        FROM seg JOIN boiler USING (s)
+        GROUP BY seg.doc_id ORDER BY seg.doc_id
+    """,
     "decontaminate_ngrams": f"""
         WITH {_NGRAMS_SQL},
         eval_ng AS (

@@ -372,3 +372,39 @@ def test_pii_redact_counts_match_planted_dirt(spark):
         assert r.n_phones == exp_phones.get(r.source, 0), r
         if r.n_emails or r.n_phones:
             assert r.chars_redacted > 0
+
+
+def test_boilerplate_flags_match_python_recompute(spark):
+    """Segment-df boilerplate flags equal a direct Python recompute over
+    the same fixed segmentation."""
+    from elastic_stream_spark.operators.curation import (
+        BOILER_DF,
+        SEG_WORDS,
+        text_boilerplate,
+    )
+    from elastic_stream_spark.sources.envelope import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    seg_of = {}
+    for r in docs:
+        t = r.text.lower().split(" ")
+        if len(t) < SEG_WORDS:
+            continue
+        seg_of[r.doc_id] = {
+            " ".join(t[k * SEG_WORDS : (k + 1) * SEG_WORDS])
+            for k in range(0, (len(t) - 1) // SEG_WORDS + 1)
+        }
+    from collections import Counter
+
+    df_count = Counter(s for segs in seg_of.values() for s in segs)
+    boiler = {s for s, d in df_count.items() if d >= BOILER_DF}
+    expect = {}
+    for doc_id, segs in seg_of.items():
+        hits = segs & boiler
+        if hits:
+            expect[doc_id] = (len(hits), sum(len(s.split(" ")) for s in hits))
+    got = {
+        r.doc_id: (r.n_boiler_segments, r.tokens_removed)
+        for r in text_boilerplate(spark, SF_DIR).collect()
+    }
+    assert got == expect
