@@ -53,8 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session that didn't go through get_spark()
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # a host session configured with spark.sql.timestampType=
+            # TIMESTAMP_NTZ surfaces the column as NTZ; the whole engine
+            # (and the DuckDB oracle) treat ts as instants in a UTC-pinned
+            # session, so the cast is value-preserving.  Must be the
+            # explicit LTZ type name: under that session conf the keyword
+            # "timestamp" itself resolves to NTZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

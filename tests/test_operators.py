@@ -408,3 +408,22 @@ def test_boilerplate_flags_match_python_recompute(spark):
         for r in text_boilerplate(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_events_ts_ntz_session_normalized(spark):
+    """Regression (CORRECTNESS_r03 event_gaps_lag): a host session with
+    spark.sql.timestampType=TIMESTAMP_NTZ surfaces events.ts as NTZ, which
+    TIMESTAMP-only functions (unix_micros) reject.  The shared loader must
+    normalize to TIMESTAMP regardless of session timestamp policy."""
+    from elastic_stream_spark.operators.relational_ext import event_gaps_lag
+    from elastic_stream_spark.sources.envelope import load_table
+
+    prev = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        out = event_gaps_lag(spark, SF_DIR)
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev)
