@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "pipeline_keep_list",
     "sim_topk_bruteforce",
+    "sim_ann_ivf_clustered",
     "text_token_stats",
     "text_pii_redact",
     "decontaminate_ngrams",
@@ -192,17 +193,27 @@ def main() -> None:
     # best-of-2 per query: this host's storage stalls intermittently
     # (seconds-long I/O waits unrelated to the workload); the min of two
     # runs reports the engine's cost rather than the host's worst hiccup.
+    # The max/min spread per query is recorded alongside so a contended
+    # run is self-evident in the artifact instead of reading as a
+    # regression (burned the whole r2→r3 small-query comparison).
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best, rows = None, 0
+        best, worst, rows = None, None, 0
         for _ in range(2):
             t0 = time.time()
             rows = fn(spark, sf_dir).count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            worst = dt if worst is None else max(worst, dt)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({rows} rows)", file=sys.stderr, flush=True)
+        spreads[name] = round(worst / best, 2) if best > 0 else 1.0
+        print(
+            f"# {name}: {timings[name]}s (spread x{spreads[name]}, {rows} rows)",
+            file=sys.stderr,
+            flush=True,
+        )
 
     append = _append_bench(spark)
     print(f"# append: {append}", file=sys.stderr, flush=True)
@@ -218,6 +229,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_max_over_min": spreads,
                 "append": append,
                 "bulk": bulk,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

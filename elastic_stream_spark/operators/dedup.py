@@ -53,10 +53,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct shingles; the inverted index."""
+    """(doc_id, shingle) exploded distinct shingles; the inverted index.
+
+    Materialized (localCheckpoint): the shingle transform is an
+    interpreted higher-order expression — ~2.4 ms/doc of CPU, the single
+    most expensive scalar stage in the dedup family — and every consumer
+    reads this table 2-6×.  Without materialization each downstream
+    shuffle recomputes the transform (and AQE's small-partition coalesce
+    can serialize the recompute onto one core: measured 12.4 s/pass
+    single-core vs 0.8 s materialized-parallel at sf0.1).  At 100 TB this
+    is the standard persist-the-exploded-index step; the checkpoint is
+    sized ∝ corpus × shingles, spill-backed, partitioned."""
     return (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(shingles("text", SHINGLE_N)).alias("shingle"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -126,27 +137,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered verified near-dup pair set (doc_a < doc_b, jaccard) —
     the edge list consumed by ``dedup_ngram_jaccard`` (sorted output) and
-    ``pipeline.dedup_clusters`` (connected components)."""
+    ``pipeline.dedup_clusters`` (connected components).
+
+    Plan (one pass over the materialized index, NO self-join): groupBy
+    shingle → sorted posting list, df-capped (2 ≤ df ≤ SHINGLE_DF_CAP) →
+    pair combinations generated in-place by a double explode (work
+    bounded by df²/2 per shingle, cap-bounded globally) → one
+    map-side-combinable groupBy(pair).count() → per-doc size join +
+    integer threshold.  Replaces the previous index self-join, which
+    shuffled the index twice and re-derived the (expensive, interpreted)
+    shingle transform on both sides."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    rare = (
+    posting = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= SHINGLE_DF_CAP)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= SHINGLE_DF_CAP))
     )
-    idx = sh.join(rare, "shingle", "left_semi")
-    a = idx.alias("a")
-    b = idx.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+    # (doc_a, doc_b) with doc_a < doc_b: posting lists are sorted, so
+    # pairing each element with its strict successors is canonical
+    pairs = posting.select(
+        F.posexplode("docs").alias("pos", "doc_a"), F.col("docs")
+    ).select(
+        "doc_a",
+        F.explode(F.slice("docs", F.col("pos") + 2, F.size("docs"))).alias("doc_b"),
     )
+    common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("common"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     union_sz = F.col("na") + F.col("nb") - F.col("common")
@@ -245,7 +261,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(60)
             ]
         ).cast("long").alias("sig"),
-    )
+    # materialized: both sides of the chunk-bucket self-join read the
+    # signature table, and its lineage (token explode + 60-bit md5 agg)
+    # is the expensive part — compute once, join the checkpointed result
+    ).localCheckpoint(eager=True)
     chunks = sig.select(
         "doc_id",
         "sig",
@@ -289,13 +308,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_EMBEDDING_MAX_CORPUS = 200_000  # all-pairs guard: ~2e10 dots ceiling
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.45 (fixture-calibrated).
-    Exact path at fixture scale (sorted-id join halves the pair space);
-    at 100 TB with a tight threshold (cosine ≳ 0.8) bucket by
-    random-hyperplane LSH first — ``similarity.lsh_verified_pairs``
-    (same output columns, candidates ∝ bucket collisions)."""
+    """Embedding-cosine near-dup pairs ≥ 0.45 (fixture-calibrated) —
+    EXACT all-pairs path, deliberately NOT in the gate registry (its plan
+    is quadratic; ``similarity.dedup_embedding_lsh`` is the registered
+    100 TB path).  Kept as the exact-semantics baseline for loose
+    thresholds where hyperplane LSH cannot separate dup from background
+    (see similarity.py docstring), behind an explicit corpus-size guard
+    so a caller cannot launch the O(n²) join on a real corpus."""
     from elastic_stream_spark.functions.vectorfns import dot, unit
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    if n > DEDUP_EMBEDDING_MAX_CORPUS:
+        raise ValueError(
+            f"dedup_embedding is all-pairs (O(n²)); corpus has {n} vectors "
+            f"(> {DEDUP_EMBEDDING_MAX_CORPUS}). Use dedup_embedding_lsh."
+        )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", unit(F.col("embedding")).alias("u")
@@ -320,7 +351,6 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
-    "dedup_embedding": dedup_embedding,
 }
 
 _SHINGLES_SQL = f"""
@@ -406,13 +436,16 @@ ORACLES = {
     # LSH-verified output provably equals the brute-force pair set on this
     # corpus (recall argument in the docstring) — same oracle.
     "dedup_minhash_lsh": _JACCARD_ORACLE,
-    "dedup_embedding": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 6) >= {EMB_THRESHOLD}
-        ORDER BY vec_a, vec_b
-    """,
 }
+
+# Oracle for the unregistered exact path (kept for tests/selfcheck of the
+# guard-protected baseline; not part of the gate registry).
+DEDUP_EMBEDDING_ORACLE = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= {EMB_THRESHOLD}
+    ORDER BY vec_a, vec_b
+"""

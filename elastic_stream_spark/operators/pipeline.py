@@ -25,7 +25,7 @@ corpus-curation pipeline actually runs:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -72,41 +72,47 @@ def connected_components(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         .localCheckpoint(eager=True)
     )
     changed = 1
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # old_label rides along so convergence is a scan of the
+        # checkpointed result, not a separate join-action per iteration
         stepped = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
                 "label"
             ),
         )
-        # pointer doubling: label ← label(label).  Every label is a node
-        # id present in `stepped`, so the lookup is a self-join.
-        lmap = stepped.select(
-            F.col("doc_id").alias("label"), F.col("label").alias("label2")
-        )
-        new_labels = (
-            stepped.join(lmap, "label", "left")
-            .select(
+        if it > 0:
+            # pointer doubling: label ← label(label).  Every label is a
+            # node id present in `stepped`, so the lookup is a self-join.
+            # Skipped on iteration 0: labels start as identity, so
+            # label(label) after one neighbor-min step can only repeat
+            # the neighbor-min of a node whose own step is in this same
+            # round — the join would re-shuffle everything to shortcut
+            # chains that don't exist yet.
+            lmap = stepped.select(
+                F.col("doc_id").alias("label"), F.col("label").alias("label2")
+            )
+            stepped = stepped.join(lmap, "label", "left").select(
                 "doc_id",
+                "old_label",
                 F.least(F.col("label"), F.coalesce("label2", F.col("label"))).alias(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # the convergence count piggybacks on the checkpoint job via
+        # observe(): ONE action per iteration total
+        obs = Observation(f"cc_changed_{it}")
+        new_labels = stepped.observe(
+            obs, F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n")
+        ).localCheckpoint(eager=True)
+        changed = int(obs.get["n"] or 0)
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     if changed != 0:

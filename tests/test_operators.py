@@ -427,3 +427,50 @@ def test_events_ts_ntz_session_normalized(spark):
         assert out.count() > 0
     finally:
         spark.conf.set("spark.sql.timestampType", prev)
+
+
+def test_registered_ivf_clustered_prunes_4x_with_recall(spark):
+    """The REGISTERED sim_ann_ivf_clustered query must demonstrate the IVF
+    scale claim: candidates ≈ nprobe/nlist = 1/4 of the corpus per query
+    (≥4x pruning) at recall ≥ 0.8 vs brute force, on the same
+    deterministic planted-cluster derivation the gate runs."""
+    from pyspark.sql.window import Window
+
+    from elastic_stream_spark.functions.vectorfns import dot
+    from elastic_stream_spark.operators.similarity import (
+        IVF_CLUSTERED_NLIST,
+        IVF_CLUSTERED_NPROBE,
+        N_QUERIES,
+        clustered_corpus,
+        ivf_candidates,
+        sim_ann_ivf_clustered,
+        train_ivf,
+    )
+
+    corpus = clustered_corpus(spark, SF_DIR)
+    _, _, centroids = train_ivf(
+        corpus, nlist=IVF_CLUSTERED_NLIST, nprobe=IVF_CLUSTERED_NPROBE
+    )
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    n_queries = queries.count()
+    n_corpus = corpus.count()
+    n_cand = ivf_candidates(corpus, queries, centroids, IVF_CLUSTERED_NPROBE).count()
+    frac = n_cand / (n_queries * (n_corpus - 1))
+    target = IVF_CLUSTERED_NPROBE / IVF_CLUSTERED_NLIST
+    assert frac <= 1.5 * target, f"registered IVF gate did not prune 4x: {frac:.2f}"
+
+    cb = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
+    scored = cb.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", dot(F.col("qu"), F.col("nu")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5).collect()
+    )
+    approx = sim_ann_ivf_clustered(spark, SF_DIR).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"registered IVF gate recall {recall:.2f} too low"

@@ -2,7 +2,12 @@
 entry on Spark and its oracle_sql() on DuckDB, compare row-count + schema
 + order-insensitive values.
 
-Usage: python tools/compare.py [sf_dir] [query ...]
+Usage: python tools/compare.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, writes a driver-style artifact (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err per query) covering EVERY
+registry entry — the committed CORRECTNESS_FULL_r{N}.json evidence for
+queries beyond the driver gate's 50-row window.
 """
 
 from __future__ import annotations
@@ -78,9 +83,45 @@ def compare_one(name, qfn, sql, spark, con, sf_dir) -> dict:
     return out
 
 
+def _driver_row(res: dict) -> dict:
+    """Map a compare result to the driver's CORRECTNESS row shape."""
+    status = res.get("status")
+    if status == "rows-only":
+        return {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": res.get("spark_rows"),
+            "oracle_rows": None,
+            "err": "no_oracle",
+        }
+    if status == "ERROR":
+        return {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": res.get("error"),
+        }
+    return {
+        "rows_match": status not in ("ROWCOUNT-MISMATCH",),
+        "schema_match": status != "SCHEMA-MISMATCH",
+        "hash_match": status == "OK",
+        "spark_rows": res.get("spark_rows"),
+        "oracle_rows": res.get("oracle_rows"),
+        "err": None if status == "OK" else status,
+    }
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -88,6 +129,7 @@ def main():
     spark = get_spark("compare")
     con = duck_con(sf_dir)
     n_ok = n_bad = 0
+    rows: dict[str, dict] = {}
     for name, qfn in qs.items():
         if only and name not in only:
             continue
@@ -98,7 +140,14 @@ def main():
         ok = res.get("status") in ("OK", "rows-only")
         n_ok += ok
         n_bad += not ok
+        rows[name] = _driver_row(res)
         print(("PASS " if ok else "FAIL ") + str(res), flush=True)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(rows, f, indent=2)
+        print(f"wrote {json_out} ({len(rows)} rows)")
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 
