@@ -25,10 +25,20 @@ Usage::
     spark.dataSource.register(StreamLogDataSource)
     sdf = (spark.readStream.format("stream_log")
            .option("root", catalog_root)
-           .option("streamId", 3)
+           .option("streamId", 3)            # or .option("streamIds", "3,7,9")
            .option("startOffset", 0)
            .option("maxRecordsPerTrigger", 500)
            .load())
+
+Multi-stream subscription (≙ FETCH's N-streams-per-request batching,
+docs/sbp.md:220-285; batch layout range-server/src/handler/append.rs:21-29):
+``streamIds`` takes a comma-separated list; source offsets become a
+per-stream map, microbatch partitions are the union of per-stream range
+slices, and the record-admission budget is split fairly across streams
+with backlog (waterfall allocation in stream-id order — total admitted
+per trigger never exceeds ``maxRecordsPerTrigger``).  Single-stream
+subscriptions keep the scalar offset format, so existing checkpoints
+resume unchanged.
 
 Exactly-once downstream is unchanged: pair with
 ``ExactlyOnceAppendSink`` or any idempotent ``foreachBatch``.
@@ -93,9 +103,24 @@ def _read_ranges(root: str, stream_id: int) -> list[dict]:
 class StreamLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["root"]
-        self.stream_id = int(options["streamid"])
-        self.start_offset = int(options.get("startoffset", 0))
-        # record admission: offsets advance at most this much per trigger
+        ids = options.get("streamids", options.get("streamid"))
+        if ids is None:
+            raise ValueError("stream_log source needs streamId or streamIds")
+        self.stream_ids = [int(s) for s in str(ids).split(",") if s.strip() != ""]
+        if len(self.stream_ids) != len(set(self.stream_ids)):
+            raise ValueError(f"duplicate stream ids in subscription: {ids}")
+        # startOffset: one value for all streams, or a comma list matching
+        # streamIds positionally
+        raw_start = str(options.get("startoffset", 0))
+        parts = [int(s) for s in raw_start.split(",")]
+        if len(parts) == 1:
+            self.start_offsets = {sid: parts[0] for sid in self.stream_ids}
+        elif len(parts) == len(self.stream_ids):
+            self.start_offsets = dict(zip(self.stream_ids, parts))
+        else:
+            raise ValueError("startOffset list must match streamIds length")
+        # record admission: offsets advance at most this much per trigger,
+        # summed over every subscribed stream
         self.max_records = int(options.get("maxrecordspertrigger", 1 << 31))
         if self.max_records <= 0:
             raise ValueError("maxRecordsPerTrigger must be positive")
@@ -106,53 +131,88 @@ class StreamLogStreamReader(DataSourceStreamReader):
         # restarted query resumes admission from its true position instead
         # of re-admitting from startOffset.  One subscription per
         # checkpoint location (the Kafka group-id contract).
-        self.subscription = str(
-            options.get("subscription", f"sub-{self.stream_id}")
-        )
+        default_sub = "sub-" + "-".join(str(s) for s in self.stream_ids)
+        self.subscription = str(options.get("subscription", default_sub))
         self._progress_path = os.path.join(
             self.root, "_source_progress", f"{self.subscription}.json"
         )
-        self._last: int | None = None
+        self._last: dict[int, int] | None = None
 
     # ------------------------------------------------------------ offsets
 
-    def _committed_progress(self) -> int:
+    def _to_wire(self, offsets: dict[int, int]) -> dict:
+        """Serialize per-stream offsets.  Single-stream subscriptions keep
+        the scalar {"offset": n} format so pre-existing checkpoints (and
+        their progress files) resume unchanged."""
+        if len(self.stream_ids) == 1:
+            return {"offset": offsets[self.stream_ids[0]]}
+        return {"offsets": {str(s): offsets[s] for s in self.stream_ids}}
+
+    def _from_wire(self, wire: dict) -> dict[int, int]:
+        if "offsets" in wire:
+            return {int(k): int(v) for k, v in wire["offsets"].items()}
+        return {self.stream_ids[0]: int(wire["offset"])}
+
+    def _committed_progress(self) -> dict[int, int]:
         if not os.path.exists(self._progress_path):
-            return self.start_offset
+            return dict(self.start_offsets)
         with open(self._progress_path) as f:
-            return max(self.start_offset, int(json.load(f)["offset"]))
+            saved = self._from_wire(json.load(f))
+        return {
+            s: max(self.start_offsets[s], saved.get(s, self.start_offsets[s]))
+            for s in self.stream_ids
+        }
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
-        return {"offset": self.start_offset}
+        return self._to_wire(dict(self.start_offsets))
 
     def latestOffset(self) -> dict:  # noqa: N802
-        committed = _read_next_offset(self.root, self.stream_id)
         base = self._committed_progress() if self._last is None else self._last
-        # admit at most max_records new offsets this microbatch — the
-        # maxOffsetsPerTrigger contract (offsets are records here)
-        nxt = min(max(committed, base), base + self.max_records)
+        backlog = {
+            s: max(0, _read_next_offset(self.root, s) - base[s])
+            for s in self.stream_ids
+        }
+        # fair waterfall split of the admission budget across streams with
+        # backlog (stream-id order): total admitted ≤ max_records, and a
+        # stream is only short-changed when the budget genuinely runs out
+        admitted = {s: 0 for s in self.stream_ids}
+        budget = self.max_records
+        while budget > 0:
+            active = [s for s in self.stream_ids if backlog[s] > 0]
+            if not active:
+                break
+            share = max(1, budget // len(active))
+            for s in active:
+                take = min(share, backlog[s], budget)
+                admitted[s] += take
+                backlog[s] -= take
+                budget -= take
+                if budget == 0:
+                    break
+        nxt = {s: base[s] + admitted[s] for s in self.stream_ids}
         self._last = nxt
-        return {"offset": nxt}
+        return self._to_wire(nxt)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        lo, hi = int(start["offset"]), int(end["offset"])
-        if hi <= lo:
-            return []
+        lo_map, hi_map = self._from_wire(start), self._from_wire(end)
         out: list[RangeSlice] = []
-        for r in _read_ranges(self.root, self.stream_id):
-            r_lo = max(lo, int(r["start"]))
-            r_hi = hi if r["end"] is None else min(hi, int(r["end"]))
-            if r_hi <= r_lo:
+        for sid in self.stream_ids:
+            lo = lo_map.get(sid, self.start_offsets[sid])
+            hi = hi_map.get(sid, lo)
+            if hi <= lo:
                 continue
-            d = os.path.join(
-                self.root,
-                "records",
-                f"stream_id={self.stream_id}",
-                f"range_index={r['range_index']}",
-            )
-            out.append(
-                RangeSlice(d, self.stream_id, int(r["range_index"]), r_lo, r_hi)
-            )
+            for r in _read_ranges(self.root, sid):
+                r_lo = max(lo, int(r["start"]))
+                r_hi = hi if r["end"] is None else min(hi, int(r["end"]))
+                if r_hi <= r_lo:
+                    continue
+                d = os.path.join(
+                    self.root,
+                    "records",
+                    f"stream_id={sid}",
+                    f"range_index={r['range_index']}",
+                )
+                out.append(RangeSlice(d, sid, int(r["range_index"]), r_lo, r_hi))
         return out
 
     # --------------------------------------------------------------- read
@@ -205,7 +265,7 @@ class StreamLogStreamReader(DataSourceStreamReader):
         os.makedirs(os.path.dirname(self._progress_path), exist_ok=True)
         tmp = self._progress_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"offset": int(end["offset"])}, f)
+            json.dump(end, f)  # already wire format (scalar or per-stream)
         os.replace(tmp, self._progress_path)
 
     def stop(self) -> None:

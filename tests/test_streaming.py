@@ -625,3 +625,75 @@ def test_streaming_drop_duplicates_with_watermark(spark, log):
     rows = spark.table("sdedup").collect()
     assert len(rows) == 10  # 20 records in the log, 10 distinct payloads
     assert len({r.fp for r in rows}) == 10
+
+
+def test_multi_stream_subscription_admission_and_union(spark, log):
+    """Multi-stream subscription (≙ FETCH batching N streams per request,
+    docs/sbp.md:220-285): offsets are a per-stream map, the admission
+    budget is split fairly across streams with backlog, partitions are
+    the union of per-stream range slices, and the full union of records
+    is delivered exactly once."""
+    from elastic_stream_spark.streaming import StreamLogDataSource
+    from elastic_stream_spark.streaming.datasource import StreamLogStreamReader
+
+    s1 = log.catalog.create_stream().stream_id
+    s2 = log.catalog.create_stream().stream_id
+    s3 = log.catalog.create_stream().stream_id
+    log.append(s1, _events(spark, 9))
+    log.append(s2, _events(spark, 3, base_ts=5_000_000))
+    # s3 stays empty: a subscribed-but-idle stream must not block others
+
+    # --- reader-level: fair budget split + union partitions
+    opts = {
+        "root": log.catalog.root,
+        "streamids": f"{s1},{s2},{s3}",
+        "maxrecordspertrigger": "4",
+    }
+    r = StreamLogStreamReader(dict(opts))
+    init = r.initialOffset()
+    assert init == {"offsets": {str(s1): 0, str(s2): 0, str(s3): 0}}
+    first = r.latestOffset()["offsets"]
+    # budget 4 over backlogs (9, 3, 0): fair share 2 each round →
+    # s1 gets 2, s2 gets 2; total admitted == budget
+    assert first[str(s1)] + first[str(s2)] == 4 and first[str(s3)] == 0
+    assert first[str(s2)] <= 3
+    second = r.latestOffset()["offsets"]
+    assert sum(second.values()) - sum(first.values()) == 4
+    parts = r.partitions(init, {"offsets": first})
+    assert {p.stream_id for p in parts} == {s1, s2}
+    for p in parts:
+        assert p.hi - p.lo <= 4
+
+    # --- end-to-end: every record of every subscribed stream arrives once
+    spark.dataSource.register(StreamLogDataSource)
+    sdf = (
+        spark.readStream.format("stream_log")
+        .option("root", log.catalog.root)
+        .option("streamIds", f"{s1},{s2},{s3}")
+        .option("maxRecordsPerTrigger", 4)
+        .load()
+    )
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_multi")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        log.append(s3, _events(spark, 2, base_ts=9_000_000))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert batches and all(n <= 4 for n in batches), batches
+    got = spark.sql(
+        "SELECT stream_id, offset FROM t_multi ORDER BY stream_id, offset"
+    ).collect()
+    expect = (
+        [(s1, o) for o in range(9)]
+        + [(s2, o) for o in range(3)]
+        + [(s3, o) for o in range(2)]
+    )
+    assert [(r_.stream_id, r_.offset) for r_ in got] == expect
