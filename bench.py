@@ -40,6 +40,7 @@ HEADLINE = [
     "tumbling_window_counts",
     "session_windows",
     "asof_join_purchase_click",
+    "skew_salted_join_revenue",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

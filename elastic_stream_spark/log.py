@@ -130,6 +130,12 @@ class StreamLog:
         """
         from pyspark.sql import Window
 
+        # Global (unpartitioned) window — AUDITED, acceptable: one append
+        # addresses exactly one range, so the window spans a single
+        # record batch (bounded by batch size), mirroring the reference's
+        # one-mutable-range write serialization.  This is the source of
+        # the benign "WindowExec: No Partition Defined" warnings in bench
+        # stderr; no data-sized input ever flows through it.
         w = Window.orderBy(F.col("ts"), F.monotonically_increasing_id())
         out = batch.withColumn(
             "offset", (F.lit(base) + F.row_number().over(w) - 1).cast("long")

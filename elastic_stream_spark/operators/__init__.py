@@ -25,6 +25,7 @@ def _modules():
         relational,
         relational_ext,
         relational_tpch,
+        scale_patterns,
         similarity,
         stream_ops,
         streaming_ops,
@@ -43,6 +44,7 @@ def _modules():
         curation,
         streaming_ops,
         multimodal,
+        scale_patterns,
     ]
 
 
@@ -109,10 +111,11 @@ GATE_ORDER = [
     "q19_brand_quantity_revenue",
     "top3_orders_per_customer",
     "asof_join_purchase_click",
-    "running_revenue",
-    # ---- 50-entry window boundary: everything below has ≥3 green driver
-    # rounds (CORRECTNESS_r01-r03) and is re-checked by the committed
+    "skew_salted_join_revenue",
+    # ---- 50-entry window boundary: everything below was hash-green in
+    # both r2 and r3 driver rounds and is re-checked by the committed
     # full-registry self-check each round
+    "running_revenue",
     "rollup_revenue",
     "semi_anti_customers",
     "setops_nations",

@@ -117,3 +117,62 @@ def test_sample_mix_is_shuffle_minimal(spark):
     # the keep-gate itself must add none
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 3, plan
+
+
+def test_salted_join_spreads_key_over_salt(spark):
+    """The salted join's shuffle must key on (orderkey, salt) — a hot
+    orderkey then lands on SALT partitions instead of one — and must be
+    a shuffled join (broadcast would hide the salt entirely)."""
+    from elastic_stream_spark.operators.scale_patterns import (
+        skew_salted_join_revenue,
+    )
+
+    plan = plan_of(skew_salted_join_revenue(spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan, plan
+    # formatted plans print join keys as "Left keys [2]: [l_orderkey, salt]"
+    key_lines = [l for l in plan.splitlines() if "keys" in l.lower()]
+    assert any("salt" in l for l in key_lines), key_lines
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_runs_with_zero_exchanges(spark, workdir):
+    """Bucketing ≙ pre-shuffled storage: lineitem and orders bucketed by
+    order key join with NO exchange on either side — the co-located-join
+    contract repeated fact joins rely on at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from elastic_stream_spark.sources.envelope import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    od = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key in (("b_li", li, "l_orderkey"), ("b_od", od, "o_orderkey")):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{workdir}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    try:
+        j = (
+            spark.table("b_li")
+            .hint("merge")  # force SMJ: broadcast would also skip the shuffle
+            .join(
+                spark.table("b_od"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = plan_of(j.select("o_orderpriority", "rev"))
+        join_seen = "SortMergeJoin" in plan
+        assert join_seen, plan
+        # the ONLY allowed exchange is the final groupBy's (priority keys);
+        # neither join input may re-shuffle
+        pre_join = plan.split("SortMergeJoin")[-1]  # formatted plan: inputs follow
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_od")
