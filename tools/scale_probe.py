@@ -45,7 +45,6 @@ PROBE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding",
     "dedup_embedding_lsh",
     "dedup_clusters",
     "pipeline_keep_list",
@@ -55,6 +54,8 @@ PROBE = [
     "text_token_stats",
     "text_pii_redact",
     "sim_topk_bruteforce",
+    "sim_ann_ivf_clustered",
+    "skew_salted_join_revenue",
     "emb_label_centroids",
     "mm_byte_features",
     "mm_frame_sample",
@@ -177,10 +178,10 @@ def main() -> None:
         "",
         f"Flagged super-linear: {', '.join(flagged) if flagged else 'none'}.",
         "",
-        "`dedup_embedding` is the one intentionally-quadratic operator at",
-        "fixture scale (loose 0.45 cosine threshold, documented in",
-        "`operators/dedup.py`); its 100 TB path is `dedup_embedding_lsh`",
-        "(bucketed candidates, measured above).",
+        "The all-pairs `dedup_embedding` baseline is no longer registered",
+        "(retired from the gate in r4; guard-protected function remains in",
+        "`operators/dedup.py`); the registered 100 TB embedding-dedup path",
+        "is `dedup_embedding_lsh` (bucketed candidates, measured above).",
         "",
     ]
 
