@@ -51,6 +51,7 @@ HEADLINE = [
     "sim_ann_ivf_clustered",
     "text_token_stats",
     "text_pii_redact",
+    "text_repetition",
     "decontaminate_ngrams",
     "text_boilerplate",
     "pipeline_pack_sequences",

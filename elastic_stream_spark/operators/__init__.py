@@ -64,6 +64,7 @@ GATE_ORDER = [
     "pipeline_pack_sequences",
     "pipeline_sample_mix",
     "text_pii_redact",
+    "text_repetition",
     "mm_byte_features",
     "mm_frame_sample",
     "mm_metadata_stats",
@@ -109,12 +110,12 @@ GATE_ORDER = [
     "q10_returned_items",
     "q14_promo_effect",
     "q19_brand_quantity_revenue",
-    "top3_orders_per_customer",
     "asof_join_purchase_click",
     "skew_salted_join_revenue",
     # ---- 50-entry window boundary: everything below was hash-green in
     # both r2 and r3 driver rounds and is re-checked by the committed
     # full-registry self-check each round
+    "top3_orders_per_customer",
     "running_revenue",
     "rollup_revenue",
     "semi_anti_customers",

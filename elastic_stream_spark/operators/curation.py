@@ -52,6 +52,11 @@ PACK_BUDGET = 512  # tokens per packed context window
 RATE_HEX_EVEN, RATE_HEX_ODD = "7fff", "3fff"
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PHONE_RE = r"555-[0-9]{4}"
+# repetition thresholds (word-level analogues of the published Gopher /
+# RefinedWeb repetition filters): flag when >20% of 2-grams are repeats
+# or one token is >30% of the document
+REP_DUP2_MAX = 0.2
+REP_TOPTOK_MAX = 0.3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,12 +257,68 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals — word-level analogues of the published
+    Gopher / RefinedWeb repetition filters: per document, the fraction of
+    2-grams that are repeats (``1 - distinct/total``) and the share of
+    the single most frequent token, flagged past REP_* thresholds.
+
+    Plan: one scan computes token/2-gram counts as array expressions
+    (JVM codegen, no Python); the top-token mode needs a real
+    distribution, so tokens explode into a (doc_id, tok) groupBy —
+    map-side combinable, two key-partitioned shuffles, no window over
+    raw tokens.  Both fractions compare on ROUNDED values so the flag is
+    engine-portable (the DuckDB oracle applies identical rounding)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    base = docs.where(F.size(toks) >= 2).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(grams).alias("n2"),
+        F.size(F.array_distinct(grams)).alias("d2"),
+        F.explode(toks).alias("tok"),
+    )
+    per_tok = base.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("c"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n2").alias("n2"),
+        F.first("d2").alias("d2"),
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n2").alias("n2"),
+        F.first("d2").alias("d2"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            F.round((F.col("n2") - F.col("d2")) / F.col("n2"), 6).alias(
+                "dup_2gram_frac"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_tok_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("dup_2gram_frac") > REP_DUP2_MAX)
+            | (F.col("top_tok_frac") > REP_TOPTOK_MAX),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "text_boilerplate": text_boilerplate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_sample_mix": pipeline_sample_mix,
     "text_pii_redact": text_pii_redact,
+    "text_repetition": text_repetition,
 }
 
 _NGRAMS_SQL = f"""
@@ -356,5 +417,35 @@ ORACLES = {
         SELECT source, count(*) AS n_docs, sum(emails) AS n_emails,
                sum(phones) AS n_phones, sum(delta) AS chars_redacted
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "text_repetition": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), base AS (
+          SELECT doc_id, len(t) AS n_tokens,
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]) AS g2,
+                 t
+          FROM toks WHERE len(t) >= 2
+        ), stats AS (
+          SELECT doc_id, n_tokens, len(g2) AS n2,
+                 len(list_distinct(g2)) AS d2
+          FROM base
+        ), tok_counts AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+          GROUP BY doc_id, tok
+        ), top AS (
+          SELECT doc_id, max(c) AS top_c FROM tok_counts GROUP BY doc_id
+        ), fr AS (
+          SELECT s.doc_id, s.n_tokens,
+                 round((s.n2 - s.d2) * 1.0 / s.n2, 6) AS dup_2gram_frac,
+                 round(t.top_c * 1.0 / s.n_tokens, 6) AS top_tok_frac
+          FROM stats s JOIN top t ON s.doc_id = t.doc_id
+        )
+        SELECT doc_id, n_tokens, dup_2gram_frac, top_tok_frac,
+               (dup_2gram_frac > {REP_DUP2_MAX}
+                OR top_tok_frac > {REP_TOPTOK_MAX}) AS flagged
+        FROM fr ORDER BY doc_id
     """,
 }

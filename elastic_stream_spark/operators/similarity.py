@@ -285,9 +285,14 @@ def sim_ann_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver check (approximate); pruning fraction + recall vs brute force
     asserted in tests on the same derivation."""
     corpus = clustered_corpus(spark, sf_dir)
-    _, _, centroids = train_ivf(
-        corpus, nlist=IVF_CLUSTERED_NLIST, nprobe=IVF_CLUSTERED_NPROBE
-    )
+    key = (sf_dir, "clustered", IVF_CLUSTERED_NLIST, IVF_CLUSTERED_NPROBE)
+    cached = _CENTROID_CACHE.get(key)
+    if cached is None:
+        cached = train_ivf(
+            corpus, nlist=IVF_CLUSTERED_NLIST, nprobe=IVF_CLUSTERED_NPROBE
+        )
+        _CENTROID_CACHE[key] = cached
+    _, _, centroids = cached
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
     )
