@@ -209,8 +209,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(LSH_BANDS)
         ]
     )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    bands = (
+        mh.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        # materialized: the band self-join reads this table twice; without
+        # it both sides recompute the 16-minhash aggregation
+        .localCheckpoint(eager=True)
     )
     a = bands.alias("a")
     b = bands.alias("b")

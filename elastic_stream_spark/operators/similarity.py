@@ -369,7 +369,10 @@ def ann_lsh_candidates(
     any table — the pruned pair space for tight-threshold embedding
     dedup.  The bucket self-join is an equi-join on (table, bucket):
     Catalyst shuffles both sides on the key, candidates ∝ collisions."""
-    sigs = lsh_buckets(emb, dim, k_bits, n_tables, seed)
+    # materialized: both sides of the bucket self-join read the signature
+    # table, and its lineage is the Arrow mapInPandas matmul — compute the
+    # Python stage once, join the checkpointed result
+    sigs = lsh_buckets(emb, dim, k_bits, n_tables, seed).localCheckpoint(eager=True)
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
