@@ -198,12 +198,20 @@ def main() -> None:
     # The max/min spread per query is recorded alongside so a contended
     # run is self-evident in the artifact instead of reading as a
     # regression (burned the whole r2→r3 small-query comparison).
+    import gc
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best, worst, rows = None, None, 0
         for _ in range(2):
+            # release prior queries' localCheckpoint RDDs: the Python-side
+            # DataFrame refs must be GC'd before Spark's ContextCleaner can
+            # drop the materialized blocks from the block manager —
+            # otherwise storage accumulates across the suite and inflates
+            # later (checkpoint-heavy) queries
+            gc.collect()
             t0 = time.time()
             rows = fn(spark, sf_dir).count()
             dt = time.time() - t0
