@@ -100,6 +100,30 @@ def _read_ranges(root: str, stream_id: int) -> list[dict]:
     return [] if data is None else data["ranges"]
 
 
+def fair_split(backlog: dict[int, int], budget: int) -> dict[int, int]:
+    """Waterfall allocation of ``budget`` records over per-stream
+    backlogs, iterating in stream-id order.  Invariants (property-tested):
+    Σ admitted == min(budget, Σ backlog); 0 ≤ admitted[s] ≤ backlog[s];
+    no stream is short-changed unless the budget ran out (any stream left
+    with backlog implies the full budget was spent)."""
+    admitted = {s: 0 for s in backlog}
+    backlog = dict(backlog)
+    remaining = budget
+    while remaining > 0:
+        active = [s for s in sorted(backlog) if backlog[s] > 0]
+        if not active:
+            break
+        share = max(1, remaining // len(active))
+        for s in active:
+            take = min(share, backlog[s], remaining)
+            admitted[s] += take
+            backlog[s] -= take
+            remaining -= take
+            if remaining == 0:
+                break
+    return admitted
+
+
 class StreamLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["root"]
@@ -172,23 +196,7 @@ class StreamLogStreamReader(DataSourceStreamReader):
             s: max(0, _read_next_offset(self.root, s) - base[s])
             for s in self.stream_ids
         }
-        # fair waterfall split of the admission budget across streams with
-        # backlog (stream-id order): total admitted ≤ max_records, and a
-        # stream is only short-changed when the budget genuinely runs out
-        admitted = {s: 0 for s in self.stream_ids}
-        budget = self.max_records
-        while budget > 0:
-            active = [s for s in self.stream_ids if backlog[s] > 0]
-            if not active:
-                break
-            share = max(1, budget // len(active))
-            for s in active:
-                take = min(share, backlog[s], budget)
-                admitted[s] += take
-                backlog[s] -= take
-                budget -= take
-                if budget == 0:
-                    break
+        admitted = fair_split(backlog, self.max_records)
         nxt = {s: base[s] + admitted[s] for s in self.stream_ids}
         self._last = nxt
         return self._to_wire(nxt)

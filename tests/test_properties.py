@@ -141,3 +141,37 @@ def test_kv_matches_model(ops):
         items, more = kv.range(b"", KVStore.FROM_KEY)
         assert not more
         assert {k: v for k, v, _ in items} == model
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    backlog=st.dictionaries(
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.integers(min_value=1, max_value=50_000),
+)
+def test_fair_split_invariants(backlog, budget):
+    """Multi-stream admission allocator (streaming/datasource.py):
+    (1) total admitted == min(budget, total backlog);
+    (2) 0 <= admitted[s] <= backlog[s] per stream;
+    (3) work-conserving: a stream left with backlog implies the whole
+        budget was spent;
+    (4) fairness floor: when every stream has enough backlog, nobody gets
+        less than floor(budget / n_streams)."""
+    from elastic_stream_spark.streaming.datasource import fair_split
+
+    admitted = fair_split(backlog, budget)
+    assert set(admitted) == set(backlog)
+    total = sum(admitted.values())
+    assert total == min(budget, sum(backlog.values()))
+    for s, a in admitted.items():
+        assert 0 <= a <= backlog[s]
+    if total < sum(backlog.values()):
+        assert total == budget
+    n = len(backlog)
+    floor_share = budget // n
+    if floor_share and all(b >= floor_share for b in backlog.values()):
+        assert all(a >= floor_share for a in admitted.values()), admitted
