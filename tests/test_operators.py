@@ -474,3 +474,40 @@ def test_registered_ivf_clustered_prunes_4x_with_recall(spark):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.8, f"registered IVF gate recall {recall:.2f} too low"
+
+
+def test_text_ops_edge_corpora(spark, workdir):
+    """Guard behavior on degenerate documents (empty text, single token,
+    exactly-n tokens, heavy repetition): no op may throw, shingle/n-gram
+    guards must exclude too-short docs, and the repetition signals must
+    flag the pathological doc and pass the clean one."""
+    import pyspark.sql.functions as F  # noqa: F401 (parity with module style)
+
+    rows = [
+        (0, "", "en", "s0", 0),
+        (1, "one", "en", "s0", 3),
+        (2, "two words", "en", "s0", 9),
+        (3, "three word doc", "en", "s1", 14),
+        (4, "spam spam spam spam spam spam spam spam", "en", "s1", 39),
+        (5, "a perfectly normal sentence with several distinct words", "en", "s1", 55),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(f"{workdir}/documents.parquet")
+
+    from elastic_stream_spark.operators.curation import text_repetition
+    from elastic_stream_spark.operators.dedup import dedup_exact, ngram_pair_set
+    from elastic_stream_spark.operators.text import text_token_stats
+
+    # shingle-based pair set: docs 0-2 have < 3 tokens -> no shingles, no pairs
+    assert ngram_pair_set(spark, workdir).count() == 0
+    # exact dedup: no duplicate fingerprints among distinct texts
+    assert dedup_exact(spark, workdir).count() == 0
+    # token stats: must not throw on the empty doc
+    assert text_token_stats(spark, workdir).count() > 0
+
+    rep = {r.doc_id: r for r in text_repetition(spark, workdir).collect()}
+    # <2-token docs are excluded by the guard
+    assert 0 not in rep and 1 not in rep
+    assert rep[4].flagged and rep[4].top_tok_frac == 1.0
+    assert not rep[5].flagged
