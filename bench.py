@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_embedding_lsh",
     "pipeline_keep_list",
+    "pipeline_curation_verdict",
     "sim_topk_bruteforce",
     "sim_ann_ivf_clustered",
     "text_token_stats",

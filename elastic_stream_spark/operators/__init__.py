@@ -77,6 +77,7 @@ GATE_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "pipeline_keep_list",
+    "pipeline_curation_verdict",
     # core stream surface (SURVEY §2 rows cite these driver rows directly)
     "resource_latest_state",
     "fetch_range",
@@ -100,7 +101,6 @@ GATE_ORDER = [
     "text_token_stats",
     "text_quality_score",
     "text_langid",
-    "text_fingerprint",
     # relational marquee set
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -115,6 +115,7 @@ GATE_ORDER = [
     # ---- 50-entry window boundary: everything below was hash-green in
     # both r2 and r3 driver rounds and is re-checked by the committed
     # full-registry self-check each round
+    "text_fingerprint",
     "top3_orders_per_customer",
     "running_revenue",
     "rollup_revenue",

@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from elastic_stream_spark.functions.textfns import bow_fingerprint
+from elastic_stream_spark.operators.curation import EVAL_MOD as CUR_EVAL_MOD
+from elastic_stream_spark.operators.curation import NGRAM_N as CUR_NGRAM_N
+from elastic_stream_spark.operators.curation import REP_DUP2_MAX, REP_TOPTOK_MAX
 from elastic_stream_spark.operators.dedup import CAPPED_PAIRS_SQL, ngram_pair_set
 from elastic_stream_spark.operators.text import QUALITY_SQL, quality_score_col
 from elastic_stream_spark.sources.envelope import load_table_balanced
@@ -174,9 +177,69 @@ def pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pipeline_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE per-document curation verdict — every signal the
+    pipeline computes, joined into the one table a training run consumes:
+    quality score, eval-holdout membership, exact-duplicate flag, near-dup
+    flag (CC cluster non-representative), eval-set contamination
+    (shared word-5-gram), repetition flags (Gopher-style), and the final
+    ``keep`` decision (not eval, quality ≥ 0.5, none of the flags).
+
+    Plan: the corpus scan computes (q, fp) once; each flag table is a
+    key-partitioned left join on doc_id — fingerprint window, CC fixpoint,
+    decontamination equi-join, repetition groupBys — all bounded, no
+    collects, every join on the same key so AQE coalesces the final
+    assembly."""
+    from elastic_stream_spark.operators.curation import (
+        EVAL_MOD,
+        decontaminate_ngrams,
+        text_repetition,
+    )
+
+    docs = load_table_balanced(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_col().alias("q"), bow_fingerprint("text").alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    flagged = docs.withColumn("fp_keep", F.min("doc_id").over(w))
+    comp = connected_components(ngram_pair_set(spark, sf_dir))
+    contam = decontaminate_ngrams(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated_t")
+    )
+    rep = text_repetition(spark, sf_dir).select(
+        "doc_id", F.col("flagged").alias("repetitive_t")
+    )
+    out = (
+        flagged.join(comp, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "q",
+            (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+            (F.col("doc_id") != F.col("fp_keep")).alias("exact_dup"),
+            (
+                F.col("cluster_id").isNotNull()
+                & (F.col("doc_id") != F.col("cluster_id"))
+            ).alias("near_dup"),
+            F.coalesce("contaminated_t", F.lit(False)).alias("contaminated"),
+            F.coalesce("repetitive_t", F.lit(False)).alias("repetitive"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        ~F.col("is_eval")
+        & (F.col("q") >= 0.5)
+        & ~F.col("exact_dup")
+        & ~F.col("near_dup")
+        & ~F.col("contaminated")
+        & ~F.col("repetitive"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "pipeline_keep_list": pipeline_keep_list,
+    "pipeline_curation_verdict": pipeline_curation_verdict,
 }
 
 # Recursive min-label fixpoint over the same verified pair set the Spark
@@ -229,5 +292,75 @@ ORACLES = {
                q >= 0.5 AND NOT exact_dup AND NOT near_dup AS keep
         FROM flagged
         ORDER BY doc_id
+    """,
+    # full verdict: CC fixpoint + quality + fingerprints + 5-gram eval
+    # decontamination + repetition flags, assembled exactly like the Spark
+    # plan (r-prefixed CTEs avoid collisions with the pair-set fragment,
+    # which already defines `toks`)
+    "pipeline_curation_verdict": f"""
+        WITH RECURSIVE {_CC_SQL},
+        {QUALITY_SQL},
+        fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(text), ' '))), ' ')) AS fp
+          FROM documents
+        ),
+        ng5 AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {CUR_NGRAM_N - 1}),
+                   i -> array_to_string(t[i:i+{CUR_NGRAM_N - 1}], ' ')))) AS g
+          FROM toks WHERE len(t) >= {CUR_NGRAM_N}
+        ),
+        eval_ng AS (
+          SELECT DISTINCT g FROM ng5 WHERE doc_id % {CUR_EVAL_MOD} = 0
+        ),
+        decon AS (
+          SELECT DISTINCT n.doc_id FROM ng5 n JOIN eval_ng e USING (g)
+          WHERE n.doc_id % {CUR_EVAL_MOD} != 0
+        ),
+        rbase AS (
+          SELECT doc_id, len(t) AS n_tokens,
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]) AS g2,
+                 t
+          FROM toks WHERE len(t) >= 2
+        ),
+        rstats AS (
+          SELECT doc_id, n_tokens, len(g2) AS n2,
+                 len(list_distinct(g2)) AS d2
+          FROM rbase
+        ),
+        rtok AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS tok FROM rbase)
+          GROUP BY doc_id, tok
+        ),
+        rtop AS (SELECT doc_id, max(c) AS top_c FROM rtok GROUP BY doc_id),
+        rflag AS (
+          SELECT s.doc_id,
+                 (round((s.n2 - s.d2) * 1.0 / s.n2, 6) > {REP_DUP2_MAX}
+                  OR round(t.top_c * 1.0 / s.n_tokens, 6) > {REP_TOPTOK_MAX})
+                   AS repetitive
+          FROM rstats s JOIN rtop t ON s.doc_id = t.doc_id
+        ),
+        verdict AS (
+          SELECT f.doc_id, q.q,
+                 f.doc_id % {CUR_EVAL_MOD} = 0 AS is_eval,
+                 f.doc_id <> min(f.doc_id) OVER (PARTITION BY f.fp) AS exact_dup,
+                 c.cluster_id IS NOT NULL AND f.doc_id <> c.cluster_id AS near_dup,
+                 d.doc_id IS NOT NULL AS contaminated,
+                 coalesce(r.repetitive, FALSE) AS repetitive
+          FROM fp f
+          JOIN q_per_doc q ON f.doc_id = q.doc_id
+          LEFT JOIN comp c ON f.doc_id = c.doc_id
+          LEFT JOIN decon d ON f.doc_id = d.doc_id
+          LEFT JOIN rflag r ON f.doc_id = r.doc_id
+        )
+        SELECT doc_id, q, is_eval, exact_dup, near_dup, contaminated,
+               repetitive,
+               NOT is_eval AND q >= 0.5 AND NOT exact_dup AND NOT near_dup
+                 AND NOT contaminated AND NOT repetitive AS keep
+        FROM verdict ORDER BY doc_id
     """,
 }
