@@ -50,6 +50,7 @@ HEADLINE = [
     "pipeline_curation_verdict",
     "sim_topk_bruteforce",
     "sim_ann_ivf_clustered",
+    "sim_ann_ivf_pq",
     "text_token_stats",
     "text_pii_redact",
     "text_repetition",

@@ -74,6 +74,7 @@ GATE_ORDER = [
     "stream_dedup_events",
     "event_gaps_lag",
     "sim_ann_ivf_clustered",
+    "sim_ann_ivf_pq",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "pipeline_keep_list",
@@ -100,7 +101,6 @@ GATE_ORDER = [
     "emb_label_centroids",
     "text_token_stats",
     "text_quality_score",
-    "text_langid",
     # relational marquee set
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -115,6 +115,7 @@ GATE_ORDER = [
     # ---- 50-entry window boundary: everything below was hash-green in
     # both r2 and r3 driver rounds and is re-checked by the committed
     # full-registry self-check each round
+    "text_langid",
     "text_fingerprint",
     "top3_orders_per_customer",
     "running_revenue",

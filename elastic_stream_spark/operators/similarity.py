@@ -317,6 +317,190 @@ def sim_ann_ivf(
     return ivf_topk(emb, queries, centroids, nprobe)
 
 
+# ------------------------------------------------------------- IVF-PQ
+
+PQ_M = 8  # subquantizers (dim 64 → 8-dim subvectors)
+PQ_K = 16  # codes per subquantizer (4-bit) → 8 bytes/vector
+PQ_REFINE = 8  # exact re-rank depth = k · PQ_REFINE (shortlist 40 for k=5)
+PQ_TRAIN_SAMPLE = 1000
+PQ_KMEANS_ITERS = 10
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = 0,
+    sample_size: int = PQ_TRAIN_SAMPLE,
+) -> list[list[list[float]]]:
+    """``codebooks[m][k][dsub]`` — per-subvector k-means on a bounded
+    deterministic driver-side sample (the faiss PQ training recipe; the
+    sample is O(k·m), independent of corpus size)."""
+    import numpy as np
+
+    n = emb.count()
+    stride = max(1, n // min(n, sample_size))
+    rows = (
+        emb.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["u"] for r in rows], dtype=np.float64)
+    dsub = X.shape[1] // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for mi in range(m):
+        S = X[:, mi * dsub : (mi + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(k, len(S)), replace=False)].copy()
+        for _ in range(PQ_KMEANS_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(len(C)):
+                members = S[a == c]
+                if len(members):
+                    C[c] = members.mean(0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: list) -> DataFrame:
+    """(vec_id, code ARRAY<INT>) — Arrow-batched nearest-code assignment
+    per subvector; the encoded corpus is what a 100 TB index stores
+    (8 bytes/vector here vs 512 for the raw float64 array)."""
+    import numpy as np
+    import pandas as pd
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = [np.array(b) for b in codebooks]
+        m = len(B)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["u"].tolist(), dtype=np.float64)
+            dsub = X.shape[1] // m
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for mi in range(m):
+                S = X[:, mi * dsub : (mi + 1) * dsub]
+                d2 = ((S[:, None, :] - B[mi][None, :, :]) ** 2).sum(-1)
+                codes[:, mi] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": list(codes.tolist())}
+            )
+
+    return emb.select("vec_id", "u").mapInPandas(
+        enc, schema="vec_id BIGINT, code ARRAY<INT>"
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    codebooks: list,
+    k: int = TOP_K,
+    refine: int = PQ_REFINE,
+) -> DataFrame:
+    """IVF-PQ with asymmetric-distance scoring + exact re-rank (the
+    standard faiss serving path): candidates come from the ``nprobe``
+    probed cells as PQ CODES only — the scoring join never moves the raw
+    vectors, which is the memory/shuffle story at 100 TB — each query
+    group builds its m×k dot-product lookup table once and scores every
+    candidate with m table adds, then the top k·refine shortlist joins
+    back to the raw vectors for an exact cosine re-rank."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    assigned = ivf_assign(emb, centroids)
+    codes = pq_encode(emb, codebooks)
+    cand = (
+        assigned.select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .repartition(32, "cell")
+    )
+    cdf = _centroid_df(spark, centroids)
+    qcell = queries.join(F.broadcast(cdf)).select(
+        "query_id", "qu", "cell", dot(F.col("qu"), F.col("cu")).alias("sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probes = (
+        qcell.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qu", "cell")
+    )
+    cands = cand.join(F.broadcast(probes), "cell").select(
+        "query_id", "qu", "vec_id", "code"
+    )
+    top_n = k * refine
+
+    def adc(pdf: pd.DataFrame) -> pd.DataFrame:
+        B = [np.array(b) for b in codebooks]
+        m = len(B)
+        q = np.array(pdf["qu"].iloc[0], dtype=np.float64)
+        dsub = len(q) // m
+        # LUT[mi][code] = q_mi · c_mi,code (unit vectors ⇒ cosine adds)
+        lut = np.stack([B[mi] @ q[mi * dsub : (mi + 1) * dsub] for mi in range(m)])
+        codes_np = np.array(pdf["code"].tolist(), dtype=np.int64)
+        approx = lut[np.arange(m)[None, :], codes_np].sum(1)
+        # deterministic shortlist: by (-approx, vec_id)
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -approx))[:top_n]
+        return pdf.iloc[order][["query_id", "vec_id"]]
+
+    short = cands.groupBy("query_id").applyInPandas(
+        adc, schema="query_id BIGINT, vec_id BIGINT"
+    )
+    ua = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
+    qs = queries.select("query_id", "qu")
+    rer = (
+        short.withColumnRenamed("vec_id", "neighbor_id")
+        .join(ua, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qu"), F.col("nu")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+_PQ_CACHE: dict[tuple, list] = {}
+
+
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF-PQ on the planted-cluster corpus:
+    nprobe/nlist = 1/4 cell pruning AND 64× vector compression (8-byte
+    codes), exact re-rank of the 4k-deep shortlist.  Rows-only driver
+    check (approximate); recall ≥ 0.8 vs brute force asserted in tests
+    on the same derivation."""
+    corpus = clustered_corpus(spark, sf_dir)
+    ckey = (sf_dir, "clustered", IVF_CLUSTERED_NLIST, IVF_CLUSTERED_NPROBE)
+    cached = _CENTROID_CACHE.get(ckey)
+    if cached is None:
+        cached = train_ivf(
+            corpus, nlist=IVF_CLUSTERED_NLIST, nprobe=IVF_CLUSTERED_NPROBE
+        )
+        _CENTROID_CACHE[ckey] = cached
+    _, _, centroids = cached
+    pkey = (sf_dir, "clustered-pq", PQ_M, PQ_K)
+    books = _PQ_CACHE.get(pkey)
+    if books is None:
+        books = train_pq(corpus)
+        _PQ_CACHE[pkey] = books
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    return ivf_pq_topk(corpus, queries, centroids, IVF_CLUSTERED_NPROBE, books)
+
+
 # --------------------------------------------------------------- LSH
 
 def lsh_buckets(
@@ -501,6 +685,7 @@ QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_clustered": sim_ann_ivf_clustered,
+    "sim_ann_ivf_pq": sim_ann_ivf_pq,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "emb_label_centroids": emb_label_centroids,
 }

@@ -511,3 +511,41 @@ def test_text_ops_edge_corpora(spark, workdir):
     assert 0 not in rep and 1 not in rep
     assert rep[4].flagged and rep[4].top_tok_frac == 1.0
     assert not rep[5].flagged
+
+
+def test_ivf_pq_recall_with_compressed_scoring(spark):
+    """IVF-PQ (registered sim_ann_ivf_pq): 4-bit-per-subvector codes
+    (8 bytes/vector, 64x compression) scored via per-query lookup tables
+    over nprobe/nlist = 1/4 probed cells, exact re-rank of the k*4
+    shortlist — recall vs brute force must still reach 0.8 on the
+    clustered derivation, and the shortlist must respect its depth."""
+    from pyspark.sql.window import Window
+
+    from elastic_stream_spark.functions.vectorfns import dot
+    from elastic_stream_spark.operators.similarity import (
+        N_QUERIES,
+        clustered_corpus,
+        sim_ann_ivf_pq,
+    )
+
+    corpus = clustered_corpus(spark, SF_DIR)
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    cb = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
+    scored = cb.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", dot(F.col("qu"), F.col("nu")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5).collect()
+    )
+    approx = sim_ann_ivf_pq(spark, SF_DIR).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} too low"
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in approx_set)
+    assert all(v <= 5 for v in per_q.values())
