@@ -176,3 +176,14 @@ def test_bucketed_join_runs_with_zero_exchanges(spark, workdir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_od")
+
+
+def test_curation_verdict_joins_stay_keyed(spark):
+    """The full curation verdict assembles five signal tables: every join
+    must stay keyed (doc_id / n-gram / shingle equi-joins) — no cartesian
+    or broadcast-nested-loop anywhere in the composite plan."""
+    from elastic_stream_spark.operators.pipeline import pipeline_curation_verdict
+
+    plan = plan_of(pipeline_curation_verdict(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
