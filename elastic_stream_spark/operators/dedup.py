@@ -442,6 +442,43 @@ ORACLES = {
     # LSH-verified output provably equals the brute-force pair set on this
     # corpus (recall argument in the docstring) — same oracle.
     "dedup_minhash_lsh": _JACCARD_ORACLE,
+    # full bit-exact oracle (long-form bit sums; DuckDB parses the md5
+    # prefix via '0x'-cast and provides xor/bit_count/shifts) — upgraded
+    # from a rows-only check once the bit ops proved expressible
+    "dedup_simhash": """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+          FROM toks
+        ), bits AS (
+          SELECT doc_id, j.j,
+                 sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h, (SELECT unnest(generate_series(0, 59)) AS j) j
+          GROUP BY doc_id, j.j
+        ), sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                      AS BIGINT) AS sig
+          FROM bits GROUP BY doc_id
+        ), chunks AS (
+          SELECT doc_id, sig, c.c AS chunk, (sig >> (c.c * 15)) & 32767 AS val
+          FROM sigs, (SELECT unnest(generate_series(0, 3)) AS c) c
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sig AS sig_a, b.sig AS sig_b
+          FROM chunks a
+          JOIN chunks b
+            ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        ORDER BY doc_a, doc_b
+    """,
 }
 
 # Oracle for the unregistered exact path (kept for tests/selfcheck of the

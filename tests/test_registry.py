@@ -54,9 +54,8 @@ def test_every_query_has_oracle_or_documented_exemption():
     qs = all_queries()
     oracles = all_oracles()
     no_oracle = {n for n in qs if n not in oracles}
-    # approximate / bit-parallel ops exempt by design (rows-only check)
+    # approximate ops exempt by design (rows-only check)
     assert no_oracle == {
-        "dedup_simhash",
         "sim_ann_ivf",
         "sim_ann_ivf_clustered",
         "sim_ann_ivf_pq",
