@@ -51,10 +51,13 @@ PROBE = [
     "decontaminate_ngrams",
     "pipeline_pack_sequences",
     "pipeline_sample_mix",
+    "pipeline_curation_verdict",
     "text_token_stats",
     "text_pii_redact",
+    "text_repetition",
     "sim_topk_bruteforce",
     "sim_ann_ivf_clustered",
+    "sim_ann_ivf_pq",
     "skew_salted_join_revenue",
     "emb_label_centroids",
     "mm_byte_features",
@@ -79,7 +82,9 @@ AMP_PROBE = [
     "decontaminate_ngrams",
     "text_token_stats",
     "text_pii_redact",
+    "text_repetition",
     "pipeline_pack_sequences",
+    "pipeline_curation_verdict",
 ]
 
 
