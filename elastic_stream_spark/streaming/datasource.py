@@ -28,6 +28,7 @@ Usage::
            .option("streamId", 3)            # or .option("streamIds", "3,7,9")
            .option("startOffset", 0)
            .option("maxRecordsPerTrigger", 500)
+           .option("maxBytesPerTrigger", 1_000_000)  # optional, approximate
            .load())
 
 Multi-stream subscription (≙ FETCH's N-streams-per-request batching,
@@ -100,6 +101,24 @@ def _read_ranges(root: str, stream_id: int) -> list[dict]:
     return [] if data is None else data["ranges"]
 
 
+def _stream_disk_stats(root: str, stream_id: int) -> tuple[int, int]:
+    """(total_bytes, total_files) across the stream's range directories —
+    driver-side os.scandir only, no data read.  Used to estimate average
+    on-disk bytes/record for the byte-budget admission knob."""
+    base = os.path.join(root, "records", f"stream_id={stream_id}")
+    total = files = 0
+    if not os.path.isdir(base):
+        return 0, 0
+    for rng in os.scandir(base):
+        if not rng.is_dir():
+            continue
+        for f in os.scandir(rng.path):
+            if f.name.endswith(".parquet"):
+                total += f.stat().st_size
+                files += 1
+    return total, files
+
+
 def fair_split(backlog: dict[int, int], budget: int) -> dict[int, int]:
     """Waterfall allocation of ``budget`` records over per-stream
     backlogs, iterating in stream-id order.  Invariants (property-tested):
@@ -148,6 +167,17 @@ class StreamLogStreamReader(DataSourceStreamReader):
         self.max_records = int(options.get("maxrecordspertrigger", 1 << 31))
         if self.max_records <= 0:
             raise ValueError("maxRecordsPerTrigger must be positive")
+        # byte admission (≙ FETCH's max_bytes budget, docs/sbp.md:220-285):
+        # approximate — converted to per-stream record caps using the
+        # stream's average ON-DISK bytes/record (parquet file sizes over
+        # committed records; driver-side metadata scan, cached per
+        # next_offset).  Whole records only, and any stream with backlog
+        # is admitted at least one record per trigger (the reference's
+        # fetch returns one batch even when it alone exceeds the budget).
+        self.max_bytes = int(options.get("maxbytespertrigger", 0)) or None
+        if self.max_bytes is not None and self.max_bytes <= 0:
+            raise ValueError("maxBytesPerTrigger must be positive")
+        self._avg_cache: dict[int, tuple[int, float]] = {}
         # Subscription progress (≙ the consumer-group offset the reference
         # keeps in PD KV): ``latestOffset`` takes no start argument in the
         # Python source protocol, so the admitted window's base is tracked
@@ -197,9 +227,55 @@ class StreamLogStreamReader(DataSourceStreamReader):
             for s in self.stream_ids
         }
         admitted = fair_split(backlog, self.max_records)
+        if self.max_bytes is not None:
+            admitted = self._apply_byte_cap(admitted, backlog)
         nxt = {s: base[s] + admitted[s] for s in self.stream_ids}
         self._last = nxt
         return self._to_wire(nxt)
+
+    def _avg_record_bytes(self, sid: int) -> float | None:
+        """Average on-disk bytes per committed record, cached until the
+        stream's next_offset moves (sealed data is immutable, so the
+        estimate only improves as new ranges land)."""
+        committed = _read_next_offset(self.root, sid)
+        if committed <= 0:
+            return None
+        hit = self._avg_cache.get(sid)
+        if hit is not None and hit[0] == committed:
+            return hit[1]
+        total_bytes, files = _stream_disk_stats(self.root, sid)
+        if files == 0 or total_bytes <= 0:
+            return None
+        avg = total_bytes / committed
+        self._avg_cache[sid] = (committed, avg)
+        return avg
+
+    def _apply_byte_cap(
+        self, admitted: dict[int, int], backlog_left: dict[int, int]
+    ) -> dict[int, int]:
+        """Tighten the record-split so estimated on-disk bytes stay within
+        ``max_bytes``: the byte budget is fair-split the same way as the
+        record budget, converted per stream via its bytes/record average;
+        every stream keeps ≥1 admitted record if it had any."""
+        byte_backlog = {}
+        avgs = {}
+        for s, rec in admitted.items():
+            avg = self._avg_record_bytes(s)
+            avgs[s] = avg
+            byte_backlog[s] = int(rec * avg) if (avg and rec > 0) else 0
+        byte_share = fair_split(byte_backlog, self.max_bytes)
+        out = {}
+        for s, rec in admitted.items():
+            avg = avgs[s]
+            if rec == 0 or avg is None:
+                out[s] = rec  # no estimate → record cap alone governs
+                continue
+            # nearest whole record: the budget is an estimate already
+            # (on-disk average), so strict flooring would only compound
+            # truncation; ≥1 keeps the first-record guarantee
+            cap = max(1, int(byte_share[s] / avg + 0.5))
+            out[s] = min(rec, cap)
+        return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo_map, hi_map = self._from_wire(start), self._from_wire(end)

@@ -697,3 +697,50 @@ def test_multi_stream_subscription_admission_and_union(spark, log):
         + [(s3, o) for o in range(2)]
     )
     assert [(r_.stream_id, r_.offset) for r_ in got] == expect
+
+
+def test_byte_budget_admission_stream_log(spark, log):
+    """maxBytesPerTrigger (≙ FETCH's max_bytes, docs/sbp.md:220-285):
+    the admission window tightens to ~budget/avg_record_bytes records per
+    trigger (whole records, ≥1 for any stream with backlog), estimated
+    from on-disk range stats — no data read at planning time."""
+    from elastic_stream_spark.streaming.datasource import StreamLogStreamReader
+
+    sid = log.catalog.create_stream().stream_id
+    log.append(sid, _events(spark, 12))
+
+    probe = StreamLogStreamReader(
+        {"root": log.catalog.root, "streamid": str(sid)}
+    )
+    avg = probe._avg_record_bytes(sid)
+    assert avg and avg > 0
+
+    r = StreamLogStreamReader(
+        {
+            "root": log.catalog.root,
+            "streamid": str(sid),
+            "maxbytespertrigger": str(int(avg * 3)),
+        }
+    )
+    # each trigger admits ~3 records (cap floor(3·avg / avg) = 3)
+    assert r.latestOffset() == {"offset": 3}
+    assert r.latestOffset() == {"offset": 6}
+    # record cap composes: the tighter of the two governs
+    r2 = StreamLogStreamReader(
+        {
+            "root": log.catalog.root,
+            "streamid": str(sid),
+            "maxrecordspertrigger": "2",
+            "maxbytespertrigger": str(int(avg * 5)),
+        }
+    )
+    assert r2.latestOffset() == {"offset": 2}
+    # budget below one record still admits exactly one (whole-record floor)
+    r3 = StreamLogStreamReader(
+        {
+            "root": log.catalog.root,
+            "streamid": str(sid),
+            "maxbytespertrigger": str(max(1, int(avg // 2))),
+        }
+    )
+    assert r3.latestOffset() == {"offset": 1}
