@@ -360,7 +360,7 @@ ORACLES = {
           HAVING count(DISTINCT doc_id) >= {BOILER_DF}
         )
         SELECT seg.doc_id, count(*) AS n_boiler_segments,
-               sum(len(string_split(seg.s, ' '))) AS tokens_removed
+               CAST(sum(len(string_split(seg.s, ' '))) AS BIGINT) AS tokens_removed
         FROM seg JOIN boiler USING (s)
         GROUP BY seg.doc_id ORDER BY seg.doc_id
     """,
@@ -386,7 +386,8 @@ ORACLES = {
                    / {PACK_BUDGET}) AS BIGINT) AS bin
           FROM docs
         )
-        SELECT source, bin, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        SELECT source, bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM binned GROUP BY source, bin ORDER BY source, bin
     """,
     "pipeline_sample_mix": f"""
@@ -398,7 +399,7 @@ ORACLES = {
                       THEN 1 ELSE 0 END AS kept
           FROM documents
         )
-        SELECT source, count(*) AS n_total, sum(kept) AS n_kept,
+        SELECT source, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
                round(sum(kept) * 1.0 / count(*), 4) AS kept_frac
         FROM gated GROUP BY source ORDER BY source
     """,
@@ -414,8 +415,10 @@ ORACLES = {
                    AS delta
           FROM dirty
         )
-        SELECT source, count(*) AS n_docs, sum(emails) AS n_emails,
-               sum(phones) AS n_phones, sum(delta) AS chars_redacted
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(emails) AS BIGINT) AS n_emails,
+               CAST(sum(phones) AS BIGINT) AS n_phones,
+               CAST(sum(delta) AS BIGINT) AS chars_redacted
         FROM per_doc GROUP BY source ORDER BY source
     """,
     "text_repetition": f"""

@@ -2,6 +2,17 @@
 entry on Spark and its oracle_sql() on DuckDB, compare row-count + schema
 + order-insensitive values.
 
+STRICT comparator (round 5): both frames are rendered to canonical
+per-cell strings (ints without ``.0``, floats via shortest-round-trip
+repr, NULL for missing) and compared EXACTLY — no atol, no dtype
+coercion — plus a per-column dtype-KIND parity check (int vs float is a
+failure even when the values are numerically equal, because the driver's
+hash sees ``123`` vs ``123.0``).  Round 4 proved the need: the previous
+lenient compare (check_dtype=False + atol) green-lit four queries whose
+DuckDB oracles aggregated integers with ``sum()`` — DuckDB returns
+HUGEINT, pandas materializes float64, and the driver's exact hash failed
+on all four while this tool said OK.
+
 Usage: python tools/compare.py [--json OUT.json] [sf_dir] [query ...]
 
 With --json, writes a driver-style artifact (rows_match / schema_match /
@@ -14,8 +25,10 @@ from __future__ import annotations
 
 import sys
 import time
+from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, ".")
@@ -33,14 +46,82 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _canon_cell(v) -> str:
+    """Canonical string for one cell — the comparison currency.  Ints
+    render without a decimal point; floats via repr (shortest round-trip,
+    so an integral float keeps its ``.0`` and CANNOT collide with an
+    int); NULL/NaN uniformly as ``NULL``."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
+            return "NULL"
+        return repr(f)
+    if isinstance(v, Decimal):
+        return format(v, "f")
+    if isinstance(v, pd.Timestamp):
+        return (v.tz_localize(None) if v.tzinfo else v).isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if v is pd.NaT or (isinstance(v, float) and v != v):
+        return "NULL"
+    return str(v)
+
+
+def _col_kind(s: pd.Series) -> str:
+    """Dtype KIND for parity checking: int/float/bool/datetime/str/list/
+    decimal/bytes.  Object columns classify by their first non-null
+    value; an all-null or empty column is 'unknown' (matches anything —
+    there are no values to hash differently)."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    nn = s.dropna()
+    if not len(nn):
+        return "unknown"
+    v = nn.iloc[0]
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, pd.Timestamp):
+        return "datetime"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "list"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    return "str"
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Columns sorted by name, every cell rendered canonical, rows sorted
+    by all columns — mirrors the driver's sort-columns-then-hash-values
+    methodology."""
     df = df[sorted(df.columns)]
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    out = pd.DataFrame(
+        {c: [_canon_cell(v) for v in df[c].tolist()] for c in df.columns},
+        dtype=str,
+    )
+    if len(out):
+        out = out.sort_values(list(out.columns)).reset_index(drop=True)
+    return out
 
 
 def compare_one(name, qfn, sql, spark, con, sf_dir) -> dict:
@@ -60,31 +141,39 @@ def compare_one(name, qfn, sql, spark, con, sf_dir) -> dict:
         out["spark_cols"] = sorted(sdf.columns)
         out["oracle_cols"] = sorted(odf.columns)
         return out
-    a, b = normalize(sdf), normalize(odf)
-    if len(a) != len(b):
+    if len(sdf) != len(odf):
         out["status"] = "ROWCOUNT-MISMATCH"
         return out
-    try:
-        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+    kinds_bad = {}
+    for c in sorted(sdf.columns):
+        ks, ko = _col_kind(sdf[c]), _col_kind(odf[c])
+        if "unknown" not in (ks, ko) and ks != ko:
+            kinds_bad[c] = f"spark={ks} oracle={ko}"
+    if kinds_bad:
+        out["status"] = "DTYPE-MISMATCH"
+        out["dtype_diffs"] = kinds_bad
+        return out
+    a, b = canonicalize(sdf), canonicalize(odf)
+    if a.equals(b):
         out["status"] = "OK"
-    except AssertionError as e:
-        out["status"] = "VALUE-MISMATCH"
-        out["detail"] = str(e).split("\n")[0:6]
-        # show first differing rows
-        neq = (a != b) & ~(a.isna() & b.isna())
-        bad = neq.any(axis=1)
-        if bad.any():
-            i = bad.idxmax()
-            out["first_diff"] = {
-                "row": int(i),
-                "spark": a.loc[i].to_dict(),
-                "oracle": b.loc[i].to_dict(),
-            }
+        return out
+    out["status"] = "VALUE-MISMATCH"
+    neq = (a != b)
+    bad = neq.any(axis=1)
+    if bad.any():
+        i = bad.idxmax()
+        out["first_diff"] = {
+            "row": int(i),
+            "spark": a.loc[i].to_dict(),
+            "oracle": b.loc[i].to_dict(),
+        }
     return out
 
 
 def _driver_row(res: dict) -> dict:
-    """Map a compare result to the driver's CORRECTNESS row shape."""
+    """Map a compare result to the driver's CORRECTNESS row shape.
+    rows_match is only reported True/False when the comparison actually
+    reached the row-count check (None for schema mismatches — unknown)."""
     status = res.get("status")
     if status == "rows-only":
         return {
@@ -104,9 +193,18 @@ def _driver_row(res: dict) -> dict:
             "oracle_rows": None,
             "err": res.get("error"),
         }
+    if status == "SCHEMA-MISMATCH":
+        return {
+            "rows_match": None,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": res.get("spark_rows"),
+            "oracle_rows": res.get("oracle_rows"),
+            "err": status,
+        }
     return {
-        "rows_match": status not in ("ROWCOUNT-MISMATCH",),
-        "schema_match": status != "SCHEMA-MISMATCH",
+        "rows_match": status != "ROWCOUNT-MISMATCH",
+        "schema_match": True,
         "hash_match": status == "OK",
         "spark_rows": res.get("spark_rows"),
         "oracle_rows": res.get("oracle_rows"),
