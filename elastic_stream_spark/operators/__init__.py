@@ -57,64 +57,9 @@ def _modules():
 # CORRECTNESS_FULL_r{N}.json) — so nothing is ever dark, only riding on
 # prior driver rounds + the reproducible local gate.
 GATE_ORDER = [
-    # never / not-recently driver-checked first (curation, multimodal,
-    # streaming — the r3 dark set), then this round's changed operators
-    "decontaminate_ngrams",
-    "text_boilerplate",
-    "pipeline_pack_sequences",
-    "pipeline_sample_mix",
-    "text_pii_redact",
-    "text_repetition",
-    "mm_byte_features",
-    "mm_frame_sample",
-    "mm_metadata_stats",
-    "tumbling_window_counts",
-    "sliding_window_stats",
-    "session_windows",
-    "stream_dedup_events",
-    "event_gaps_lag",
-    "sim_ann_ivf_clustered",
-    "sim_ann_ivf_pq",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "pipeline_keep_list",
-    "pipeline_curation_verdict",
-    # core stream surface (SURVEY §2 rows cite these driver rows directly)
-    "resource_latest_state",
-    "fetch_range",
-    "describe_streams",
-    "list_ranges",
-    "trim_fetch",
-    "offset_accounting",
-    "offset_for_timestamp",
-    "kv_range_scan",
-    "list_resources",
-    "list_objects",
-    "payload_decode",
-    # dedup / similarity / text families
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "sim_topk_bruteforce",
-    "sim_ann_ivf",
-    "emb_label_centroids",
-    "text_token_stats",
-    "text_quality_score",
-    # relational marquee set
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q19_brand_quantity_revenue",
-    "asof_join_purchase_click",
-    "skew_salted_join_revenue",
-    # ---- 50-entry window boundary: everything below was hash-green in
-    # both r2 and r3 driver rounds and is re-checked by the committed
-    # full-registry self-check each round
+    # r5 rotation: the 16 queries whose last driver row is r3 (the r4
+    # beyond-window set) rotate back through the gate first, so every
+    # registry query keeps a driver row ≤ 2 rounds old
     "text_langid",
     "text_fingerprint",
     "top3_orders_per_customer",
@@ -131,6 +76,69 @@ GATE_ORDER = [
     "cube_revenue",
     "price_quantiles_by_flag",
     "acctbal_quartiles",
+    # changed this round: fixed oracles (BIGINT casts), new IVF oracles,
+    # ADVICE code changes — all need a fresh driver row
+    "text_boilerplate",
+    "pipeline_pack_sequences",
+    "pipeline_sample_mix",
+    "text_pii_redact",
+    "sim_ann_ivf_clustered",
+    "sim_ann_ivf_pq",
+    "dedup_ngram_jaccard",
+    "skew_salted_join_revenue",
+    # short driver history (< 3 consecutive green rounds), plus the
+    # dedup-family anchors dedup_exact / dedup_minhash_lsh kept in-window
+    # alongside their changed siblings
+    "decontaminate_ngrams",
+    "text_repetition",
+    "pipeline_curation_verdict",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "mm_byte_features",
+    "mm_frame_sample",
+    "mm_metadata_stats",
+    "tumbling_window_counts",
+    "sliding_window_stats",
+    "session_windows",
+    "stream_dedup_events",
+    "event_gaps_lag",
+    "resource_latest_state",
+    "offset_for_timestamp",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    # relational marquee set
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q19_brand_quantity_revenue",
+    "asof_join_purchase_click",
+    # ---- 50-entry window boundary: everything below was hash-green in
+    # both r3 and r4 driver rounds (≥3 consecutive through r4) and is
+    # re-checked by the committed full-registry self-check each round.
+    # sim_ann_ivf is the one rows-only-by-design entry (uniform fixture,
+    # honest-approximate): it CANNOT hash-match, so it does not occupy a
+    # gate slot; its recall/pruning contract is pytest-asserted and the
+    # oracle-checked IVF siblings sit inside the window.
+    "fetch_range",
+    "describe_streams",
+    "list_ranges",
+    "trim_fetch",
+    "offset_accounting",
+    "kv_range_scan",
+    "list_resources",
+    "list_objects",
+    "payload_decode",
+    "sim_topk_bruteforce",
+    "sim_ann_ivf",
+    "emb_label_centroids",
+    "text_token_stats",
+    "text_quality_score",
+    "dedup_clusters",
+    "pipeline_keep_list",
 ]
 
 

@@ -139,20 +139,33 @@ def ngram_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list consumed by ``dedup_ngram_jaccard`` (sorted output) and
     ``pipeline.dedup_clusters`` (connected components).
 
-    Plan (one pass over the materialized index, NO self-join): groupBy
-    shingle → sorted posting list, df-capped (2 ≤ df ≤ SHINGLE_DF_CAP) →
-    pair combinations generated in-place by a double explode (work
-    bounded by df²/2 per shingle, cap-bounded globally) → one
-    map-side-combinable groupBy(pair).count() → per-doc size join +
-    integer threshold.  Replaces the previous index self-join, which
-    shuffled the index twice and re-derived the (expensive, interpreted)
-    shingle transform on both sides."""
+    Plan (over the materialized index, NO self-join): df pre-filter
+    (count per shingle, keep 2 ≤ df ≤ SHINGLE_DF_CAP, left-semi join
+    back) → groupBy shingle → sorted posting list → pair combinations
+    generated in-place by a double explode (work bounded by df²/2 per
+    shingle, cap-bounded globally) → one map-side-combinable
+    groupBy(pair).count() → per-doc size join + integer threshold.
+
+    The df filter runs BEFORE collect_list on purpose: a stopword-grade
+    shingle must never materialize its full posting array in one
+    aggregation task only to be discarded by a post-hoc size() filter —
+    the count-only pre-aggregation is map-side combinable and bounds
+    every collected array at SHINGLE_DF_CAP elements, so per-key state
+    stays O(cap) at any corpus size.  Replaces the previous index
+    self-join, which shuffled the index twice and re-derived the
+    (expensive, interpreted) shingle transform on both sides."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    posting = (
+    capped_df = (
         sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .select("shingle")
+    )
+    posting = (
+        sh.join(capped_df, "shingle", "left_semi")
+        .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .where((F.size("docs") >= 2) & (F.size("docs") <= SHINGLE_DF_CAP))
     )
     # (doc_a, doc_b) with doc_a < doc_b: posting lists are sorted, so
     # pairing each element with its strict successors is canonical
@@ -234,13 +247,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature from token md5 bits,
-    banded into 4×16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ ≥1 identical
+    """SimHash near-dup pairs: 60-bit signature from token md5 bits
+    (15 hex chars — the widest md5 prefix that fits a BIGINT via conv),
+    banded into 4×15-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ ≥1 identical
     chunk), verified at Hamming ≤ 3.
 
-    Non-SQL-expressible (bit-parallel signature math) → covered by a
-    pure-Python reference implementation in tests instead of the DuckDB
-    oracle.
+    Hash-checked against a full bit-exact DuckDB oracle (long-form
+    per-bit sums, same 0x-prefix md5 parse, same 4×15 banding — see
+    ORACLES["dedup_simhash"]); a pure-Python reference implementation in
+    tests cross-checks the signature math independently.
     """
     docs = _docs(spark, sf_dir)
     toks = docs.select(

@@ -12,10 +12,12 @@ the bucketed lineitem⋈orders join runs with ZERO exchanges.
 Salting (≙ the standard recipe, e.g. Spark docs' skew hints): the fact
 side appends a deterministic salt in [0, SALT); the dim side explodes
 ×SALT; the join key becomes (key, salt), spreading each hot key over
-SALT shuffle partitions.  The salt here derives from ``l_linenumber``
-(stable, uniform across a key's rows) rather than ``rand()`` so the
-query is deterministic and the DuckDB oracle — the PLAIN join — must
-hash-match exactly: salting changes the plan, never the result.
+SALT shuffle partitions.  The salt derives from ``pmod(hash(l_orderkey,
+l_linenumber), SALT)`` — deterministic (no ``rand()``, so the DuckDB
+oracle, the PLAIN join, must hash-match exactly) yet full-width: every
+salt value in [0, SALT) occurs, so a hot key genuinely spreads over all
+SALT partitions (``l_linenumber`` alone ranges 1..7 and would populate
+only 7 of 16 — tests/test_plans.py asserts the actual spread).
 """
 
 from __future__ import annotations
@@ -39,7 +41,9 @@ def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    fact = li.withColumn("salt", (F.col("l_linenumber") % SALT).cast("int"))
+    fact = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SALT)).cast("int")
+    )
     dim = orders.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
     ).withColumn("salt", F.col("salt").cast("int"))

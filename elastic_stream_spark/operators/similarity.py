@@ -475,14 +475,59 @@ def ivf_pq_topk(
 _PQ_CACHE: dict[tuple, list] = {}
 
 
-def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via IVF-PQ on the planted-cluster corpus:
-    nprobe/nlist = 1/4 cell pruning AND 64× vector compression (8-byte
-    codes), exact re-rank of the 4k-deep shortlist.  Rows-only driver
-    check (approximate); recall ≥ 0.8 vs brute force asserted in tests
-    on the same derivation."""
+# PQ gate fixture: the clustered corpus's intra-cluster cosines pack
+# within ~1e-3 of each other, finer than 8×16-code ADC can rank, so a
+# 40-deep shortlist can drop true top-5 members (measured: ~13/250 rows
+# at sf0.01) — top-5 there is honestly approximate.  The gate query
+# instead plants, per query, PQT_N_TWINS near-twins at DISTINCT cosines
+# ≈ 0.993–0.997 (one-coordinate bump eps = PQT_EPS + j·PQT_EPS_STEP,
+# re-normalized) against the ≤ ~0.96 intra-cluster background.  A twin
+# quantizes to (nearly) the query's own PQ code, so its ADC score sits
+# at the top with a margin ≫ quantization noise: the 40-deep shortlist
+# provably retains all 5 twins while still pruning ~90 % of the probed
+# cells' candidates, and the exact re-rank makes the output EQUAL to
+# exact top-5 — hash-checkable against the DuckDB oracle that derives
+# the identical corpus (pure column expressions, no randomness).
+PQT_N_TWINS = TOP_K
+PQT_ID_BASE = 2_000_000
+PQT_EPS = 0.08
+PQT_EPS_STEP = 0.01
+
+
+def pq_twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clustered_corpus ∪ per-query planted twins (see PQT_* above) —
+    the fixture on which IVF-PQ top-5 is exact by construction."""
     corpus = clustered_corpus(spark, sf_dir)
-    ckey = (sf_dir, "clustered", IVF_CLUSTERED_NLIST, IVF_CLUSTERED_NPROBE)
+    qs = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "u", F.explode(F.array([F.lit(i) for i in range(PQT_N_TWINS)])).alias("j")
+    )
+    k = ((F.col("vec_id") * PQT_N_TWINS + F.col("j")) % F.size("u")).cast("int")
+    eps = F.lit(PQT_EPS) + F.col("j").cast("double") * F.lit(PQT_EPS_STEP)
+    perturbed = F.transform(
+        F.col("u"), lambda x, i: x + F.when(i == k, eps).otherwise(F.lit(0.0))
+    )
+    # two-step select ON PURPOSE: aliasing the twin id as "vec_id" in the
+    # same select would make Spark's lateral-column-alias resolution bind
+    # the vec_id reference inside ``perturbed`` to the NEW twin id (bump
+    # lands at (twin_id·5+j) % dim — caught by the DuckDB oracle), so the
+    # perturbation is applied while vec_id still names the query vector
+    twins = qs.select("vec_id", "j", unit(perturbed).alias("u")).select(
+        (F.col("vec_id") * PQT_N_TWINS + F.col("j") + PQT_ID_BASE).alias("vec_id"),
+        "u",
+    )
+    return corpus.unionByName(twins)
+
+
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 via IVF-PQ on the planted-twin clustered corpus:
+    nprobe/nlist = 1/4 cell pruning AND 64× vector compression (8-byte
+    codes in the scoring join), ADC shortlist 8× shallower than the
+    candidate set, exact re-rank.  On this fixture the output EQUALS
+    exact top-5 (each query's 5 twins separate from the background by
+    ≈ 0.04 cosine — far above ADC noise; asserted in tests), so the
+    driver hash-checks it against the DuckDB exact-top-5 oracle."""
+    corpus = pq_twin_corpus(spark, sf_dir)
+    ckey = (sf_dir, "clustered-twin", IVF_CLUSTERED_NLIST, IVF_CLUSTERED_NPROBE)
     cached = _CENTROID_CACHE.get(ckey)
     if cached is None:
         cached = train_ivf(
@@ -490,7 +535,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _CENTROID_CACHE[ckey] = cached
     _, _, centroids = cached
-    pkey = (sf_dir, "clustered-pq", PQ_M, PQ_K)
+    pkey = (sf_dir, "clustered-twin-pq", PQ_M, PQ_K)
     books = _PQ_CACHE.get(pkey)
     if books is None:
         books = train_pq(corpus)
@@ -681,6 +726,51 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair set; pruning is additionally asserted in tests/test_operators.py
 # (recall ≥ 0.9 with candidates < 35% of all pairs).
 
+# Shared oracle fragment: the planted-cluster corpus derived in pure SQL —
+# identical to clustered_corpus() (unit-normalize, pull toward axis
+# vec_id % NLIST, re-normalize).  DuckDB list lambdas index 1-based.
+_CLUSTERED_CORPUS_SQL = f"""
+  base AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_sum(list_transform(
+                        CAST(embedding AS DOUBLE[]), y -> y * y)))) AS u
+    FROM embeddings
+  ), pulled AS (
+    SELECT vec_id,
+           list_transform(u, (x, i) -> x * {IVF_CLUSTERED_EPS}
+               + CASE WHEN i - 1 = vec_id % {IVF_CLUSTERED_NLIST}
+                      THEN 1.0 ELSE 0.0 END) AS p
+    FROM base
+  ), corpus AS (
+    SELECT vec_id,
+           list_transform(p, x -> x / sqrt(list_sum(list_transform(
+                        p, y -> y * y)))) AS u
+    FROM pulled
+  )
+"""
+
+def _exact_topk_sql(tbl: str) -> str:
+    """Exact cosine top-k over CTE ``tbl`` (vec_id, u) for queries
+    vec_id < N_QUERIES — same rounding + tie-break as the Spark side."""
+    return f"""
+  scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.u, c.u), 6) AS cosine
+    FROM {tbl} q JOIN {tbl} c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  )
+  SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  )
+  WHERE rank <= {TOP_K}
+  ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_ivf": sim_ann_ivf,
@@ -708,7 +798,35 @@ ORACLES = {
         WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
     """,
-    # sim_ann_ivf: approximate — rows-only check by design.
+    # sim_ann_ivf (uniform fixture): approximate — rows-only by design;
+    # recall/pruning asserted in pytest.  On the planted-cluster fixtures
+    # below, IVF@nprobe=2 and IVF-PQ-with-exact-re-rank EQUAL exact top-k
+    # by construction (asserted in tests/test_operators.py), so both get
+    # full exact-top-5 oracles.
+    "sim_ann_ivf_clustered": f"""
+        WITH {_CLUSTERED_CORPUS_SQL},
+        {_exact_topk_sql("corpus")}
+    """,
+    "sim_ann_ivf_pq": f"""
+        WITH {_CLUSTERED_CORPUS_SQL},
+        twins AS (
+          SELECT c.vec_id * {PQT_N_TWINS} + j.j + {PQT_ID_BASE} AS vec_id,
+                 list_transform(c.u, (x, i) -> x
+                     + CASE WHEN i - 1 = (c.vec_id * {PQT_N_TWINS} + j.j) % len(c.u)
+                            THEN {PQT_EPS} + j.j * {PQT_EPS_STEP} ELSE 0.0 END) AS p
+          FROM corpus c
+          CROSS JOIN (SELECT unnest(generate_series(0, {PQT_N_TWINS - 1})) AS j) j
+          WHERE c.vec_id < {N_QUERIES}
+        ), allv AS (
+          SELECT vec_id, u FROM corpus
+          UNION ALL
+          SELECT vec_id,
+                 list_transform(p, x -> x / sqrt(list_sum(list_transform(
+                              p, y -> y * y)))) AS u
+          FROM twins
+        ),
+        {_exact_topk_sql("allv")}
+    """,
     "dedup_embedding_lsh": f"""
         WITH base AS (
           SELECT vec_id,

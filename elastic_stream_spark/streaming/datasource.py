@@ -28,7 +28,7 @@ Usage::
            .option("streamId", 3)            # or .option("streamIds", "3,7,9")
            .option("startOffset", 0)
            .option("maxRecordsPerTrigger", 500)
-           .option("maxBytesPerTrigger", 1_000_000)  # optional, approximate
+           .option("maxBytesPerTrigger", 1_000_000)  # hard cap (row-group priced)
            .load())
 
 Multi-stream subscription (≙ FETCH's N-streams-per-request batching,
@@ -48,6 +48,7 @@ Exactly-once downstream is unchanged: pair with
 from __future__ import annotations
 
 import json
+import math
 import os
 from dataclasses import dataclass
 from typing import Iterator, Sequence
@@ -101,22 +102,42 @@ def _read_ranges(root: str, stream_id: int) -> list[dict]:
     return [] if data is None else data["ranges"]
 
 
-def _stream_disk_stats(root: str, stream_id: int) -> tuple[int, int]:
-    """(total_bytes, total_files) across the stream's range directories —
-    driver-side os.scandir only, no data read.  Used to estimate average
-    on-disk bytes/record for the byte-budget admission knob."""
+def _stream_row_groups(root: str, stream_id: int) -> list[tuple[int, int, int, int]]:
+    """(offset_lo, offset_hi, n_rows, compressed_bytes) per parquet row
+    group across the stream's range files, offset-sorted — footer metadata
+    only (the same footers the fetch path reads for row-group pruning),
+    no data read.  The byte-admission cost model prices an offset window
+    at Σ overlap_rows × (group_bytes / group_rows): exact per row group,
+    so cross-range payload skew cannot fool the budget the way a
+    stream-wide average could."""
+    import pyarrow.parquet as pq
+
     base = os.path.join(root, "records", f"stream_id={stream_id}")
-    total = files = 0
+    out: list[tuple[int, int, int, int]] = []
     if not os.path.isdir(base):
-        return 0, 0
-    for rng in os.scandir(base):
+        return out
+    for rng in sorted(os.scandir(base), key=lambda e: e.name):
         if not rng.is_dir():
             continue
-        for f in os.scandir(rng.path):
-            if f.name.endswith(".parquet"):
-                total += f.stat().st_size
-                files += 1
-    return total, files
+        for f in sorted(os.scandir(rng.path), key=lambda e: e.name):
+            if not f.name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f.path).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                lo = hi = None
+                nbytes = 0
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    nbytes += col.total_compressed_size
+                    if col.path_in_schema == "offset" and col.statistics is not None:
+                        lo = int(col.statistics.min)
+                        hi = int(col.statistics.max)
+                if lo is None or rg.num_rows == 0:
+                    continue
+                out.append((lo, hi, rg.num_rows, int(nbytes)))
+    out.sort()
+    return out
 
 
 def fair_split(backlog: dict[int, int], budget: int) -> dict[int, int]:
@@ -168,16 +189,20 @@ class StreamLogStreamReader(DataSourceStreamReader):
         if self.max_records <= 0:
             raise ValueError("maxRecordsPerTrigger must be positive")
         # byte admission (≙ FETCH's max_bytes budget, docs/sbp.md:220-285):
-        # approximate — converted to per-stream record caps using the
-        # stream's average ON-DISK bytes/record (parquet file sizes over
-        # committed records; driver-side metadata scan, cached per
-        # next_offset).  Whole records only, and any stream with backlog
-        # is admitted at least one record per trigger (the reference's
-        # fetch returns one batch even when it alone exceeds the budget).
-        self.max_bytes = int(options.get("maxbytespertrigger", 0)) or None
+        # a HARD cap under per-row-group accounting — the admitted window
+        # is priced from parquet footer row-group sizes (offset stats +
+        # compressed bytes; driver-side metadata read, cached per
+        # next_offset), never a stream-wide average.  Whole records only.
+        # Progress guarantee: when the budget admits nothing anywhere,
+        # exactly ONE record of the single lowest-id backlogged stream is
+        # admitted (the reference's fetch returns one batch even when it
+        # alone exceeds the budget) — the only case admitted bytes can
+        # exceed the cap, bounded by one record.
+        raw_mb = options.get("maxbytespertrigger")
+        self.max_bytes = None if raw_mb is None else int(raw_mb)
         if self.max_bytes is not None and self.max_bytes <= 0:
             raise ValueError("maxBytesPerTrigger must be positive")
-        self._avg_cache: dict[int, tuple[int, float]] = {}
+        self._rg_cache: dict[int, tuple[int, list[tuple[int, int, int, int]]]] = {}
         # Subscription progress (≙ the consumer-group offset the reference
         # keeps in PD KV): ``latestOffset`` takes no start argument in the
         # Python source protocol, so the admitted window's base is tracked
@@ -228,53 +253,94 @@ class StreamLogStreamReader(DataSourceStreamReader):
         }
         admitted = fair_split(backlog, self.max_records)
         if self.max_bytes is not None:
-            admitted = self._apply_byte_cap(admitted, backlog)
+            admitted = self._apply_byte_cap(admitted, base)
         nxt = {s: base[s] + admitted[s] for s in self.stream_ids}
         self._last = nxt
         return self._to_wire(nxt)
 
-    def _avg_record_bytes(self, sid: int) -> float | None:
-        """Average on-disk bytes per committed record, cached until the
-        stream's next_offset moves (sealed data is immutable, so the
-        estimate only improves as new ranges land)."""
+    def _row_groups(self, sid: int) -> list[tuple[int, int, int, int]]:
+        """Footer row-group index for the stream, cached until its
+        next_offset moves (sealed data is immutable, so the index only
+        grows as new ranges land)."""
         committed = _read_next_offset(self.root, sid)
-        if committed <= 0:
-            return None
-        hit = self._avg_cache.get(sid)
+        hit = self._rg_cache.get(sid)
         if hit is not None and hit[0] == committed:
             return hit[1]
-        total_bytes, files = _stream_disk_stats(self.root, sid)
-        if files == 0 or total_bytes <= 0:
-            return None
-        avg = total_bytes / committed
-        self._avg_cache[sid] = (committed, avg)
-        return avg
+        groups = _stream_row_groups(self.root, sid)
+        self._rg_cache[sid] = (committed, groups)
+        return groups
+
+    def _window_cost(self, sid: int, base: int, n_records: int) -> float:
+        """Exact-per-row-group price of the offset window
+        [base, base + n_records)."""
+        end = base + n_records
+        cost = 0.0
+        for lo, hi, n, nbytes in self._row_groups(sid):
+            rows_in = min(hi + 1, end) - max(lo, base)
+            if rows_in > 0:
+                cost += rows_in * (nbytes / n)
+        return cost
+
+    def _admit_within(self, sid: int, base: int, rec_cap: int, byte_share: float) -> int:
+        """Max records from ``base`` (≤ rec_cap) whose per-row-group cost
+        stays within ``byte_share`` — the walk admits whole records, group
+        by group, flooring inside the group where the budget runs out."""
+        taken = 0
+        spent = 0.0
+        for lo, hi, n, nbytes in self._row_groups(sid):
+            if taken >= rec_cap or hi < base:
+                continue
+            per_row = nbytes / n
+            avail = min(hi + 1, base + rec_cap) - max(lo, base)
+            affordable = int((byte_share - spent) / per_row)
+            take = min(avail, affordable)
+            if take <= 0:
+                break
+            taken += take
+            spent += take * per_row
+            if take < avail:
+                break
+        return taken
 
     def _apply_byte_cap(
-        self, admitted: dict[int, int], backlog_left: dict[int, int]
+        self, admitted: dict[int, int], base: dict[int, int]
     ) -> dict[int, int]:
-        """Tighten the record-split so estimated on-disk bytes stay within
-        ``max_bytes``: the byte budget is fair-split the same way as the
-        record budget, converted per stream via its bytes/record average;
-        every stream keeps ≥1 admitted record if it had any."""
-        byte_backlog = {}
-        avgs = {}
-        for s, rec in admitted.items():
-            avg = self._avg_record_bytes(s)
-            avgs[s] = avg
-            byte_backlog[s] = int(rec * avg) if (avg and rec > 0) else 0
+        """Tighten the record-split so per-row-group-priced bytes stay
+        within ``max_bytes``: fair-split the byte budget over each
+        stream's exact window cost, then walk each stream's row groups
+        within its share.  Spent ≤ share per stream and Σ shares ≤
+        max_bytes, so the cap is hard; leftover budget then un-starves
+        streams one record at a time (id order), still within the cap;
+        only when NOTHING fits anywhere does the single lowest-id
+        backlogged stream admit one record past the budget."""
+        # ceil: the backlog must not under-ask by a fractional byte (the
+        # affordability walk floors again); shares stay ≤ max_bytes via
+        # fair_split regardless
+        byte_backlog = {
+            s: math.ceil(self._window_cost(s, base[s], rec)) if rec else 0
+            for s, rec in admitted.items()
+        }
         byte_share = fair_split(byte_backlog, self.max_bytes)
         out = {}
+        spent_total = 0.0
         for s, rec in admitted.items():
-            avg = avgs[s]
-            if rec == 0 or avg is None:
-                out[s] = rec  # no estimate → record cap alone governs
+            if rec == 0:
+                out[s] = 0
                 continue
-            # nearest whole record: the budget is an estimate already
-            # (on-disk average), so strict flooring would only compound
-            # truncation; ≥1 keeps the first-record guarantee
-            cap = max(1, int(byte_share[s] / avg + 0.5))
-            out[s] = min(rec, cap)
+            out[s] = self._admit_within(s, base[s], rec, float(byte_share[s]))
+            spent_total += self._window_cost(s, base[s], out[s])
+        # leftover pass: a stream starved by share quantization gets its
+        # next record if the whole-budget residual affords it
+        for s in sorted(admitted):
+            if out[s] == 0 and admitted[s] > 0:
+                cost1 = self._window_cost(s, base[s], 1)
+                if spent_total + cost1 <= self.max_bytes:
+                    out[s] = 1
+                    spent_total += cost1
+        if all(v == 0 for v in out.values()):
+            starved = [s for s in sorted(admitted) if admitted[s] > 0]
+            if starved:
+                out[starved[0]] = 1  # documented single-record overshoot
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:

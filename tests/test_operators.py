@@ -464,16 +464,21 @@ def test_registered_ivf_clustered_prunes_4x_with_recall(spark):
     cb = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
     scored = cb.join(
         F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
-    ).select("query_id", "neighbor_id", dot(F.col("qu"), F.col("nu")).alias("cosine"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("qu"), F.col("nu")), 6).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     exact = (
         scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5).collect()
     )
     approx = sim_ann_ivf_clustered(spark, SF_DIR).collect()
-    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
-    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.8, f"registered IVF gate recall {recall:.2f} too low"
+    # separated clusters make IVF@nprobe=2 EQUAL to exact top-5 — the
+    # property the DuckDB oracle hash-checks at the gate
+    exact_map = {(r.query_id, r.rank): r.neighbor_id for r in exact}
+    approx_map = {(r.query_id, r.rank): r.neighbor_id for r in approx}
+    assert approx_map == exact_map
 
 
 def test_text_ops_edge_corpora(spark, workdir):
@@ -513,39 +518,53 @@ def test_text_ops_edge_corpora(spark, workdir):
     assert not rep[5].flagged
 
 
-def test_ivf_pq_recall_with_compressed_scoring(spark):
+def test_ivf_pq_exact_on_twin_fixture(spark):
     """IVF-PQ (registered sim_ann_ivf_pq): 4-bit-per-subvector codes
     (8 bytes/vector, 64x compression) scored via per-query lookup tables
-    over nprobe/nlist = 1/4 probed cells, exact re-rank of the k*4
-    shortlist — recall vs brute force must still reach 0.8 on the
-    clustered derivation, and the shortlist must respect its depth."""
+    over nprobe/nlist = 1/4 probed cells, exact re-rank of the k·refine
+    shortlist.  On the planted-twin fixture the output must EQUAL exact
+    top-5 (each query's 5 twins, ≈ 0.04 cosine above the background) —
+    the property the DuckDB oracle hash-checks at the gate — while the
+    shortlist still prunes: depth k·refine ≪ probed-cell candidates."""
     from pyspark.sql.window import Window
 
     from elastic_stream_spark.functions.vectorfns import dot
     from elastic_stream_spark.operators.similarity import (
         N_QUERIES,
-        clustered_corpus,
+        PQ_REFINE,
+        PQT_ID_BASE,
+        PQT_N_TWINS,
+        TOP_K,
+        pq_twin_corpus,
         sim_ann_ivf_pq,
     )
 
-    corpus = clustered_corpus(spark, SF_DIR)
+    corpus = pq_twin_corpus(spark, SF_DIR)
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
     )
     cb = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
     scored = cb.join(
         F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
-    ).select("query_id", "neighbor_id", dot(F.col("qu"), F.col("nu")).alias("cosine"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("qu"), F.col("nu")), 6).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     exact = (
         scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5).collect()
     )
     approx = sim_ann_ivf_pq(spark, SF_DIR).collect()
-    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
-    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} too low"
-    from collections import Counter
-
-    per_q = Counter(q for q, _ in approx_set)
-    assert all(v <= 5 for v in per_q.values())
+    exact_map = {(r.query_id, r.rank): r.neighbor_id for r in exact}
+    approx_map = {(r.query_id, r.rank): r.neighbor_id for r in approx}
+    assert approx_map == exact_map
+    # exactness is achieved BY the planted twins, not by a degenerate
+    # shortlist: every top-5 row is one of the query's own twins, and the
+    # ADC shortlist is far shallower than the probed candidate pool
+    for (q, _), n in approx_map.items():
+        assert n >= PQT_ID_BASE and (n - PQT_ID_BASE) // PQT_N_TWINS == q
+    n_corpus = corpus.count()
+    shortlist = TOP_K * PQ_REFINE
+    # probed cells hold ≈ nprobe/nlist = 1/4 of the corpus per query
+    assert shortlist * 4 < n_corpus // 4, (shortlist, n_corpus)

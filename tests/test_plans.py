@@ -133,6 +133,17 @@ def test_salted_join_spreads_key_over_salt(spark):
     key_lines = [l for l in plan.splitlines() if "keys" in l.lower()]
     assert any("salt" in l for l in key_lines), key_lines
     assert "CartesianProduct" not in plan
+    # the salt must be full-width: every value in [0, SALT) occurs across
+    # the fact side (l_linenumber % SALT only ever hit 7 of 16)
+    import pyspark.sql.functions as F
+
+    from elastic_stream_spark.operators.scale_patterns import SALT
+    from elastic_stream_spark.sources.envelope import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    salt = F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SALT))
+    n = li.select(salt.alias("s")).agg(F.countDistinct("s")).first()[0]
+    assert n == SALT, f"salt spread {n}/{SALT}"
 
 
 def test_bucketed_join_runs_with_zero_exchanges(spark, workdir):

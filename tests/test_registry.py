@@ -3,25 +3,42 @@ first 50 registry entries only, so the order is load-bearing."""
 
 from __future__ import annotations
 
+import json
+import os
+
 from elastic_stream_spark.operators import GATE_ORDER, all_oracles, all_queries
 
-# r3 dark set: queries that had no CORRECTNESS_r03 row (VERDICT.md,
-# "What's missing" #1) — must sit inside the 50-row window until they
-# accumulate green driver rounds.
-NEVER_CHECKED_R3 = {
-    "decontaminate_ngrams",
+# Rows-only-by-design entries (honest-approximate, no SQL oracle): they
+# can never hash-match, so the window policy requires them to sit BEYOND
+# the 50-row gate window — an err row must not occupy a slot a
+# hash-checkable query could use.
+ROWS_ONLY_BY_DESIGN = {"sim_ann_ivf"}
+
+# Changed in round 5 (fixed oracles, new IVF oracles, ADVICE code
+# changes) — each needs a fresh driver row, so each must sit inside the
+# window.
+CHANGED_R5 = {
     "text_boilerplate",
     "pipeline_pack_sequences",
     "pipeline_sample_mix",
     "text_pii_redact",
-    "mm_frame_sample",
-    "mm_byte_features",
-    "mm_metadata_stats",
-    "tumbling_window_counts",
-    "sliding_window_stats",
-    "session_windows",
-    "stream_dedup_events",
+    "sim_ann_ivf_clustered",
+    "sim_ann_ivf_pq",
+    "dedup_ngram_jaccard",
+    "skew_salted_join_revenue",
 }
+
+
+def _greens(*artifacts: str) -> set[str]:
+    """Queries hash-green in EVERY named committed driver artifact."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens: set[str] | None = None
+    for r in artifacts:
+        with open(os.path.join(here, r)) as f:
+            rows = json.load(f)
+        g = {n for n, row in rows.items() if row.get("hash_match")}
+        greens = g if greens is None else greens & g
+    return greens or set()
 
 
 def test_registry_matches_gate_order():
@@ -30,33 +47,39 @@ def test_registry_matches_gate_order():
     assert len(qs) == len(set(qs))
 
 
-def test_dark_set_has_prior_green_rounds():
+def test_changed_queries_inside_window():
     names = list(all_queries())
-    window, beyond = set(names[:50]), names[50:]
-    assert NEVER_CHECKED_R3 <= window
-    # everything beyond the window must have been hash-green in the last
-    # two driver rounds (r2 AND r3) — i.e. stable, never-failed queries
-    import json
-    import os
+    window = set(names[:50])
+    assert CHANGED_R5 <= window
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    greens = None
-    for r in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
-        with open(os.path.join(here, r)) as f:
-            rows = json.load(f)
-        g = {n for n, row in rows.items() if row.get("hash_match")}
-        greens = g if greens is None else greens & g
-    stragglers = [n for n in beyond if n not in greens]
-    assert not stragglers, f"beyond-window queries without 2 green rounds: {stragglers}"
+
+def test_no_rows_only_entries_inside_window():
+    names = list(all_queries())
+    window = set(names[:50])
+    oracles = all_oracles()
+    no_oracle_in_window = {n for n in window if n not in oracles}
+    assert not no_oracle_in_window, (
+        f"rows-only queries occupy gate slots: {no_oracle_in_window}"
+    )
+
+
+def test_beyond_window_queries_have_two_green_rounds():
+    """Everything beyond the window must have been hash-green in the last
+    two driver rounds (r3 AND r4) — stable, never-failed queries — except
+    the documented rows-only-by-design set."""
+    names = list(all_queries())
+    beyond = names[50:]
+    greens = _greens("CORRECTNESS_r03.json", "CORRECTNESS_r04.json")
+    stragglers = [
+        n for n in beyond if n not in greens and n not in ROWS_ONLY_BY_DESIGN
+    ]
+    assert not stragglers, (
+        f"beyond-window queries without 2 green rounds: {stragglers}"
+    )
 
 
 def test_every_query_has_oracle_or_documented_exemption():
     qs = all_queries()
     oracles = all_oracles()
     no_oracle = {n for n in qs if n not in oracles}
-    # approximate ops exempt by design (rows-only check)
-    assert no_oracle == {
-        "sim_ann_ivf",
-        "sim_ann_ivf_clustered",
-        "sim_ann_ivf_pq",
-    }
+    assert no_oracle == ROWS_ONLY_BY_DESIGN

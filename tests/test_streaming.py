@@ -701,9 +701,11 @@ def test_multi_stream_subscription_admission_and_union(spark, log):
 
 def test_byte_budget_admission_stream_log(spark, log):
     """maxBytesPerTrigger (≙ FETCH's max_bytes, docs/sbp.md:220-285):
-    the admission window tightens to ~budget/avg_record_bytes records per
-    trigger (whole records, ≥1 for any stream with backlog), estimated
-    from on-disk range stats — no data read at planning time."""
+    a hard cap priced from parquet footer row-group sizes — each trigger
+    admits the longest whole-record window whose per-row-group cost fits
+    the budget; no data read at planning time."""
+    import math
+
     from elastic_stream_spark.streaming.datasource import StreamLogStreamReader
 
     sid = log.catalog.create_stream().stream_id
@@ -712,17 +714,17 @@ def test_byte_budget_admission_stream_log(spark, log):
     probe = StreamLogStreamReader(
         {"root": log.catalog.root, "streamid": str(sid)}
     )
-    avg = probe._avg_record_bytes(sid)
-    assert avg and avg > 0
+    per_rec = probe._window_cost(sid, 0, 1)
+    assert per_rec > 0
 
     r = StreamLogStreamReader(
         {
             "root": log.catalog.root,
             "streamid": str(sid),
-            "maxbytespertrigger": str(int(avg * 3)),
+            "maxbytespertrigger": str(math.ceil(per_rec * 3)),
         }
     )
-    # each trigger admits ~3 records (cap floor(3·avg / avg) = 3)
+    # each trigger admits exactly the 3 records the budget affords
     assert r.latestOffset() == {"offset": 3}
     assert r.latestOffset() == {"offset": 6}
     # record cap composes: the tighter of the two governs
@@ -731,16 +733,79 @@ def test_byte_budget_admission_stream_log(spark, log):
             "root": log.catalog.root,
             "streamid": str(sid),
             "maxrecordspertrigger": "2",
-            "maxbytespertrigger": str(int(avg * 5)),
+            "maxbytespertrigger": str(math.ceil(per_rec * 5)),
         }
     )
     assert r2.latestOffset() == {"offset": 2}
-    # budget below one record still admits exactly one (whole-record floor)
+    # budget below one record still admits exactly one — the documented
+    # single-record progress floor, the only overshoot case
     r3 = StreamLogStreamReader(
         {
             "root": log.catalog.root,
             "streamid": str(sid),
-            "maxbytespertrigger": str(max(1, int(avg // 2))),
+            "maxbytespertrigger": str(max(1, int(per_rec // 2))),
         }
     )
     assert r3.latestOffset() == {"offset": 1}
+    # 0 is rejected explicitly (not silently treated as unset)
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        StreamLogStreamReader(
+            {
+                "root": log.catalog.root,
+                "streamid": str(sid),
+                "maxbytespertrigger": "0",
+            }
+        )
+
+
+def test_byte_budget_hard_cap_on_skewed_payloads(spark, log):
+    """Cross-range payload skew: tiny records land first, then ~2 KB
+    ones.  Per-row-group pricing keeps every trigger's admitted cost ≤
+    budget — a stream-wide bytes/record average would carry the tiny
+    estimate into the fat range and overshoot multiples of the cap."""
+    from elastic_stream_spark.streaming.datasource import StreamLogStreamReader
+
+    sid = log.catalog.create_stream().stream_id
+    log.append(sid, _events(spark, 8))
+    # fat payloads: 64 DISTINCT md5s per record (incompressible-ish, so
+    # the on-disk row group is genuinely larger)
+    fat = spark.range(8).select(
+        F.timestamp_millis(F.lit(10_000_000) + F.col("id") * 60_000).alias("ts"),
+        F.create_map(F.lit("i"), F.col("id").cast("string")).alias("properties"),
+        F.encode(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: F.md5(
+                        F.concat(F.col("id").cast("string"), F.lit(":"), i.cast("string"))
+                    ),
+                ),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    log.append(sid, fat)
+
+    probe = StreamLogStreamReader({"root": log.catalog.root, "streamid": str(sid)})
+    tiny_rec = probe._window_cost(sid, 0, 1)
+    fat_rec = probe._window_cost(sid, 8, 1)
+    assert fat_rec > tiny_rec * 3, (tiny_rec, fat_rec)
+
+    budget = int(tiny_rec * 8 + fat_rec * 2)  # all tiny + 2 fat records
+    r = StreamLogStreamReader(
+        {
+            "root": log.catalog.root,
+            "streamid": str(sid),
+            "maxbytespertrigger": str(budget),
+        }
+    )
+    base = 0
+    for _ in range(20):
+        end = r.latestOffset()["offset"]
+        if end == base:
+            break
+        cost = probe._window_cost(sid, base, end - base)
+        assert cost <= budget + 1e-6, (base, end, cost, budget)
+        base = end
+    assert base == 16  # everything eventually admitted
