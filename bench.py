@@ -61,6 +61,14 @@ HEADLINE = [
     "resource_latest_state",
     "mm_byte_features",
     "mm_frame_sample",
+    # round 5: second TPC-H tranche + corpus-preparation pipeline
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q2_min_acctbal_supplier",
+    "doc_chunking",
+    "token_heavy_hitters",
+    "source_distinctive_tokens",
 ]
 
 APPEND_PER_STREAM = 2_000

@@ -25,7 +25,9 @@ def _modules():
         relational,
         relational_ext,
         relational_tpch,
+        relational_tpch2,
         scale_patterns,
+        text_pipeline,
         similarity,
         stream_ops,
         streaming_ops,
@@ -37,10 +39,12 @@ def _modules():
         relational,
         relational_ext,
         relational_tpch,
+        relational_tpch2,
         dedup,
         pipeline,
         similarity,
         text,
+        text_pipeline,
         curation,
         streaming_ops,
         multimodal,
@@ -86,9 +90,23 @@ GATE_ORDER = [
     "sim_ann_ivf_pq",
     "dedup_ngram_jaccard",
     "skew_salted_join_revenue",
-    # short driver history (< 3 consecutive green rounds), plus the
-    # dedup-family anchors dedup_exact / dedup_minhash_lsh kept in-window
-    # alongside their changed siblings
+    # NEW in round 5 — never driver-checked, so every one sits in the
+    # window: the second TPC-H tranche (relational_tpch2) and the
+    # corpus-preparation pipeline ops (text_pipeline)
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    "doc_chunking",
+    "token_heavy_hitters",
+    "source_distinctive_tokens",
+    # short driver history (< 2 green rounds — streaming/mm queries got
+    # their first driver row in r4), plus the dedup-family anchors
+    # dedup_minhash_lsh / dedup_embedding_lsh kept in-window alongside
+    # their changed siblings
     "decontaminate_ngrams",
     "text_repetition",
     "pipeline_curation_verdict",
@@ -104,9 +122,16 @@ GATE_ORDER = [
     "event_gaps_lag",
     "resource_latest_state",
     "offset_for_timestamp",
-    "dedup_exact",
     "dedup_minhash_lsh",
-    # relational marquee set
+    # ---- 50-entry window boundary: everything below was hash-green in
+    # both r3 and r4 driver rounds and is re-checked by the committed
+    # full-registry self-check each round.  The relational marquee set
+    # (q1/q3/q5/q7/q8/q10/q14/q19/asof) and dedup_exact rotated beyond
+    # this round (green r1–r4) to make room for the 10 new queries.
+    # sim_ann_ivf is the one rows-only-by-design entry (uniform fixture,
+    # honest-approximate): it CANNOT hash-match, so it does not occupy a
+    # gate slot; its recall/pruning contract is pytest-asserted and the
+    # oracle-checked IVF siblings sit inside the window.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -116,13 +141,7 @@ GATE_ORDER = [
     "q14_promo_effect",
     "q19_brand_quantity_revenue",
     "asof_join_purchase_click",
-    # ---- 50-entry window boundary: everything below was hash-green in
-    # both r3 and r4 driver rounds (≥3 consecutive through r4) and is
-    # re-checked by the committed full-registry self-check each round.
-    # sim_ann_ivf is the one rows-only-by-design entry (uniform fixture,
-    # honest-approximate): it CANNOT hash-match, so it does not occupy a
-    # gate slot; its recall/pruning contract is pytest-asserted and the
-    # oracle-checked IVF siblings sit inside the window.
+    "dedup_exact",
     "fetch_range",
     "describe_streams",
     "list_ranges",

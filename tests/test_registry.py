@@ -28,6 +28,21 @@ CHANGED_R5 = {
     "skew_salted_join_revenue",
 }
 
+# New in round 5 — never driver-checked, so each must sit inside the
+# window until it accumulates green rounds.
+NEW_R5 = {
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    "doc_chunking",
+    "token_heavy_hitters",
+    "source_distinctive_tokens",
+}
+
 
 def _greens(*artifacts: str) -> set[str]:
     """Queries hash-green in EVERY named committed driver artifact."""
@@ -51,6 +66,7 @@ def test_changed_queries_inside_window():
     names = list(all_queries())
     window = set(names[:50])
     assert CHANGED_R5 <= window
+    assert NEW_R5 <= window
 
 
 def test_no_rows_only_entries_inside_window():
