@@ -26,6 +26,7 @@ def _modules():
         relational_ext,
         relational_tpch,
         relational_tpch2,
+        relational_tpch3,
         scale_patterns,
         text_pipeline,
         similarity,
@@ -40,6 +41,7 @@ def _modules():
         relational_ext,
         relational_tpch,
         relational_tpch2,
+        relational_tpch3,
         dedup,
         pipeline,
         similarity,
@@ -158,6 +160,14 @@ GATE_ORDER = [
     "text_quality_score",
     "dedup_clusters",
     "pipeline_keep_list",
+    # NEW_QUEUED_R6: the third TPC-H tranche landed after the r5 window
+    # filled (50/50 with the ten r5 additions).  These four have strict
+    # full-gate evidence (CORRECTNESS_FULL_r05.json) and rotate INTO the
+    # driver window in r6; the registry test pins both facts.
+    "q9_product_type_profit",
+    "q12_priority_by_lateness",
+    "q16_supplier_variety",
+    "q21_waiting_supplier",
 ]
 
 

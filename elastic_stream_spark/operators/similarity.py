@@ -136,10 +136,12 @@ def train_ivf(
         nprobe = max(4, (nlist + 1) // 2)
     nprobe = min(nprobe, nlist)
     sample_size = min(n, nlist * IVF_TRAIN_PER_CELL)
-    # deterministic sample: stride over vec_id order
+    # deterministic hash-gated sample (NOT ``vec_id % stride`` — an
+    # arithmetic stride aliases with vec_id-periodic corpus structure;
+    # see the same fix in train_pq)
     stride = max(1, n // sample_size)
     sample = (
-        emb.where(F.col("vec_id") % stride == 0)
+        emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
         .orderBy("vec_id")
         .limit(sample_size)
         .collect()
@@ -278,6 +280,26 @@ def clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", unit(pulled).alias("u"))
 
 
+def planted_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The clustered fixture's quantizer in CLOSED FORM: the NLIST axis
+    unit vectors e_c the corpus was pulled toward.  For every corpus
+    vector v = unit(EPS·u + e_c), dot(v, e_c) ≥ (1-EPS)/√(1+EPS²) ≈ 0.67
+    while dot(v, e_j) = EPS·u_j/√(1+EPS²) ≤ EPS for j ≠ c, so nearest-
+    centroid assignment is EXACTLY c = vec_id mod NLIST at any corpus
+    size.  The r5-sf0.1 full-gate run proved why this matters: kmeans-
+    trained centroids (train_ivf) recover the planted clusters at
+    sf≤0.01 but can split/merge them at sf0.1, breaking the gate's
+    IVF == exact-top-k equality — which must hold by CONSTRUCTION, not
+    by training luck.  The trained path stays exercised by sim_ann_ivf
+    and the pytest recall/pruning assertions (faiss likewise accepts an
+    externally supplied coarse quantizer)."""
+    dim = _emb_dim(spark, sf_dir)
+    return [
+        [1.0 if i == c else 0.0 for i in range(dim)]
+        for c in range(IVF_CLUSTERED_NLIST)
+    ]
+
+
 def sim_ann_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF on the planted-cluster corpus at
     nprobe/nlist = 1/4 — the registry's demonstration that the IVF plan
@@ -285,14 +307,7 @@ def sim_ann_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver check (approximate); pruning fraction + recall vs brute force
     asserted in tests on the same derivation."""
     corpus = clustered_corpus(spark, sf_dir)
-    key = (sf_dir, "clustered", IVF_CLUSTERED_NLIST, IVF_CLUSTERED_NPROBE)
-    cached = _CENTROID_CACHE.get(key)
-    if cached is None:
-        cached = train_ivf(
-            corpus, nlist=IVF_CLUSTERED_NLIST, nprobe=IVF_CLUSTERED_NPROBE
-        )
-        _CENTROID_CACHE[key] = cached
-    _, _, centroids = cached
+    centroids = planted_centroids(spark, sf_dir)
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
     )
@@ -340,8 +355,13 @@ def train_pq(
 
     n = emb.count()
     stride = max(1, n // min(n, sample_size))
+    # hash-gated sample, NOT ``vec_id % stride``: arithmetic strides alias
+    # with any vec_id-periodic structure in the corpus (at sf0.1 the twin
+    # fixture hit exactly this — n=2250 → stride 2 → only even vec_ids →
+    # only the even planted clusters trained → odd-cluster vectors
+    # quantized to garbage and the ADC shortlist dropped their twins)
     rows = (
-        emb.where(F.col("vec_id") % stride == 0)
+        emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
         .orderBy("vec_id")
         .limit(sample_size)
         .collect()
@@ -527,14 +547,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈ 0.04 cosine — far above ADC noise; asserted in tests), so the
     driver hash-checks it against the DuckDB exact-top-5 oracle."""
     corpus = pq_twin_corpus(spark, sf_dir)
-    ckey = (sf_dir, "clustered-twin", IVF_CLUSTERED_NLIST, IVF_CLUSTERED_NPROBE)
-    cached = _CENTROID_CACHE.get(ckey)
-    if cached is None:
-        cached = train_ivf(
-            corpus, nlist=IVF_CLUSTERED_NLIST, nprobe=IVF_CLUSTERED_NPROBE
-        )
-        _CENTROID_CACHE[ckey] = cached
-    _, _, centroids = cached
+    centroids = planted_centroids(spark, sf_dir)
     pkey = (sf_dir, "clustered-twin-pq", PQ_M, PQ_K)
     books = _PQ_CACHE.get(pkey)
     if books is None:

@@ -62,6 +62,20 @@ PROBE = [
     "emb_label_centroids",
     "mm_byte_features",
     "mm_frame_sample",
+    # round 5: second TPC-H tranche + corpus-preparation pipeline
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    "doc_chunking",
+    "token_heavy_hitters",
+    "source_distinctive_tokens",
+    "q9_product_type_profit",
+    "q16_supplier_variety",
+    "q21_waiting_supplier",
 ]
 
 
