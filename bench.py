@@ -69,6 +69,9 @@ HEADLINE = [
     "doc_chunking",
     "token_heavy_hitters",
     "source_distinctive_tokens",
+    "q9_product_type_profit",
+    "q16_supplier_variety",
+    "q21_waiting_supplier",
 ]
 
 APPEND_PER_STREAM = 2_000

@@ -5,7 +5,10 @@ from elastic_stream_spark.streaming.source import (
 )
 from elastic_stream_spark.streaming.datasource import StreamLogDataSource
 from elastic_stream_spark.streaming.sink import ExactlyOnceAppendSink
-from elastic_stream_spark.streaming.stateful import stream_offset_tracker
+from elastic_stream_spark.streaming.stateful import (
+    stream_offset_tracker,
+    streaming_heavy_hitters,
+)
 from elastic_stream_spark.streaming.metrics import (
     MetricsRecorder,
     metrics_summary,
@@ -20,6 +23,7 @@ __all__ = [
     "ExactlyOnceAppendSink",
     "StreamLogDataSource",
     "stream_offset_tracker",
+    "streaming_heavy_hitters",
     "MetricsRecorder",
     "metrics_summary",
     "read_metrics",

@@ -65,3 +65,91 @@ def stream_offset_tracker(records: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming heavy hitters
+
+HH_OUTPUT_SCHEMA = (
+    "stream_id long, key string, est_count long, err long, rank int"
+)
+HH_STATE_SCHEMA = "keys array<string>, counts array<long>, errs array<long>"
+HH_CAPACITY = 64
+HH_TOP = 5
+
+
+def streaming_heavy_hitters(
+    keyed: DataFrame, capacity: int = HH_CAPACITY, k: int = HH_TOP
+) -> DataFrame:
+    """Streaming top-k keys per stream under BOUNDED state: the
+    space-saving sketch (Metwally et al., "Efficient computation of
+    frequent and top-k elements in data streams") as an
+    ``applyInPandasWithState`` operator.
+
+    Input: a streaming DataFrame with (stream_id, key) columns — the
+    caller derives ``key`` from the payload.  Per stream the state holds
+    at most ``capacity`` (key, count, err) counters: a new key arriving
+    at a full table evicts the minimum counter and INHERITS its count as
+    the new key's error bound, so for every tracked key
+    ``est_count - err ≤ true_count ≤ est_count`` and any key with true
+    count above the evicted minimum is guaranteed present.  Each
+    microbatch emits the current top-``k`` (update mode).
+
+    The unbounded-vocabulary analogue of the batch
+    ``token_heavy_hitters``: state is O(capacity · #streams) no matter
+    how many distinct keys stream through — the property that lets it
+    run forever at 100 TB/day.  Per batch the Python work is one
+    ``value_counts`` per stream partition (vectorized) plus one dict
+    merge per DISTINCT batch key, never per record.
+    """
+
+    def _sketch(
+        group_key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts, errs = state.get
+            table: dict[str, list[int]] = {
+                kk: [int(c), int(e)] for kk, c, e in zip(keys, counts, errs)
+            }
+        else:
+            table = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for kk, c in pdf["key"].value_counts().items():
+                c = int(c)
+                if kk in table:
+                    table[kk][0] += c
+                elif len(table) < capacity:
+                    table[kk] = [c, 0]
+                else:
+                    evict = min(table.items(), key=lambda it: (it[1][0], it[0]))
+                    m = evict[1][0]
+                    del table[evict[0]]
+                    table[kk] = [m + c, m]
+        state.update(
+            (
+                list(table.keys()),
+                [v[0] for v in table.values()],
+                [v[1] for v in table.values()],
+            )
+        )
+        top = sorted(table.items(), key=lambda it: (-it[1][0], it[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "stream_id": [group_key[0]] * len(top),
+                "key": [kk for kk, _ in top],
+                "est_count": [v[0] for _, v in top],
+                "err": [v[1] for _, v in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return keyed.groupBy("stream_id").applyInPandasWithState(
+        _sketch,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

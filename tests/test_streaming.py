@@ -809,3 +809,61 @@ def test_byte_budget_hard_cap_on_skewed_payloads(spark, log):
         assert cost <= budget + 1e-6, (base, end, cost, budget)
         base = end
     assert base == 16  # everything eventually admitted
+
+
+def test_streaming_heavy_hitters_space_saving(spark, log):
+    """Space-saving streaming top-k: with capacity BELOW the distinct key
+    count, the hottest keys survive with est ≥ true ≥ est - err, the
+    tracked table never exceeds capacity, and estimates accumulate
+    across microbatches."""
+    from collections import Counter
+
+    from elastic_stream_spark.streaming import (
+        read_records_stream,
+        streaming_heavy_hitters,
+    )
+
+    sid = log.catalog.create_stream().stream_id
+    # skewed key distribution: key k_j appears with frequency ~ 60/(j+1)
+    # over 3 appends (3 microbatches at max_files_per_trigger=1)
+    truth: Counter = Counter()
+    for batch in range(3):
+        keys = []
+        for j in range(12):
+            keys += [f"k{j}"] * (60 // (j + 1))
+        truth.update(keys)
+        df = spark.createDataFrame([(k,) for k in keys], "key string").select(
+            F.lit(batch * 1_000_000).cast("timestamp").alias("ts"),
+            F.create_map(F.lit("k"), F.col("key")).alias("properties"),
+            F.encode("key", "UTF-8").alias("payload"),
+        )
+        log.append(sid, df)
+
+    sdf = read_records_stream(spark, log, max_files_per_trigger=1).select(
+        "stream_id", F.decode("payload", "UTF-8").alias("key")
+    )
+    out = streaming_heavy_hitters(sdf, capacity=8, k=5)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_hh")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_hh").collect()
+    assert rows
+    # emissions per batch: ≤ k rows each, ranks 1..n
+    assert all(1 <= r.rank <= 5 for r in rows)
+    # final emission = last batch's top-5
+    last_top = {}
+    for r in rows:  # memory sink appends update emissions in order
+        last_top[r.rank] = r
+    top1 = last_top[1]
+    assert top1.key == "k0"  # the true hottest key survives eviction
+    for r in last_top.values():
+        true = truth[r.key]
+        assert r.est_count >= true, (r.key, r.est_count, true)
+        assert r.est_count - r.err <= true, (r.key, r.est_count, r.err, true)
+    # the guaranteed-exact hottest key has err 0 and exact count
+    assert top1.err == 0 and top1.est_count == truth["k0"]

@@ -130,6 +130,47 @@ def test_doc_chunking_covers_and_hashes(spark):
         assert last.chunk_start + last.chunk_len == len(text)
 
 
+def test_doc_chunking_edge_corpus(spark, workdir):
+    """Boundary lengths (1, STRIDE, STRIDE+1, CHUNK, CHUNK+1, 2·STRIDE)
+    and multibyte unicode: chunk starts/lengths are CHARACTER-based in
+    both engines, every chunk non-empty, coverage reaches the end, and
+    hashes agree with Python md5 of the UTF-8 bytes."""
+    import hashlib
+
+    from elastic_stream_spark.operators.text_pipeline import (
+        CHUNK_CHARS,
+        CHUNK_STRIDE,
+        doc_chunking,
+    )
+
+    texts = [
+        "x",
+        "ü" * CHUNK_STRIDE,
+        "é" * (CHUNK_STRIDE + 1),
+        "日" * CHUNK_CHARS,
+        "a" * (CHUNK_CHARS + 1),
+        "βγ" * CHUNK_STRIDE,  # 2·STRIDE chars
+    ]
+    rows = [(i, t, "xx", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(f"{workdir}/documents.parquet")
+
+    by_doc: dict = {}
+    for r in doc_chunking(spark, workdir).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        n_exp = 1 + (len(text) - 1) // CHUNK_STRIDE
+        assert len(chunks) == n_exp, (i, len(chunks), n_exp)
+        for r in chunks:
+            sub = text[r.chunk_start : r.chunk_start + CHUNK_CHARS]
+            assert r.chunk_len == len(sub) > 0
+            assert r.chunk_hash == hashlib.md5(sub.encode()).hexdigest()
+        last = chunks[-1]
+        assert last.chunk_start + last.chunk_len == len(text)
+
+
 def test_token_heavy_hitters_matches_counter(spark):
     from elastic_stream_spark.operators.text_pipeline import (
         HEAVY_K,
