@@ -568,3 +568,33 @@ def test_ivf_pq_exact_on_twin_fixture(spark):
     shortlist = TOP_K * PQ_REFINE
     # probed cells hold ≈ nprobe/nlist = 1/4 of the corpus per query
     assert shortlist * 4 < n_corpus // 4, (shortlist, n_corpus)
+
+
+def test_pair_and_cluster_memos_are_keyed_per_corpus(spark, workdir):
+    """The session-lifetime pair-set / cluster-table memos must key on
+    the corpus dir: two different corpora queried in one session get
+    their own materializations, never each other's."""
+    import os
+
+    from elastic_stream_spark.operators.dedup import ngram_pair_set
+    from elastic_stream_spark.operators.pipeline import dedup_clusters
+
+    d1, d2 = f"{workdir}/c1", f"{workdir}/c2"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [(0, base, "en", "s0", len(base)), (1, base + " x", "en", "s0", len(base) + 2)]
+    rows2 = [(0, "totally different words here with no overlap at all", "en", "s0", 51)]
+    for d, rows in ((d1, rows1), (d2, rows2)):
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            rows,
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    p1 = ngram_pair_set(spark, d1).count()
+    p2 = ngram_pair_set(spark, d2).count()
+    assert p1 == 1 and p2 == 0  # near-dup pair only in corpus 1
+    # second reads hit the memo and still see the right corpus
+    assert ngram_pair_set(spark, d1).count() == 1
+    assert ngram_pair_set(spark, d2).count() == 0
+    assert dedup_clusters(spark, d1).count() == 2
+    assert dedup_clusters(spark, d2).count() == 0

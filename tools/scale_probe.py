@@ -158,7 +158,7 @@ def main() -> None:
         for name in PROBE:
             fn = qs[name]
             best = None
-            for _ in range(2):  # best-of-2: host I/O stalls intermittently
+            for _ in range(3):  # best-of-3: host I/O stalls intermittently
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 dt = time.time() - t0
@@ -169,7 +169,7 @@ def main() -> None:
     lines = [
         "# SCALE — measured scaling curves (wall time vs scale factor)",
         "",
-        "Generated by `tools/scale_probe.py` on local[32]; best-of-2 per",
+        "Generated by `tools/scale_probe.py` on local[32]; best-of-3 per",
         "point, warm caches.  `slope` = log10(t_sf0.1 / t_sf0.01) — the",
         "data-dominated segment (100× total spread across the series).",
         "Slope ≈ 0: overhead-bound at fixture size.  Slope ≈ 1: linear in",
@@ -221,7 +221,7 @@ def main() -> None:
         for name in AMP_PROBE:
             fn = qs[name]
             best = None
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 fn(spark, d).count()
                 dt = time.time() - t0
