@@ -38,7 +38,10 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document, so every chunk is non-empty and the last one may be
     short.  Pure per-row ``sequence``/``explode`` + ``substring`` —
     no shuffle at all; at 100 TB this is a map-only stage whose output
-    is written straight back to partitioned parquet."""
+    is written straight back to partitioned parquet.  Chunk counts
+    derive from the fixture's ``n_chars`` metadata column, which the
+    generator guarantees equals ``length(text)`` (the edge-corpus test
+    writes both consistently)."""
     d = _docs(spark, sf_dir)
     n_starts_minus1 = F.floor(
         (F.greatest(F.col("n_chars"), F.lit(1)) - 1) / CHUNK_STRIDE
@@ -91,9 +94,11 @@ def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     characterize / route corpus slices in a data-mixing pipeline.
 
     One explode + (source, token) aggregate is the only fact-sized
-    shuffle; per-source and corpus totals re-aggregate that (vocab ×
-    sources)-sized table and join back at token granularity — all
-    vocabulary-sized, broadcastable at any corpus scale."""
+    shuffle.  Per-source totals (|sources| rows) and the corpus total
+    (1 row) broadcast; per-token totals are VOCABULARY-sized — millions
+    to billions of distinct tokens on a web corpus — so they join
+    token-partitioned (an equi-join between two token-keyed aggregates
+    of the same table, never a broadcast of the vocabulary)."""
     d = _docs(spark, sf_dir)
     st = (
         d.select("source", F.explode(tokens("text")).alias("token"))
@@ -105,7 +110,7 @@ def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_token.agg(F.sum("c_t").alias("n")).withColumn("k", F.lit(1))
     scored = (
         st.join(F.broadcast(per_source), "source")
-        .join(F.broadcast(per_token), "token")
+        .join(per_token, "token")
         .withColumn("k", F.lit(1))
         .join(F.broadcast(total), "k")
         .withColumn(
