@@ -183,21 +183,37 @@ def _centroid_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame
 
 
 def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Corpus → nearest-centroid cell (the IVF index build): broadcast
-    trained centroids, distributed argmax-dot assignment.  Returns
-    (vec_id, u, cell)."""
-    spark = emb.sparkSession
-    cdf = _centroid_df(spark, centroids)
-    scored = (
-        emb.repartition(32)
-        .join(F.broadcast(cdf))
-        .select("vec_id", "u", "cell", dot(F.col("u"), F.col("cu")).alias("sim"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "u", "cell")
+    """Corpus → nearest-centroid cell (the IVF index build): MAP-ONLY
+    Arrow-batched argmax-dot against the closure-captured centroid
+    matrix (tiny: nlist × dim), one numpy matmul per batch — no join, no
+    shuffle.  Ties break toward the lower cell id, matching the probe
+    side's (sim DESC, cell ASC) ordering.  The previous formulation
+    (broadcast nested-loop join + row_number window partitioned by
+    vec_id) shuffled nlist × |corpus| scored rows just to pick a
+    per-vector max — a full-data exchange this stage never needed.
+    Returns (vec_id, u, cell)."""
+    import numpy as np
+    import pandas as pd
+
+    C = [list(map(float, c)) for c in centroids]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CT = np.array(C, dtype=np.float64).T  # dim × nlist
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["u"].tolist(), dtype=np.float64)
+            sims = X @ CT  # B × nlist; ties → argmax picks the lowest cell
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "u": pdf["u"],
+                    "cell": sims.argmax(1).astype(np.int32),
+                }
+            )
+
+    return emb.select("vec_id", "u").mapInPandas(
+        assign, schema="vec_id BIGINT, u ARRAY<DOUBLE>, cell INT"
     )
 
 
