@@ -449,12 +449,36 @@ def ivf_pq_topk(
     import pandas as pd
 
     spark = emb.sparkSession
-    assigned = ivf_assign(emb, centroids)
-    codes = pq_encode(emb, codebooks)
-    cand = (
-        assigned.select("vec_id", "cell")
-        .join(codes, "vec_id")
-        .repartition(32, "cell")
+    # cell assignment and PQ encoding FUSED into one map-only Arrow pass
+    # over the corpus — the previous two-pass formulation joined two
+    # full-corpus map outputs on vec_id (a corpus-wide shuffle) and then
+    # repartitioned by cell (8 distinct keys) for no consumer that
+    # needed it; the index build is shuffle-free now
+    def _assign_encode(batches: "Iterator[pd.DataFrame]"):
+        B = [np.array(b) for b in codebooks]
+        m = len(B)
+        CT = np.array(centroids, dtype=np.float64).T  # dim × nlist
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["u"].tolist(), dtype=np.float64)
+            cells = (X @ CT).argmax(1).astype(np.int32)
+            dsub = X.shape[1] // m
+            codes_np = np.empty((len(X), m), dtype=np.int32)
+            for mi in range(m):
+                S = X[:, mi * dsub : (mi + 1) * dsub]
+                d2 = ((S[:, None, :] - B[mi][None, :, :]) ** 2).sum(-1)
+                codes_np[:, mi] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells,
+                    "code": list(codes_np.tolist()),
+                }
+            )
+
+    cand = emb.select("vec_id", "u").mapInPandas(
+        _assign_encode, schema="vec_id BIGINT, cell INT, code ARRAY<INT>"
     )
     cdf = _centroid_df(spark, centroids)
     qcell = queries.join(F.broadcast(cdf)).select(
