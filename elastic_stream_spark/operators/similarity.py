@@ -84,9 +84,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
     )
+    # no explicit repartition: _unit_emb already balances the fixture's
+    # single-split parquet (load_table_balanced) — a second exchange here
+    # would just re-shuffle the corpus
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu")
-    ).repartition(32)
+    )
     scored = corpus.join(
         F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
     ).select(
@@ -239,9 +242,11 @@ def ivf_candidates(
         .where(F.col("rn") <= nprobe)
         .select("query_id", "qu", "cell")
     )
+    # no repartition before the broadcast join: hashing 8 distinct cell
+    # ids into 32 partitions would CONCENTRATE the corpus onto ≤ nlist
+    # cores; the map-only assignment inherits the balanced input layout
     return (
-        assigned.repartition(32, "cell")
-        .join(F.broadcast(probes), "cell")
+        assigned.join(F.broadcast(probes), "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "qu", "vec_id", "u")
     )

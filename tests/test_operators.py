@@ -598,3 +598,39 @@ def test_pair_and_cluster_memos_are_keyed_per_corpus(spark, workdir):
     assert ngram_pair_set(spark, d2).count() == 0
     assert dedup_clusters(spark, d1).count() == 2
     assert dedup_clusters(spark, d2).count() == 0
+
+
+def test_fused_pq_build_matches_standalone_encode(spark):
+    """The fused assign+encode pass inside ivf_pq_topk must produce the
+    same PQ codes as the standalone pq_encode (and the same cells as
+    ivf_assign) — guards drift between the fused and composable paths."""
+    from elastic_stream_spark.operators.similarity import (
+        ivf_assign,
+        planted_centroids,
+        pq_encode,
+        pq_twin_corpus,
+        train_pq,
+    )
+
+    corpus = pq_twin_corpus(spark, SF_DIR)
+    cents = planted_centroids(spark, SF_DIR)
+    books = train_pq(corpus)
+    codes = {
+        r.vec_id: tuple(r.code) for r in pq_encode(corpus, books).collect()
+    }
+    cells = {r.vec_id: r.cell for r in ivf_assign(corpus, cents).collect()}
+
+    import numpy as np
+
+    B = [np.array(b) for b in books]
+    CT = np.array(cents, dtype=np.float64).T
+    m = len(B)
+    for r in corpus.collect():
+        u = np.array(r.u)
+        assert cells[r.vec_id] == int((u @ CT).argmax())
+        dsub = len(u) // m
+        exp = tuple(
+            int(((B[mi] - u[mi * dsub : (mi + 1) * dsub]) ** 2).sum(1).argmin())
+            for mi in range(m)
+        )
+        assert codes[r.vec_id] == exp
