@@ -3,8 +3,8 @@
 - ``sim_topk_bruteforce`` — exact cosine top-k: the correctness baseline.
   Vectors are L2-normalized once per row (cosine → single dot per pair;
   higher-order fns are interpreted, so per-pair work is kept minimal),
-  the query side is broadcast, the corpus side is repartitioned for
-  parallelism, top-k via ranking window on the query key.  At 100 TB the
+  the query side is broadcast, the corpus side keeps the balanced scan
+  layout, top-k via ranking window on the query key.  At 100 TB the
   same plan holds for a bounded query set: broadcast queries ×
   partitioned corpus scan = embarrassingly parallel, one shuffle on
   query_id for the top-k.

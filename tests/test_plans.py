@@ -198,3 +198,17 @@ def test_curation_verdict_joins_stay_keyed(spark):
     plan = plan_of(pipeline_curation_verdict(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_index_build_has_no_cell_exchange(spark):
+    """The IVF/PQ index build must stay map-only: no Exchange hashed on
+    the cell id anywhere in either gate query's plan (hashing nlist=8
+    distinct cells would concentrate the corpus onto <= 8 cores)."""
+    from elastic_stream_spark.operators.similarity import (
+        sim_ann_ivf_clustered,
+        sim_ann_ivf_pq,
+    )
+
+    for fn in (sim_ann_ivf_clustered, sim_ann_ivf_pq):
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "hashpartitioning(cell" not in plan, fn.__name__
