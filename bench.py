@@ -230,6 +230,12 @@ def main() -> None:
             # otherwise storage accumulates across the suite and inflates
             # later (checkpoint-heavy) queries
             gc.collect()
+            # drop CacheManager entries between samples: the dedup-family
+            # intermediates are persist()-cached keyed by canonicalized
+            # plan, so without this a repeat run of the same construction
+            # query would time a cache hit, not the build.  Session memos
+            # (pair set / CC labels) are localCheckpoints — unaffected.
+            spark.catalog.clearCache()
             t0 = time.time()
             rows = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
@@ -253,22 +259,30 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread_max_over_min": spreads,
-                "runs": runs_taken,
-                "append": append,
-                "bulk": bulk,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
-    )
+    # key order is load-bearing: the driver archives only the LAST 2000
+    # chars of stdout, so the per-query medians — the artifact's primary
+    # signal — must sit at the END of the JSON line (BENCH_r05 lost all
+    # 41 medians because "queries" printed first).  Everything truncation
+    # might eat (metric/spreads/runs) is also written in full to
+    # BENCH_LOCAL.json beside this script.
+    payload = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "append": append,
+        "bulk": bulk,
+        "spread_max_over_min": spreads,
+        "runs": runs_taken,
+        "queries": timings,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(json.dumps(payload), flush=True)
     spark.stop()
 
 

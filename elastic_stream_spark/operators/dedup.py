@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elastic_stream_spark.functions.materialize import materialize
 from elastic_stream_spark.functions.textfns import bow_fingerprint, shingles
 from elastic_stream_spark.functions.vectorfns import cosine_similarity
 from elastic_stream_spark.sources.envelope import load_table, load_table_balanced
@@ -55,19 +56,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingles; the inverted index.
 
-    Materialized (localCheckpoint): the shingle transform is an
-    interpreted higher-order expression — ~2.4 ms/doc of CPU, the single
-    most expensive scalar stage in the dedup family — and every consumer
-    reads this table 2-6×.  Without materialization each downstream
-    shuffle recomputes the transform (and AQE's small-partition coalesce
-    can serialize the recompute onto one core: measured 12.4 s/pass
-    single-core vs 0.8 s materialized-parallel at sf0.1).  At 100 TB this
-    is the standard persist-the-exploded-index step; the checkpoint is
-    sized ∝ corpus × shingles, spill-backed, partitioned."""
-    return (
+    Materialized (eager persist — see functions/materialize.py): the
+    shingle transform is an interpreted higher-order expression — ~2.4
+    ms/doc of CPU, the single most expensive scalar stage in the dedup
+    family — and every consumer reads this table 2-6×.  Without
+    materialization each downstream shuffle recomputes the transform
+    (and AQE's small-partition coalesce can serialize the recompute onto
+    one core: measured 12.4 s/pass single-core vs 0.8 s
+    materialized-parallel at sf0.1).  At 100 TB this is the standard
+    persist-the-exploded-index step; the cache is sized ∝ corpus ×
+    shingles, spill-backed, partitioned."""
+    return materialize(
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(shingles("text", SHINGLE_N)).alias("shingle"))
-        .localCheckpoint(eager=True)
     )
 
 
@@ -139,22 +140,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pair_set(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
-# Verified pair set memo, keyed by corpus dir: the downstream pipeline
-# queries (dedup_clusters, pipeline_keep_list, pipeline_curation_verdict)
-# all consume this edge list; a production pipeline materializes it once
-# and every stage reads the materialization — here the same thing, as a
-# session-lifetime localCheckpoint of the (small, verified) pair table.
-# Safe: the source corpora are immutable within a session (testdata is
-# read-only; tests write one corpus per tmp workdir).
-_PAIR_CACHE: dict[str, DataFrame] = {}
+# Verified pair set memo, keyed by (applicationId, corpus dir): the
+# downstream pipeline queries (dedup_clusters, pipeline_keep_list,
+# pipeline_curation_verdict) all consume this edge list; a production
+# pipeline materializes it once and every stage reads the materialization
+# — here the same thing, as a session-lifetime localCheckpoint of the
+# (small, verified) pair table.  The applicationId component makes the
+# session binding explicit: a checkpoint belongs to the SparkContext that
+# created it, so a stopped-and-recreated session can never be served a
+# dead handle.  Corpus immutability within one application still holds by
+# construction (testdata is read-only; tests write one corpus per tmp
+# workdir).
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def ngram_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cached = _PAIR_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached
     out = _ngram_pair_set(spark, sf_dir).localCheckpoint(eager=True)
-    _PAIR_CACHE[sf_dir] = out
+    _PAIR_CACHE[key] = out
     return out
 
 
@@ -246,14 +252,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(LSH_BANDS)
         ]
     )
-    bands = (
+    bands = materialize(
         mh.select("doc_id", F.explode(band_structs).alias("bb"))
         .select(
             "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
         # materialized: the band self-join reads this table twice; without
         # it both sides recompute the 16-minhash aggregation
-        .localCheckpoint(eager=True)
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -296,20 +301,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(60)
     ]
     sums = toks.groupBy("doc_id").agg(*bit_cols)
-    sig = sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for j in range(60)
-            ]
-        ).cast("long").alias("sig"),
     # materialized: both sides of the chunk-bucket self-join read the
     # signature table, and its lineage (token explode + 60-bit md5 agg)
-    # is the expensive part — compute once, join the checkpointed result
-    ).localCheckpoint(eager=True)
+    # is the expensive part — compute once, join the cached result
+    sig = materialize(
+        sums.select(
+            "doc_id",
+            sum(
+                [
+                    F.when(
+                        F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+                    ).otherwise(F.lit(0).cast("long"))
+                    for j in range(60)
+                ]
+            ).cast("long").alias("sig"),
+        )
+    )
     chunks = sig.select(
         "doc_id",
         "sig",

@@ -129,23 +129,24 @@ def connected_components(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-# Cluster-table memo, keyed by corpus dir: the CC fixpoint is the most
-# expensive stage shared by the downstream verdict queries
-# (pipeline_keep_list, pipeline_curation_verdict) — a production
+# Cluster-table memo, keyed by (applicationId, corpus dir): the CC
+# fixpoint is the most expensive stage shared by the downstream verdict
+# queries (pipeline_keep_list, pipeline_curation_verdict) — a production
 # pipeline materializes the cluster table once and every consumer joins
 # it; here the same thing at session lifetime (the fixpoint's final
 # labels are already a localCheckpoint).  dedup_clusters — the
 # CONSTRUCTION query — bypasses this memo so its bench/scale timings
-# measure the fixpoint, not a memo hit.  Same immutability argument as
-# dedup._PAIR_CACHE.
-_CC_CACHE: dict[str, DataFrame] = {}
+# measure the fixpoint, not a memo hit.  Same session-binding and
+# immutability argument as dedup._PAIR_CACHE.
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cached = _CC_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_CACHE.get(key)
     if cached is None:
         cached = connected_components(ngram_pair_set(spark, sf_dir))
-        _CC_CACHE[sf_dir] = cached
+        _CC_CACHE[key] = cached
     return cached
 
 

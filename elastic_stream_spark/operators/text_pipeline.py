@@ -6,7 +6,7 @@ All pure JVM column expressions (``sequence``/``explode`` + substring
 arithmetic + two-level aggregation) — no Python UDFs, so 100 TB is just
 more partitions:
 
-- doc_chunking              overlapping fixed-size chunks w/ offsets+hashes
+- doc_chunking              overlapping fixed-size chunks w/ char offsets+hashes
 - token_heavy_hitters       corpus-wide top-k token frequencies
 - source_distinctive_tokens per-source tokens over-represented vs corpus
 """
@@ -31,8 +31,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split every document into overlapping fixed-size character chunks
-    (200 chars, stride 150) with byte offsets and content hashes — the
-    standard pre-tokenization windowing stage of a training pipeline.
+    (200 chars, stride 150) with CHARACTER offsets and content hashes —
+    the standard pre-tokenization windowing stage of a training pipeline.
+    ``chunk_start``/``chunk_len`` are substring (code-point) offsets, NOT
+    byte offsets: a consumer seeking into UTF-8 bytes must re-encode
+    (the multibyte edge-corpus test pins character semantics in both
+    engines).
 
     Start offsets are ``0, 150, 300, …`` while they still fall inside
     the document, so every chunk is non-empty and the last one may be

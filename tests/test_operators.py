@@ -92,13 +92,17 @@ def test_simhash_pairs_match_python_reference(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
+    """The approximate IVF serving form (nprobe = nlist/2 on the uniform
+    fixture) keeps recall ≥ 0.8 vs brute force; the registered
+    sim_ann_ivf gate form probes every cell and is exact (hash-checked
+    by the driver against the DuckDB oracle)."""
     from elastic_stream_spark.operators.similarity import (
-        sim_ann_ivf,
+        sim_ann_ivf_approx,
         sim_topk_bruteforce,
     )
 
     exact = sim_topk_bruteforce(spark, SF_DIR).collect()
-    approx = sim_ann_ivf(spark, SF_DIR).collect()
+    approx = sim_ann_ivf_approx(spark, SF_DIR).collect()
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -108,6 +112,26 @@ def test_ivf_recall_vs_bruteforce(spark):
 
     per_q = Counter(q for q, _ in approx_set)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark):
+    """The registered sim_ann_ivf gate form (nprobe = nlist) must be
+    row-for-row identical to brute-force top-k — the property that earns
+    it a full DuckDB hash oracle."""
+    from elastic_stream_spark.operators.similarity import (
+        sim_ann_ivf,
+        sim_topk_bruteforce,
+    )
+
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in sim_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in sim_ann_ivf(spark, SF_DIR).collect()
+    }
+    assert got == exact
 
 
 def test_ivf_pruning_and_recall_on_clustered_fixture(spark):
