@@ -72,6 +72,10 @@ HEADLINE = [
     "q9_product_type_profit",
     "q16_supplier_variety",
     "q21_waiting_supplier",
+    # round 6: SemDeDup, bounded-state heavy-hitters replay, exact IVF
+    "dedup_semantic",
+    "stream_heavy_hitters_replay",
+    "sim_ann_ivf",
 ]
 
 APPEND_PER_STREAM = 2_000

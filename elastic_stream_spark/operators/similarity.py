@@ -669,6 +669,70 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(corpus, queries, centroids, IVF_CLUSTERED_NPROBE, books)
 
 
+# ---------------------------------------------------------- SemDeDup
+
+# Semantic-dedup threshold on the planted-twin clustered corpus: measured
+# margins at both gate scales (tools fixture probe, r6) — background
+# within-cell pair cosine tops out at 0.961 while every planted-group
+# pair (query↔twin and twin↔twin) sits at ≥ 0.9867 — so 0.975 splits
+# them with ≈ 0.012 margin on each side, 4 orders of magnitude above the
+# 1e-6 rounding granularity.  The kept set is therefore exact by
+# construction: each query keeps itself (min id of its group) and drops
+# its 5 twins; no background vector is touched.
+SEMDEDUP_T = 0.975
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame, centroids: list[list[float]], threshold: float
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus
+    with the IVF coarse quantizer, then drop within-cluster semantic
+    near-duplicates — keep a vector only if NO lower-id vector in its
+    cell has cosine ≥ threshold (the greedy min-id keep rule curation
+    pipelines use).  Returns (vec_id, cell, keep) for every vector.
+
+    Plan: map-only cell assignment (``ivf_assign``) → one shuffle on the
+    cell key → per-cell Arrow batch, where the pairwise cosines are ONE
+    numpy matmul (vectors are unit) and the keep mask is a lower-triangle
+    any().  Pairwise work is Σ n_c² over CELLS, never corpus² — the whole
+    point of clustering first; at 100 TB nlist ∝ √n keeps cells bounded
+    (and an oversized cell would be sub-split by the quantizer refit,
+    the standard SemDeDup recipe), so per-task memory is O(cell²) with
+    cells in the thousands."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(corpus, centroids)
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        U = np.array(pdf["u"].tolist(), dtype=np.float64)
+        S = np.round(U @ U.T, 6)
+        dup = np.tril(S >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "keep": ~dup}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell, schema="vec_id BIGINT, cell INT, keep BOOLEAN"
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SemDeDup gate query: IVF-cell clustering + within-cell
+    semantic near-dup pruning at cosine ≥ 0.975 on the planted-twin
+    clustered corpus (see SEMDEDUP_T for the margin argument).  Each
+    query vector keeps itself and sheds its 5 planted twins; the DuckDB
+    oracle derives the identical corpus in SQL, takes the closed-form
+    cell (= base vec_id mod nlist — proven exact for this fixture,
+    see planted_centroids), and applies the same keep rule via a
+    within-cell EXISTS."""
+    corpus = pq_twin_corpus(spark, sf_dir)
+    centroids = planted_centroids(spark, sf_dir)
+    return semantic_dedup_keep(corpus, centroids, SEMDEDUP_T).orderBy("vec_id")
+
+
 # --------------------------------------------------------------- LSH
 
 def lsh_buckets(
@@ -899,6 +963,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_clustered": sim_ann_ivf_clustered,
     "sim_ann_ivf_pq": sim_ann_ivf_pq,
+    "dedup_semantic": dedup_semantic,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "emb_label_centroids": emb_label_centroids,
 }
@@ -925,19 +990,10 @@ _EXACT_TOPK_RAW_SQL = f"""
     ORDER BY query_id, rank
 """
 
-ORACLES = {
-    "sim_topk_bruteforce": _EXACT_TOPK_RAW_SQL,
-    "sim_ann_ivf": _EXACT_TOPK_RAW_SQL,
-    # On the planted-cluster fixtures below, IVF@nprobe=2 and
-    # IVF-PQ-with-exact-re-rank EQUAL exact top-k by construction
-    # (asserted in tests/test_operators.py), so both get full
-    # exact-top-5 oracles.
-    "sim_ann_ivf_clustered": f"""
-        WITH {_CLUSTERED_CORPUS_SQL},
-        {_exact_topk_sql("corpus")}
-    """,
-    "sim_ann_ivf_pq": f"""
-        WITH {_CLUSTERED_CORPUS_SQL},
+# Shared oracle fragment: the planted-twin corpus (clustered corpus ∪
+# per-query twins) in pure SQL — identical to pq_twin_corpus().  Ends at
+# CTE ``allv(vec_id, u)``; requires _CLUSTERED_CORPUS_SQL before it.
+_PQ_TWIN_SQL = f"""
         twins AS (
           SELECT c.vec_id * {PQT_N_TWINS} + j.j + {PQT_ID_BASE} AS vec_id,
                  list_transform(c.u, (x, i) -> x
@@ -953,8 +1009,50 @@ ORACLES = {
                  list_transform(p, x -> x / sqrt(list_sum(list_transform(
                               p, y -> y * y)))) AS u
           FROM twins
-        ),
+        )
+"""
+
+ORACLES = {
+    "sim_topk_bruteforce": _EXACT_TOPK_RAW_SQL,
+    "sim_ann_ivf": _EXACT_TOPK_RAW_SQL,
+    # On the planted-cluster fixtures below, IVF@nprobe=2 and
+    # IVF-PQ-with-exact-re-rank EQUAL exact top-k by construction
+    # (asserted in tests/test_operators.py), so both get full
+    # exact-top-5 oracles.
+    "sim_ann_ivf_clustered": f"""
+        WITH {_CLUSTERED_CORPUS_SQL},
+        {_exact_topk_sql("corpus")}
+    """,
+    "sim_ann_ivf_pq": f"""
+        WITH {_CLUSTERED_CORPUS_SQL},
+        {_PQ_TWIN_SQL},
         {_exact_topk_sql("allv")}
+    """,
+    # SemDeDup over the same planted-twin corpus: closed-form cell
+    # (= base vec_id mod nlist — exact for this fixture, argument at
+    # planted_centroids), within-cell near-dup pairs at cosine ≥ 0.975,
+    # greedy min-id keep rule.  Margin argument at SEMDEDUP_T.
+    "dedup_semantic": f"""
+        WITH {_CLUSTERED_CORPUS_SQL},
+        {_PQ_TWIN_SQL},
+        cellv AS (
+          SELECT vec_id, u,
+                 CAST(CASE WHEN vec_id >= {PQT_ID_BASE}
+                           THEN ((vec_id - {PQT_ID_BASE}) // {PQT_N_TWINS})
+                                  % {IVF_CLUSTERED_NLIST}
+                           ELSE vec_id % {IVF_CLUSTERED_NLIST} END AS INT)
+                   AS cell
+          FROM allv
+        ),
+        dups AS (
+          SELECT DISTINCT b.vec_id
+          FROM cellv a JOIN cellv b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.u, b.u), 6) >= {SEMDEDUP_T}
+        )
+        SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep
+        FROM cellv c LEFT JOIN dups d ON c.vec_id = d.vec_id
+        ORDER BY c.vec_id
     """,
     "dedup_embedding_lsh": f"""
         WITH base AS (

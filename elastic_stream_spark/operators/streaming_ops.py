@@ -98,11 +98,72 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_REPLAY_STREAMS = 4  # events partitioned into 4 logical streams
+
+
+def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the bounded-state streaming heavy-hitters
+    operator (``streaming/stateful.py`` — the space-saving sketch,
+    Metwally et al.): events keyed into ``HH_REPLAY_STREAMS`` logical
+    streams by ``user_id mod 4`` with ``key = event_type``, folded
+    through the SAME ``space_saving_update`` the streaming operator
+    runs, emitting each stream's top-5.
+
+    Gate contract: at ``capacity (64) ≥ |event-type vocabulary|`` no
+    eviction ever fires, so the sketch is provably the exact count table
+    (err = 0, order-independent) and the output hash-checks against the
+    exact DuckDB top-k oracle.  The bounded-state property the operator
+    exists for — capacity ≪ vocabulary with the est−err ≤ true ≤ est
+    guarantee — is asserted separately in tests/test_streaming.py.
+
+    Plan: one shuffle on the stream key into an Arrow-batched
+    applyInPandas whose per-group work is a pandas ``value_counts`` +
+    an O(|batch vocabulary|) dict fold — state O(capacity · streams),
+    the same shape the always-on streaming operator carries."""
+    import pandas as pd
+
+    from elastic_stream_spark.streaming.stateful import (
+        HH_CAPACITY,
+        HH_TOP,
+        space_saving_top,
+        space_saving_update,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(HH_REPLAY_STREAMS)).alias("stream_id"),
+        F.col("event_type").alias("key"),
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        table: dict[str, list[int]] = {}
+        space_saving_update(table, pdf["key"].value_counts(), HH_CAPACITY)
+        top = space_saving_top(table, HH_TOP)
+        return pd.DataFrame(
+            {
+                "stream_id": [int(pdf["stream_id"].iloc[0])] * len(top),
+                "key": [kk for kk, _ in top],
+                "est_count": [v[0] for _, v in top],
+                "err": [v[1] for _, v in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return (
+        ev.groupBy("stream_id")
+        .applyInPandas(
+            replay,
+            schema="stream_id long, key string, est_count long, err long, rank int",
+        )
+        .orderBy("stream_id", "rank")
+    )
+
+
 QUERIES = {
     "tumbling_window_counts": tumbling_window_counts,
     "sliding_window_stats": sliding_window_stats,
     "session_windows": session_windows,
     "stream_dedup_events": stream_dedup_events,
+    "stream_heavy_hitters_replay": stream_heavy_hitters_replay,
 }
 
 ORACLES = {
@@ -158,5 +219,23 @@ ORACLES = {
         )
         WHERE rn = 1
         ORDER BY user_id, event_type
+    """,
+    # exact top-k per stream: equals the sketch replay because capacity
+    # ≥ vocabulary ⇒ no eviction ⇒ est_count is the exact count, err 0
+    "stream_heavy_hitters_replay": """
+        WITH counts AS (
+          SELECT user_id % 4 AS stream_id, event_type AS key,
+                 count(*) AS est_count
+          FROM events GROUP BY stream_id, key
+        ), ranked AS (
+          SELECT stream_id, key, est_count, CAST(0 AS BIGINT) AS err,
+                 CAST(row_number() OVER (PARTITION BY stream_id
+                                         ORDER BY est_count DESC, key)
+                      AS INT) AS rank
+          FROM counts
+        )
+        SELECT stream_id, key, est_count, err, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY stream_id, rank
     """,
 }

@@ -77,6 +77,34 @@ HH_CAPACITY = 64
 HH_TOP = 5
 
 
+def space_saving_update(
+    table: dict[str, list[int]], batch_counts, capacity: int
+) -> None:
+    """Fold one batch's (key → count) pairs into a space-saving counter
+    table ``{key: [est_count, err]}`` in place.  A new key arriving at a
+    full table evicts the minimum counter and inherits its count as the
+    error bound; when ``capacity ≥ |vocabulary|`` no eviction ever fires
+    and every est_count is the exact count with err = 0 — the property
+    the batch replay gate query (operators/streaming_ops.py) relies on.
+    Shared by the streaming operator below and the batch replay."""
+    for kk, c in batch_counts.items():
+        c = int(c)
+        if kk in table:
+            table[kk][0] += c
+        elif len(table) < capacity:
+            table[kk] = [c, 0]
+        else:
+            evict = min(table.items(), key=lambda it: (it[1][0], it[0]))
+            m = evict[1][0]
+            del table[evict[0]]
+            table[kk] = [m + c, m]
+
+
+def space_saving_top(table: dict[str, list[int]], k: int) -> list:
+    """Deterministic top-k of a counter table: (est_count DESC, key ASC)."""
+    return sorted(table.items(), key=lambda it: (-it[1][0], it[0]))[:k]
+
+
 def streaming_heavy_hitters(
     keyed: DataFrame, capacity: int = HH_CAPACITY, k: int = HH_TOP
 ) -> DataFrame:
@@ -117,17 +145,7 @@ def streaming_heavy_hitters(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            for kk, c in pdf["key"].value_counts().items():
-                c = int(c)
-                if kk in table:
-                    table[kk][0] += c
-                elif len(table) < capacity:
-                    table[kk] = [c, 0]
-                else:
-                    evict = min(table.items(), key=lambda it: (it[1][0], it[0]))
-                    m = evict[1][0]
-                    del table[evict[0]]
-                    table[kk] = [m + c, m]
+            space_saving_update(table, pdf["key"].value_counts(), capacity)
         state.update(
             (
                 list(table.keys()),
@@ -135,7 +153,7 @@ def streaming_heavy_hitters(
                 [v[1] for v in table.values()],
             )
         )
-        top = sorted(table.items(), key=lambda it: (-it[1][0], it[0]))[:k]
+        top = space_saving_top(table, k)
         yield pd.DataFrame(
             {
                 "stream_id": [group_key[0]] * len(top),

@@ -134,6 +134,69 @@ def test_ivf_exhaustive_probe_equals_bruteforce(spark):
     assert got == exact
 
 
+def test_semantic_dedup_drops_exactly_the_planted_twins(spark):
+    """SemDeDup on the planted-twin clustered corpus must keep every
+    base vector (each is the min id of its group) and drop exactly the
+    5 planted twins of every query — the by-construction kept set the
+    DuckDB oracle independently derives."""
+    from elastic_stream_spark.operators.similarity import (
+        N_QUERIES,
+        PQT_ID_BASE,
+        PQT_N_TWINS,
+        dedup_semantic,
+    )
+
+    rows = dedup_semantic(spark, SF_DIR).collect()
+    dropped = {r.vec_id for r in rows if not r.keep}
+    base_ids = {r.vec_id for r in rows if r.vec_id < PQT_ID_BASE}
+    queries = {i for i in base_ids if i < N_QUERIES}
+    expected_dropped = {
+        q * PQT_N_TWINS + j + PQT_ID_BASE
+        for q in queries
+        for j in range(PQT_N_TWINS)
+    }
+    assert dropped == expected_dropped
+    # every base vector survives, including the queries themselves
+    assert all(r.keep for r in rows if r.vec_id < PQT_ID_BASE)
+
+
+def test_heavy_hitters_replay_equals_exact_counts(spark):
+    """The batch replay of the space-saving sketch, at capacity ≥ the
+    fixture's event-type vocabulary, must equal exact per-stream top-5
+    counts with err = 0 (no eviction ever fires)."""
+    from elastic_stream_spark.operators.streaming_ops import (
+        HH_REPLAY_STREAMS,
+        stream_heavy_hitters_replay,
+    )
+    from elastic_stream_spark.sources.envelope import load_table
+
+    got = stream_heavy_hitters_replay(spark, SF_DIR).collect()
+    assert got and all(r.err == 0 for r in got)
+    exact = {
+        (r.stream_id, r.key): r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(
+            F.pmod("user_id", F.lit(HH_REPLAY_STREAMS)).alias("stream_id"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert r.est_count == exact[(r.stream_id, r.key)]
+    # per stream: ranks 1..k, counts non-increasing in rank order
+    from collections import defaultdict
+
+    by_stream = defaultdict(list)
+    for r in got:
+        by_stream[r.stream_id].append(r)
+    for rows_ in by_stream.values():
+        rows_.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows_] == list(range(1, len(rows_) + 1))
+        counts = [r.est_count for r in rows_]
+        assert counts == sorted(counts, reverse=True)
+
+
 def test_ivf_pruning_and_recall_on_clustered_fixture(spark):
     """On clustered data (the setting IVF exists for), with nprobe/nlist
     = 1/4 the probe must (a) scan ≈ nprobe/nlist of the corpus per query

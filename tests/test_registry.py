@@ -1,5 +1,12 @@
 """Gate-registry invariants: the driver records correctness rows for the
-first 50 registry entries only, so the order is load-bearing."""
+first 50 registry entries only, so the order is load-bearing.
+
+Round-6 policy (operators/__init__.py GATE_ORDER): the registry (82
+queries) exceeds the 50-row window, so the schedule ALTERNATES — a query
+may sit beyond the window only if it was hash-green in the immediately
+preceding driver window; changed / never-checked queries always occupy a
+slot.  Every query is additionally re-verified each round by the
+committed strict full-registry self-check at both sf."""
 
 from __future__ import annotations
 
@@ -8,45 +15,35 @@ import os
 
 from elastic_stream_spark.operators import GATE_ORDER, all_oracles, all_queries
 
-# Rows-only-by-design entries (honest-approximate, no SQL oracle): they
-# can never hash-match, so the window policy requires them to sit BEYOND
-# the 50-row gate window — an err row must not occupy a slot a
-# hash-checkable query could use.
-ROWS_ONLY_BY_DESIGN = {"sim_ann_ivf"}
-
-# Changed in round 5 (fixed oracles, new IVF oracles, ADVICE code
-# changes) — each needs a fresh driver row, so each must sit inside the
-# window.
-CHANGED_R5 = {
-    "text_boilerplate",
-    "pipeline_pack_sequences",
-    "pipeline_sample_mix",
-    "text_pii_redact",
+# Changed in round 6 (eager-persist materialization of the dedup-family
+# intermediates, numpy probe path for IVF/PQ, exact exhaustive-probe
+# sim_ann_ivf with its new oracle, session-memo re-keying) — each needs
+# a fresh driver row, so each must sit inside the window.
+# dedup_clusters / pipeline_keep_list close the r5 ADVICE gap: their
+# execution changed in r5 (session memos) without a fresh driver row.
+CHANGED_R6 = {
+    "sim_ann_ivf",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
     "sim_ann_ivf_clustered",
     "sim_ann_ivf_pq",
-    "dedup_ngram_jaccard",
-    "skew_salted_join_revenue",
+    "pipeline_curation_verdict",
+    "dedup_clusters",
+    "pipeline_keep_list",
 }
 
-# New in round 5 — never driver-checked, so each must sit inside the
-# window until it accumulates green rounds.
-NEW_R5 = {
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
-    "doc_chunking",
-    "token_heavy_hitters",
-    "source_distinctive_tokens",
+# New in round 6 — never driver-checked, so each must sit inside the
+# window until it accumulates a green round.
+NEW_R6 = {
+    "dedup_semantic",
+    "stream_heavy_hitters_replay",
 }
 
-# Landed after the r5 window filled: beyond the window THIS round on the
-# strength of the committed strict full-gate artifact, and required to
-# rotate INTO the window in r6 (first driver exposure).
-NEW_QUEUED_R6 = {
+# Never driver-checked before r6: the third TPC-H tranche, queued from
+# r5 beyond the then-full window on strict full-gate evidence.
+QUEUED_FROM_R5 = {
     "q9_product_type_profit",
     "q12_priority_by_lateness",
     "q16_supplier_variety",
@@ -54,16 +51,12 @@ NEW_QUEUED_R6 = {
 }
 
 
-def _greens(*artifacts: str) -> set[str]:
-    """Queries hash-green in EVERY named committed driver artifact."""
+def _greens(artifact: str) -> set[str]:
+    """Queries hash-green in a committed driver artifact."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    greens: set[str] | None = None
-    for r in artifacts:
-        with open(os.path.join(here, r)) as f:
-            rows = json.load(f)
-        g = {n for n, row in rows.items() if row.get("hash_match")}
-        greens = g if greens is None else greens & g
-    return greens or set()
+    with open(os.path.join(here, artifact)) as f:
+        rows = json.load(f)
+    return {n for n, row in rows.items() if row.get("hash_match")}
 
 
 def test_registry_matches_gate_order():
@@ -72,49 +65,54 @@ def test_registry_matches_gate_order():
     assert len(qs) == len(set(qs))
 
 
-def test_changed_queries_inside_window():
+def test_changed_and_new_queries_inside_window():
     names = list(all_queries())
     window = set(names[:50])
-    assert CHANGED_R5 <= window
-    assert NEW_R5 <= window
+    assert CHANGED_R6 <= window
+    assert NEW_R6 <= window
+    assert QUEUED_FROM_R5 <= window
 
 
-def test_no_rows_only_entries_inside_window():
+def test_stale_queries_rotated_into_window():
+    """Alternation: every query whose last driver row is r4 (it sat out
+    the r5 window) must be back inside the r6 window — no query's driver
+    row is ever more than two rounds old."""
     names = list(all_queries())
     window = set(names[:50])
-    oracles = all_oracles()
-    no_oracle_in_window = {n for n in window if n not in oracles}
-    assert not no_oracle_in_window, (
-        f"rows-only queries occupy gate slots: {no_oracle_in_window}"
+    r4 = _greens("CORRECTNESS_r04.json")
+    r5 = set(
+        json.load(
+            open(
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "CORRECTNESS_r05.json",
+                )
+            )
+        )
     )
+    stale = (r4 - r5) & set(names)
+    missing = stale - window
+    assert not missing, f"r4-stale queries left beyond the window: {missing}"
 
 
-def test_beyond_window_queries_have_two_green_rounds():
-    """Everything beyond the window must have been hash-green in the last
-    two driver rounds (r3 AND r4) — stable, never-failed queries — except
-    the documented rows-only-by-design set and the NEW_QUEUED_R6 tranche,
-    which instead must be hash-green in the committed strict full-gate
-    artifact (its driver exposure is scheduled for the r6 window)."""
+def test_beyond_window_queries_were_green_last_round():
+    """A query may sit beyond the window only if it was hash-green in
+    the immediately preceding driver window — the freshest row a
+    rotated-out query can have."""
     names = list(all_queries())
     beyond = names[50:]
-    greens = _greens("CORRECTNESS_r03.json", "CORRECTNESS_r04.json")
-    queued_greens = _greens("CORRECTNESS_FULL_r05.json")
-    stragglers = [
-        n
-        for n in beyond
-        if n not in ROWS_ONLY_BY_DESIGN
-        and (
-            n not in queued_greens if n in NEW_QUEUED_R6 else n not in greens
-        )
-    ]
+    r5_green = _greens("CORRECTNESS_r05.json")
+    stragglers = [n for n in beyond if n not in r5_green]
     assert not stragglers, (
-        f"beyond-window queries without required green evidence: {stragglers}"
+        f"beyond-window queries not green in the last driver round: {stragglers}"
     )
-    assert NEW_QUEUED_R6 <= set(beyond)
 
 
-def test_every_query_has_oracle_or_documented_exemption():
+def test_every_query_has_an_oracle():
+    """Since r6 every registry entry is hash-checkable: sim_ann_ivf —
+    the former only rows-only row — probes every cell and carries the
+    exact top-k oracle."""
     qs = all_queries()
     oracles = all_oracles()
     no_oracle = {n for n in qs if n not in oracles}
-    assert no_oracle == ROWS_ONLY_BY_DESIGN
+    assert no_oracle == set()
