@@ -200,6 +200,34 @@ def test_curation_verdict_joins_stay_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_plan_is_join_free(spark):
+    """SemDeDup's pairwise work happens INSIDE the per-cell Arrow stage
+    (one numpy matmul per cell) — the Spark plan itself must contain no
+    join at all: its only data-sized exchanges are the cell-key shuffle
+    into applyInPandas and the output sort."""
+    from elastic_stream_spark.operators.similarity import dedup_semantic
+
+    plan = plan_of(dedup_semantic(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_replay_single_shuffle(spark):
+    """The sketch replay is one shuffle on the stream key into the
+    Arrow-batched fold — no join, no second data-sized exchange beyond
+    the final (k·streams)-row sort."""
+    import re
+
+    from elastic_stream_spark.operators.streaming_ops import (
+        stream_heavy_hitters_replay,
+    )
+
+    plan = plan_of(stream_heavy_hitters_replay(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 2, plan
+
+
 def test_ivf_index_build_has_no_cell_exchange(spark):
     """The IVF/PQ index build must stay map-only: no Exchange hashed on
     the cell id anywhere in either gate query's plan (hashing nlist=8
