@@ -213,17 +213,30 @@ def _driver_row(res: dict) -> dict:
 
 
 def main():
+    # --json may appear anywhere; the first non-flag arg is the sf dir,
+    # the rest are query-name filters — validated against the registry so
+    # a typo (or a misplace flag) fails loudly instead of silently
+    # matching zero queries.
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    only = set(args[1:])
+    pos: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--json":
+            json_out = args[i + 1]
+            i += 2
+        else:
+            pos.append(args[i])
+            i += 1
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.001"
+    only = set(pos[1:])
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - qs.keys()
+    if unknown:
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
     spark = get_spark("compare")
     con = duck_con(sf_dir)
     n_ok = n_bad = 0
