@@ -175,3 +175,50 @@ def test_fair_split_invariants(backlog, budget):
     floor_share = budget // n
     if floor_share and all(b >= floor_share for b in backlog.values()):
         assert all(a >= floor_share for a in admitted.values()), admitted
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    stream=st.lists(
+        st.sampled_from([f"k{i}" for i in range(20)]), min_size=1, max_size=400
+    ),
+    capacity=st.integers(min_value=2, max_value=12),
+    n_batches=st.integers(min_value=1, max_value=5),
+)
+def test_space_saving_sketch_invariants(stream, capacity, n_batches):
+    """Space-saving sketch (streaming/stateful.py — Metwally et al.):
+    for ANY key order, batch split, and capacity (including capacity
+    well below the vocabulary):
+    (1) the table never exceeds capacity;
+    (2) est_count - err <= true_count <= est_count for every tracked key;
+    (3) any key whose true count exceeds the minimum tracked counter is
+        guaranteed present (the top-k guarantee);
+    (4) at capacity >= vocabulary the sketch IS the exact count table
+        with zero error — the property the batch replay gate query
+        relies on."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from elastic_stream_spark.streaming.stateful import space_saving_update
+
+    truth = Counter(stream)
+    table: dict[str, list[int]] = {}
+    # fold in n_batches chunks to exercise cross-batch accumulation
+    size = max(1, len(stream) // n_batches)
+    for i in range(0, len(stream), size):
+        chunk = stream[i : i + size]
+        space_saving_update(table, pd.Series(chunk).value_counts(), capacity)
+
+    assert len(table) <= capacity
+    for k, (est, err) in table.items():
+        assert est >= truth[k], (k, est, truth[k])
+        assert est - err <= truth[k], (k, est, err, truth[k])
+    if table:
+        min_tracked = min(v[0] for v in table.values())
+        for k, true in truth.items():
+            if true > min_tracked:
+                assert k in table, (k, true, min_tracked)
+    if capacity >= len(truth):
+        assert {k: v[0] for k, v in table.items()} == dict(truth)
+        assert all(v[1] == 0 for v in table.values())
