@@ -76,6 +76,10 @@ PROBE = [
     "q9_product_type_profit",
     "q16_supplier_variety",
     "q21_waiting_supplier",
+    # round 6
+    "dedup_semantic",
+    "stream_heavy_hitters_replay",
+    "sim_ann_ivf",
 ]
 
 
@@ -84,8 +88,12 @@ PROBE = [
 # cross-replica n-gram/shingle overlap is exactly zero — the true pair
 # set grows LINEARLY in the amplification factor, which is what makes the
 # measured slope attributable to the plan, not to a quadratic blow-up of
-# the answer itself.
+# the answer itself.  The 160× point (800k docs — one decade past the
+# 16×/80k point) runs for the dedup/CC family only (AMP_DECADE_PROBE):
+# the sf0.1 curves are overhead-bound, and only this decade separates
+# linear from super-linear for the pair-generating plans.
 AMP_FACTORS = [1, 4, 16]
+AMP_DECADE_FACTOR = 160
 AMP_PROBE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -100,11 +108,20 @@ AMP_PROBE = [
     "pipeline_pack_sequences",
     "pipeline_curation_verdict",
 ]
+AMP_DECADE_PROBE = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "pipeline_keep_list",
+]
 
 
 def build_amp_dir(spark, base_sf_dir: str, factor: int, root: str) -> str:
     """Materialize an amplified documents.parquet (factor × rows) under
-    ``root``, symlinking every other table from ``base_sf_dir``."""
+    ``root``, symlinking every other table from ``base_sf_dir``.  One
+    explode-based job (a factor-way union plan chokes analysis at 160×)."""
     from pyspark.sql import functions as F
 
     out = os.path.join(root, f"amp{factor}x")
@@ -117,24 +134,26 @@ def build_amp_dir(spark, base_sf_dir: str, factor: int, root: str) -> str:
         os.symlink(f"{base_sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
     docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
     n = docs.count()
-    replicas = []
-    for k in range(factor):
-        r = docs.select(
-            (F.col("doc_id") + k * n).alias("doc_id"),
-            F.array_join(
-                F.transform(
-                    F.split("text", " "), lambda w: F.concat(w, F.lit(f"_r{k}"))
-                ),
-                " ",
-            ).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
-        )
-        replicas.append(r)
-    amp = replicas[0]
-    for r in replicas[1:]:
-        amp = amp.unionByName(r)
+    amp = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k"),
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ).select(
+        (F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda w: F.concat(w, F.lit("_r"), F.col("k").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
     amp.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     return out
 
@@ -222,12 +241,35 @@ def main() -> None:
             fn = qs[name]
             best = None
             for _ in range(3):
+                spark.catalog.clearCache()
                 t0 = time.time()
                 fn(spark, d).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             amp_results[name].append(round(best, 3))
             print(f"# amp{f}x {name}: {best:.3f}s", file=sys.stderr, flush=True)
+
+    # ---- decade point: 160× = 800k docs, dedup/CC family only,
+    # best-of-2 (each pass is tens of seconds — a host stall is visible
+    # as spread, not hidden)
+    d160 = build_amp_dir(spark, base, AMP_DECADE_FACTOR, amp_root)
+    spark.read.parquet(f"{d160}/documents.parquet").count()  # warm
+    decade_results: dict[str, float] = {}
+    for name in AMP_DECADE_PROBE:
+        fn = qs[name]
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, d160).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        decade_results[name] = round(best, 3)
+        print(
+            f"# amp{AMP_DECADE_FACTOR}x {name}: {best:.3f}s",
+            file=sys.stderr,
+            flush=True,
+        )
     shutil.rmtree(amp_root, ignore_errors=True)
 
     n_docs = [5000 * f for f in AMP_FACTORS]
@@ -261,10 +303,136 @@ def main() -> None:
         f"Flagged super-linear: {', '.join(amp_flagged) if amp_flagged else 'none'}.",
         "",
     ]
+
+    # ---- decade table: 80k → 800k docs (10×), the segment that actually
+    # separates linear from n·log n / n² for the pair-generating plans
+    lines += [
+        "## Decade probe: dedup/CC family at 800k docs (16× → 160×, 10× data)",
+        "",
+        "slope = log10(t_160x / t_16x); linear ⇒ ≈ +1.0, quadratic ⇒ +2.0.",
+        "Best-of-2 at the 160× point.",
+        "",
+        "| operator | 16× (80k docs) s | 160× (800k docs) s | slope | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    decade_flagged = []
+    for name in AMP_DECADE_PROBE:
+        t16 = amp_results[name][-1]
+        t160 = decade_results[name]
+        slope = math.log10(max(t160, 1e-3) / max(t16, 1e-3))
+        if slope >= 1.3:
+            verdict = "SUPER-LINEAR — flagged"
+            decade_flagged.append(name)
+        elif slope >= 0.5:
+            verdict = "~linear (data-bound)"
+        else:
+            verdict = "sub-linear / overhead-bound"
+        lines.append(
+            f"| {name} | {t16:.3f} | {t160:.3f} | {slope:+.2f} | {verdict} |"
+        )
+    lines += [
+        "",
+        f"Flagged super-linear: {', '.join(decade_flagged) if decade_flagged else 'none'}.",
+        "",
+    ]
+
+    # ---- embedding-LSH decade: corpus × 1/16/160 (2.25k → 360k vectors)
+    # with k_bits following log2(n) so per-bucket load stays ~constant —
+    # the production discipline that keeps hyperplane-LSH linear (at
+    # FIXED bits, per-bucket load grows ∝ n and candidate pairs ∝ n²,
+    # which is a tuning error, not a plan property)
+    emb_lines = _emb_lsh_probe(spark, base)
+    lines += emb_lines
+
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_md}", file=sys.stderr)
     spark.stop()
+
+
+EMB_AMP = [(1, 12), (16, 16), (160, 19)]  # (factor, k_bits): load ≈ 0.55-0.69/bucket
+
+
+def _amp_embeddings(spark, base_sf_dir: str, factor: int):
+    """Amplified unit-vector corpus: replica k applies a deterministic
+    per-coordinate sign-flip pattern (hash-seeded), so replicas keep unit
+    norm, pairwise replica cosines sit at background level (no quadratic
+    blow-up of the true pair set), and the corpus grows ∝ factor."""
+    from pyspark.sql import functions as F
+
+    from elastic_stream_spark.functions.vectorfns import unit
+
+    emb = spark.read.parquet(f"{base_sf_dir}/embeddings.parquet").select(
+        "vec_id", unit(F.col("embedding")).alias("u")
+    )
+    n = emb.count()
+    if factor == 1:
+        return emb.repartition(32).localCheckpoint(eager=True), n
+    amp = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k"), "vec_id", "u"
+    ).select(
+        (F.col("vec_id") + F.col("k") * n).alias("vec_id"),
+        F.transform(
+            "u",
+            lambda x, i: x
+            * F.when(
+                F.pmod(F.xxhash64(F.col("k"), i), 2) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        ).alias("u"),
+    )
+    return amp.repartition(32).localCheckpoint(eager=True), n * factor
+
+
+def _emb_lsh_probe(spark, base_sf_dir: str) -> list[str]:
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from elastic_stream_spark.operators.similarity import lsh_verified_pairs
+
+    dim = int(
+        spark.read.parquet(f"{base_sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("d"))
+        .first()["d"]
+    )
+    rows = []
+    series = []
+    for factor, bits in EMB_AMP:
+        corpus, n = _amp_embeddings(spark, base_sf_dir, factor)
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            lsh_verified_pairs(corpus, dim, 0.85, k_bits=bits, n_tables=24).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        series.append((factor, bits, n, round(best, 3)))
+        print(
+            f"# emb-lsh {factor}x (n={n}, bits={bits}): {best:.3f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        del corpus
+        gc.collect()
+    slope = math.log10(max(series[2][3], 1e-3) / max(series[1][3], 1e-3))
+    rows += [
+        "## Embedding-LSH decade: corpus × 1/16/160 with k_bits ∝ log2(n)",
+        "",
+        "`lsh_verified_pairs` (the dedup_embedding_lsh engine) on a",
+        "sign-flip-amplified unit corpus; per-bucket load held ≈ constant",
+        "by raising k_bits with corpus size (12/16/19 bits), the standard",
+        "LSH scaling discipline.  slope = log10(t_160x / t_16x).",
+        "",
+        "| factor | vectors | k_bits | best s |",
+        "|---|---|---|---|",
+    ]
+    for factor, bits, n, t in series:
+        rows.append(f"| {factor}× | {n:,} | {bits} | {t:.3f} |")
+    verdict = "SUPER-LINEAR — flagged" if slope >= 1.3 else (
+        "~linear (data-bound)" if slope >= 0.5 else "sub-linear / overhead-bound"
+    )
+    rows += ["", f"slope(16×→160×) = {slope:+.2f} → {verdict}.", ""]
+    return rows
 
 
 if __name__ == "__main__":
