@@ -72,10 +72,14 @@ HEADLINE = [
     "q9_product_type_profit",
     "q16_supplier_variety",
     "q21_waiting_supplier",
-    # round 6: SemDeDup, bounded-state heavy-hitters replay, exact IVF
+    # round 6: SemDeDup, bounded-state heavy-hitters replay, exact IVF,
+    # chunk-level dedup, unigram-LM scoring, vocabulary coverage
     "dedup_semantic",
     "stream_heavy_hitters_replay",
     "sim_ann_ivf",
+    "chunk_dedup",
+    "text_unigram_logprob",
+    "vocab_coverage",
 ]
 
 APPEND_PER_STREAM = 2_000

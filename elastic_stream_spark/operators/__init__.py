@@ -173,6 +173,15 @@ GATE_ORDER = [
     "event_gaps_lag",
     "resource_latest_state",
     "offset_for_timestamp",
+    # NEW_QUEUED_R7: landed after the r6 window filled (50/50 with the
+    # rotation + the two r6 additions).  Beyond the window THIS round on
+    # the strength of the committed strict full-gate artifacts
+    # (CORRECTNESS_FULL_r06*.json, regenerated to include them); they
+    # rotate INTO the driver window in r7 — the registry test pins both
+    # facts (same mechanism the r5→r6 TPC-H tranche used).
+    "chunk_dedup",
+    "text_unigram_logprob",
+    "vocab_coverage",
 ]
 
 

@@ -136,10 +136,119 @@ def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-style) exact dedup — the C4/CCNet recipe of
+    deduplicating BELOW document granularity: every duplicated chunk hash
+    from ``doc_chunking`` becomes one group with its copy count and the
+    kept occurrence (lexicographic min (doc_id, chunk_idx)).
+
+    Plan: the map-only chunking stage feeds ONE shuffle on the chunk
+    hash (count + struct-min are both partial-aggregable), so at 100 TB
+    this is scan → map → single hash aggregation — the cheapest possible
+    shape for exact sub-document dedup.  Complements ``dedup_exact``
+    (whole-document) and the near-dup family."""
+    chunks = doc_chunking(spark, sf_dir)
+    agg = chunks.groupBy("chunk_hash").agg(
+        F.count("*").alias("n_copies"),
+        F.min(F.struct("doc_id", "chunk_idx")).alias("keep"),
+    )
+    return (
+        agg.where(F.col("n_copies") > 1)
+        .select(
+            "chunk_hash",
+            "n_copies",
+            F.col("keep.doc_id").alias("keep_doc_id"),
+            F.col("keep.chunk_idx").alias("keep_chunk_idx"),
+        )
+        .orderBy("chunk_hash")
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram language-model score — the CCNet-style
+    corpus-fit signal: avg over the document's tokens of
+    ``ln(corpus_freq(token) / corpus_total)``.  Documents full of rare
+    or out-of-distribution tokens score low; boilerplate scores high.
+
+    Plan: one token-keyed aggregation builds the unigram table, the
+    corpus total rides along as a broadcast scalar, and the per-doc
+    score is a token-partitioned equi-join (the vocabulary is
+    millions-to-billions of rows on a web corpus — never broadcast,
+    same discipline as ``source_distinctive_tokens``) followed by a
+    doc-keyed average.  Every stage partial-aggregable."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("c_t"))
+    total = freq.agg(F.sum("c_t").alias("n")).withColumn("k", F.lit(1))
+    scored = (
+        toks.join(freq, "token")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .select("doc_id", F.log(F.col("c_t") / F.col("n")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_KS = (100, 500, 2000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: for candidate vocabulary sizes
+    K, the fraction of all corpus token OCCURRENCES covered by the top-K
+    tokens by frequency (ties broken by token) — the curve a tokenizer /
+    vocab-truncation decision reads.  Integer sums ⇒ the ratio is
+    float-deterministic across engines.
+
+    Plan: one token aggregation, a (vocabulary-sized) rank window on the
+    frequency table — at 100 TB vocabulary ranking is the standard
+    sort-limited aggregation, orders of magnitude smaller than the
+    corpus — then a tiny K-conditioned re-aggregation."""
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c_t"))
+    )
+    w = Window.orderBy(F.desc("c_t"), F.asc("token"))
+    ranked = freq.withColumn("rk", F.row_number().over(w))
+    ks = spark.range(len(VOCAB_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in VOCAB_KS]), (F.col("id") + 1).cast("int")
+        ).alias("k")
+    )
+    total = freq.agg(F.sum("c_t").alias("n")).withColumn("j", F.lit(1))
+    return (
+        ranked.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.sum("c_t").alias("covered"),
+        )
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(total), "j")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.round(F.col("covered") / F.col("n"), 6).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
 QUERIES = {
     "doc_chunking": doc_chunking,
     "token_heavy_hitters": token_heavy_hitters,
     "source_distinctive_tokens": source_distinctive_tokens,
+    "chunk_dedup": chunk_dedup,
+    "text_unigram_logprob": text_unigram_logprob,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLES = {
@@ -195,5 +304,65 @@ ORACLES = {
         SELECT source, token, c_st, lift, rk
         FROM ranked WHERE rk <= {DISTINCT_TOP}
         ORDER BY source, rk
+    """,
+    "chunk_dedup": f"""
+        WITH chunks AS (
+          SELECT doc_id, unnest(generate_series(
+                   0, CAST(floor((greatest(n_chars, 1) - 1)
+                                 / {CHUNK_STRIDE}) AS BIGINT))) AS chunk_idx,
+                 text
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                 md5(substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT),
+                               {CHUNK_CHARS})) AS chunk_hash
+          FROM chunks
+        ), grp AS (
+          SELECT chunk_hash, count(*) AS n_copies
+          FROM hashed GROUP BY chunk_hash HAVING count(*) > 1
+        ), keepers AS (
+          SELECT chunk_hash, doc_id AS keep_doc_id, chunk_idx AS keep_chunk_idx
+          FROM (
+            SELECT chunk_hash, doc_id, chunk_idx,
+                   row_number() OVER (PARTITION BY chunk_hash
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM hashed
+          ) WHERE rn = 1
+        )
+        SELECT g.chunk_hash, g.n_copies, k.keep_doc_id, k.keep_chunk_idx
+        FROM grp g JOIN keepers k USING (chunk_hash)
+        ORDER BY chunk_hash
+    """,
+    "text_unigram_logprob": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents
+        ), freq AS (
+          SELECT token, count(*) AS c_t FROM toks GROUP BY token
+        ), total AS (SELECT sum(c_t) AS n FROM freq)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(avg(ln(f.c_t * 1.0 / total.n)), 4) AS avg_logprob
+        FROM toks t JOIN freq f USING (token) CROSS JOIN total
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+    "vocab_coverage": f"""
+        WITH freq AS (
+          SELECT token, count(*) AS c_t
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents)
+          GROUP BY token
+        ), ranked AS (
+          SELECT token, c_t,
+                 row_number() OVER (ORDER BY c_t DESC, token) AS rk
+          FROM freq
+        ), total AS (SELECT sum(c_t) AS n FROM freq),
+        ks AS (SELECT unnest([{", ".join(str(k) for k in VOCAB_KS)}]) AS k)
+        SELECT CAST(ks.k AS INT) AS k,
+               count(*) AS vocab_size,
+               round(sum(r.c_t) * 1.0 / max(total.n), 6) AS coverage
+        FROM ranked r JOIN ks ON r.rk <= ks.k CROSS JOIN total
+        GROUP BY ks.k
+        ORDER BY k
     """,
 }

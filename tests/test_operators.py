@@ -197,6 +197,89 @@ def test_heavy_hitters_replay_equals_exact_counts(spark):
         assert counts == sorted(counts, reverse=True)
 
 
+def test_chunk_dedup_against_local_recompute(spark):
+    """Chunk-level dedup must agree with a driver-side recompute from
+    the chunking output: group sizes and the lexicographic-min keeper."""
+    from collections import defaultdict
+
+    from elastic_stream_spark.operators.text_pipeline import (
+        chunk_dedup,
+        doc_chunking,
+    )
+
+    chunks = doc_chunking(spark, SF_DIR).collect()
+    groups = defaultdict(list)
+    for r in chunks:
+        groups[r.chunk_hash].append((r.doc_id, r.chunk_idx))
+    expected = {
+        h: (len(v), min(v)) for h, v in groups.items() if len(v) > 1
+    }
+    got = {
+        r.chunk_hash: (r.n_copies, (r.keep_doc_id, r.keep_chunk_idx))
+        for r in chunk_dedup(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected, "fixture contains no duplicated chunks"
+
+
+def test_unigram_logprob_properties(spark):
+    """Unigram LM scores: strictly negative (no token covers the whole
+    corpus), bounded below by ln(1/N), and a hand-recomputed document
+    matches."""
+    import math
+    from collections import Counter
+
+    from elastic_stream_spark.operators.text_pipeline import (
+        text_unigram_logprob,
+    )
+    from elastic_stream_spark.sources.envelope import load_table
+
+    rows = text_unigram_logprob(spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    freq = Counter(t for toks in docs.values() for t in toks)
+    n = sum(freq.values())
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert math.log(1.0 / n) <= r.avg_logprob < 0.0
+    # exact spot-check on the first three documents
+    for r in rows[:3]:
+        toks = docs[r.doc_id]
+        expected = round(sum(math.log(freq[t] / n) for t in toks) / len(toks), 4)
+        assert abs(r.avg_logprob - expected) <= 1e-4, (r.doc_id, r.avg_logprob, expected)
+        assert r.n_tokens == len(toks)
+
+
+def test_vocab_coverage_properties(spark):
+    """Vocabulary coverage: monotone in k, vocab_size ≤ k, and the
+    top-100 point matches a driver-side recompute."""
+    from collections import Counter
+
+    from elastic_stream_spark.operators.text_pipeline import (
+        VOCAB_KS,
+        vocab_coverage,
+    )
+    from elastic_stream_spark.sources.envelope import load_table
+
+    rows = sorted(vocab_coverage(spark, SF_DIR).collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == sorted(VOCAB_KS)
+    cov = [r.coverage for r in rows]
+    assert cov == sorted(cov) and all(0.0 < c <= 1.0 for c in cov)
+    for r in rows:
+        assert r.vocab_size <= r.k
+    freq = Counter(
+        t
+        for r in load_table(spark, SF_DIR, "documents").collect()
+        for t in r.text.lower().split(" ")
+    )
+    n = sum(freq.values())
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    expected = round(sum(c for _, c in top) / n, 6)
+    assert abs(rows[0].coverage - expected) <= 1e-6
+
+
 def test_ivf_pruning_and_recall_on_clustered_fixture(spark):
     """On clustered data (the setting IVF exists for), with nprobe/nlist
     = 1/4 the probe must (a) scan ≈ nprobe/nlist of the corpus per query

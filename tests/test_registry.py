@@ -50,6 +50,15 @@ QUEUED_FROM_R5 = {
     "q21_waiting_supplier",
 }
 
+# Landed after the r6 window filled: beyond the window THIS round on the
+# strength of the committed strict full-gate artifacts (regenerated to
+# include them), required to rotate INTO the window in r7.
+NEW_QUEUED_R7 = {
+    "chunk_dedup",
+    "text_unigram_logprob",
+    "vocab_coverage",
+}
+
 
 def _greens(artifact: str) -> set[str]:
     """Queries hash-green in a committed driver artifact."""
@@ -98,14 +107,24 @@ def test_stale_queries_rotated_into_window():
 def test_beyond_window_queries_were_green_last_round():
     """A query may sit beyond the window only if it was hash-green in
     the immediately preceding driver window — the freshest row a
-    rotated-out query can have."""
+    rotated-out query can have — except the NEW_QUEUED_R7 tranche, which
+    instead must be hash-green in BOTH committed strict full-gate
+    artifacts (its driver exposure is scheduled for the r7 window)."""
     names = list(all_queries())
     beyond = names[50:]
     r5_green = _greens("CORRECTNESS_r05.json")
-    stragglers = [n for n in beyond if n not in r5_green]
-    assert not stragglers, (
-        f"beyond-window queries not green in the last driver round: {stragglers}"
+    full_green = _greens("CORRECTNESS_FULL_r06.json") & _greens(
+        "CORRECTNESS_FULL_r06_sf01.json"
     )
+    stragglers = [
+        n
+        for n in beyond
+        if (n not in full_green if n in NEW_QUEUED_R7 else n not in r5_green)
+    ]
+    assert not stragglers, (
+        f"beyond-window queries without required green evidence: {stragglers}"
+    )
+    assert NEW_QUEUED_R7 <= set(beyond)
 
 
 def test_every_query_has_an_oracle():

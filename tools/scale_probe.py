@@ -80,6 +80,9 @@ PROBE = [
     "dedup_semantic",
     "stream_heavy_hitters_replay",
     "sim_ann_ivf",
+    "chunk_dedup",
+    "text_unigram_logprob",
+    "vocab_coverage",
 ]
 
 
