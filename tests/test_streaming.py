@@ -867,3 +867,48 @@ def test_streaming_heavy_hitters_space_saving(spark, log):
         assert r.est_count - r.err <= true, (r.key, r.est_count, r.err, true)
     # the guaranteed-exact hottest key has err 0 and exact count
     assert top1.err == 0 and top1.est_count == truth["k0"]
+
+
+def test_heavy_hitters_streaming_equals_batch_replay(spark, workdir):
+    """The always-on streaming operator and the registered batch replay
+    are the SAME sketch: replaying the events keyed identically through
+    ``streaming_heavy_hitters`` (multi-batch, availableNow) must end in
+    exactly the per-stream top-5 the batch gate query emits — at
+    capacity ≥ vocabulary both are the exact count table."""
+    from elastic_stream_spark.operators.streaming_ops import (
+        HH_REPLAY_STREAMS,
+        stream_heavy_hitters_replay,
+    )
+    from elastic_stream_spark.sources.envelope import load_table
+    from elastic_stream_spark.streaming.stateful import streaming_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    keyed = load_table(spark, sf, "events").select(
+        F.pmod("user_id", F.lit(HH_REPLAY_STREAMS)).alias("stream_id"),
+        F.col("event_type").alias("key"),
+    )
+    path = f"{workdir}/hh_keyed"
+    keyed.repartition(4).write.mode("overwrite").parquet(path)
+    sdf = (
+        spark.readStream.schema("stream_id BIGINT, key STRING")
+        .option("maxFilesPerTrigger", 1)  # force multiple microbatches
+        .parquet(path)
+    )
+    out = streaming_heavy_hitters(sdf, capacity=64, k=5)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_hh_eq")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_hh_eq").collect()
+    final = {}
+    for r in rows:  # memory sink appends update emissions in order
+        final[(r.stream_id, r.rank)] = (r.key, r.est_count, r.err)
+    expected = {
+        (r.stream_id, r.rank): (r.key, r.est_count, r.err)
+        for r in stream_heavy_hitters_replay(spark, sf).collect()
+    }
+    assert final == expected
