@@ -80,6 +80,9 @@ HEADLINE = [
     "chunk_dedup",
     "text_unigram_logprob",
     "vocab_coverage",
+    "ngram_counts",
+    "tfidf_topk_per_doc",
+    "emb_covariance",
 ]
 
 APPEND_PER_STREAM = 2_000

@@ -182,6 +182,9 @@ GATE_ORDER = [
     "chunk_dedup",
     "text_unigram_logprob",
     "vocab_coverage",
+    "ngram_counts",
+    "tfidf_topk_per_doc",
+    "emb_covariance",
 ]
 
 

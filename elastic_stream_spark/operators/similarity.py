@@ -904,6 +904,64 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding coordinate covariance in long form (i ≤ j, d(d+1)/2
+    rows) — the whitening / PCA-prep statistic an embedding pipeline
+    computes before training an (O)PQ quantizer: cov(i,j) =
+    E[x_i·x_j] − E[x_i]·E[x_j].
+
+    Plan: each row expands to its upper-triangle coordinate products via
+    a nested higher-order transform (pure projection — deliberately NOT
+    a self-join of the long (vec_id, i, x) table, which would shuffle
+    n·d rows twice), then ONE map-side-combinable groupBy on the (i, j)
+    key; the d first moments aggregate separately and broadcast into the
+    2080-row result.  Reducer state is O(d²) partials regardless of n —
+    the textbook one-pass distributed covariance, linear at 100 TB.
+    The DuckDB oracle uses the equivalent long-form self-join (oracle
+    clarity over oracle scalability)."""
+    emb = load_table_balanced(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(e, (xi, i) ->"
+                " transform(slice(e, i + 1, size(e) - i), (xj, j0) ->"
+                " struct(i AS i, i + j0 AS j, xi * xj AS p))))"
+            )
+        ).alias("pp")
+    ).select(
+        F.col("pp.i").alias("i"), F.col("pp.j").alias("j"), F.col("pp.p").alias("p")
+    )
+    second = pairs.groupBy("i", "j").agg(F.avg("p").alias("exixj"))
+    m = (
+        emb.select(F.posexplode("e"))
+        .withColumnRenamed("pos", "i")
+        .withColumnRenamed("col", "x")
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"))
+    )
+    mi = m.select("i", F.col("mu").alias("mu_i"))
+    mj = m.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        second.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 normalizes IEEE negative zero: a cov in (-5e-7, 0)
+            # rounds to -0.0 in DuckDB (C round keeps the sign) but +0.0
+            # in Spark (BigDecimal rounding drops it) — canonical-string
+            # comparison would flag the equal value
+            (
+                F.round(F.col("exixj") - F.col("mu_i") * F.col("mu_j"), 6)
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 # NOTE on thresholds: at the fixture's loose 0.45 near-dup threshold the
 # dup/background angles are indistinguishable for hyperplane hashing
 # (collision prob 0.648 vs 0.623/bit), so ``dedup_embedding`` stays exact
@@ -966,6 +1024,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "emb_label_centroids": emb_label_centroids,
+    "emb_covariance": emb_covariance,
 }
 
 # Exact cosine top-5 on the raw embeddings table — the oracle for BOTH
@@ -1082,6 +1141,28 @@ ORACLES = {
         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.u, b.u), 6) >= {LSH_DEDUP_THRESHOLD}
         ORDER BY vec_a, vec_b
+    """,
+    "emb_covariance": """
+        WITH long0 AS (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(embedding))) AS pos,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        ), long AS (
+          SELECT vec_id, pos - 1 AS i, x FROM long0
+        ), second AS (
+          SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exixj
+          FROM long a JOIN long b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY a.i, b.i
+        ), mu AS (
+          SELECT i, avg(x) AS mu FROM long GROUP BY i
+        )
+        SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j,
+               round(s.exixj - mi.mu * mj.mu, 6) + 0.0 AS cov
+        FROM second s
+        JOIN mu mi ON s.i = mi.i
+        JOIN mu mj ON s.j = mj.i
+        ORDER BY i, j
     """,
     "emb_label_centroids": """
         WITH long AS (

@@ -242,6 +242,71 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_MIN_COUNT = 5
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram count table with min-count pruning — the n-gram LM
+    construction step (KenLM-style `count` phase) a perplexity-filtering
+    pipeline trains from its reference corpus.
+
+    Plan: bigrams derive per-row from the token array (pure
+    higher-order projection, no self-join), explode into ONE
+    map-side-combinable aggregation on the gram key, prune at
+    ``count ≥ NGRAM_MIN_COUNT``.  At 100 TB this is scan → map →
+    single hash aggregation; the pruned table is vocabulary²-bounded
+    but in practice ∝ corpus, and downstream consumers join it
+    gram-partitioned."""
+    d = _docs(spark, sf_dir)
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 1, 0)),"
+        " i -> concat(element_at(split(lower(text), ' '), i), ' ',"
+        "             element_at(split(lower(text), ' '), i + 1)))"
+    )
+    return (
+        d.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= NGRAM_MIN_COUNT)
+        .orderBy("gram")
+    )
+
+
+TFIDF_TOP = 3
+
+
+def tfidf_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by tf·idf (idf = ln(N/df)) — the
+    keyword/topic fingerprint step of a curation pipeline.
+
+    Plan: one (doc, token) aggregation for tf, one token aggregation for
+    df, a token-partitioned equi-join between them (vocabulary-sized —
+    never broadcast), then a per-doc ranking window.  Ranking happens on
+    the ROUNDED score with a token tie-break so both engines select the
+    identical rows."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP)
+        .select("doc_id", "token", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
 QUERIES = {
     "doc_chunking": doc_chunking,
     "token_heavy_hitters": token_heavy_hitters,
@@ -249,6 +314,8 @@ QUERIES = {
     "chunk_dedup": chunk_dedup,
     "text_unigram_logprob": text_unigram_logprob,
     "vocab_coverage": vocab_coverage,
+    "ngram_counts": ngram_counts,
+    "tfidf_topk_per_doc": tfidf_topk_per_doc,
 }
 
 ORACLES = {
@@ -364,5 +431,43 @@ ORACLES = {
         FROM ranked r JOIN ks ON r.rk <= ks.k CROSS JOIN total
         GROUP BY ks.k
         ORDER BY k
+    """,
+    "ngram_counts": f"""
+        WITH toks AS (
+          SELECT string_split(lower(text), ' ') AS t FROM documents
+        ), grams AS (
+          SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 0)),
+                   i -> t[i] || ' ' || t[i + 1])) AS gram
+          FROM toks
+        )
+        SELECT gram, count(*) AS n
+        FROM grams GROUP BY gram
+        HAVING count(*) >= {NGRAM_MIN_COUNT}
+        ORDER BY gram
+    """,
+    "tfidf_topk_per_doc": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM toks GROUP BY doc_id, token
+        ), df AS (
+          SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+        ), n_docs AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 round(tf.tf * ln(n_docs.n * 1.0 / df.df), 6) AS tfidf
+          FROM tf JOIN df USING (token) CROSS JOIN n_docs
+        ), ranked AS (
+          SELECT doc_id, token, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token) AS rk
+          FROM scored
+        )
+        SELECT doc_id, token, tfidf, rk
+        FROM ranked WHERE rk <= {TFIDF_TOP}
+        ORDER BY doc_id, rk
     """,
 }

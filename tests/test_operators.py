@@ -280,6 +280,81 @@ def test_vocab_coverage_properties(spark):
     assert abs(rows[0].coverage - expected) <= 1e-6
 
 
+def test_ngram_counts_against_local_recompute(spark):
+    from collections import Counter
+
+    from elastic_stream_spark.operators.text_pipeline import (
+        NGRAM_MIN_COUNT,
+        ngram_counts,
+    )
+    from elastic_stream_spark.sources.envelope import load_table
+
+    truth: Counter = Counter()
+    for r in load_table(spark, SF_DIR, "documents").collect():
+        t = r.text.lower().split(" ")
+        truth.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    expected = {g: c for g, c in truth.items() if c >= NGRAM_MIN_COUNT}
+    got = {r.gram: r.n for r in ngram_counts(spark, SF_DIR).collect()}
+    assert got == expected
+    assert expected, "fixture produced no pruned bigrams"
+
+
+def test_tfidf_topk_against_local_recompute(spark):
+    import math
+    from collections import Counter
+
+    from elastic_stream_spark.operators.text_pipeline import (
+        TFIDF_TOP,
+        tfidf_topk_per_doc,
+    )
+    from elastic_stream_spark.sources.envelope import load_table
+
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    n = len(docs)
+    df: Counter = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    rows = tfidf_topk_per_doc(spark, SF_DIR).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rk, r.token, r.tfidf))
+    assert set(by_doc) == set(docs)
+    for doc_id in list(docs)[:5]:
+        tf = Counter(docs[doc_id])
+        scored = sorted(
+            ((round(c * math.log(n / df[t]), 6), t) for t, c in tf.items()),
+            key=lambda st: (-st[0], st[1]),
+        )[:TFIDF_TOP]
+        expected = [
+            (i + 1, t, s) for i, (s, t) in enumerate(scored)
+        ]
+        got = sorted(by_doc[doc_id])
+        assert got == expected, (doc_id, got, expected)
+
+
+def test_emb_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from elastic_stream_spark.operators.similarity import emb_covariance
+    from elastic_stream_spark.sources.envelope import load_table
+
+    X = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_DIR, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X.T, bias=True)  # population covariance = E[xy] - E[x]E[y]
+    rows = emb_covariance(spark, SF_DIR).collect()
+    assert len(rows) == X.shape[1] * (X.shape[1] + 1) // 2
+    for r in rows:
+        assert abs(r.cov - round(float(C[r.i, r.j]), 6)) <= 2e-6, (r.i, r.j)
+
+
 def test_ivf_pruning_and_recall_on_clustered_fixture(spark):
     """On clustered data (the setting IVF exists for), with nprobe/nlist
     = 1/4 the probe must (a) scan ≈ nprobe/nlist of the corpus per query

@@ -57,6 +57,9 @@ NEW_QUEUED_R7 = {
     "chunk_dedup",
     "text_unigram_logprob",
     "vocab_coverage",
+    "ngram_counts",
+    "tfidf_topk_per_doc",
+    "emb_covariance",
 }
 
 

@@ -83,6 +83,9 @@ PROBE = [
     "chunk_dedup",
     "text_unigram_logprob",
     "vocab_coverage",
+    "ngram_counts",
+    "tfidf_topk_per_doc",
+    "emb_covariance",
 ]
 
 
