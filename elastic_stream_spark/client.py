@@ -118,14 +118,16 @@ class Stream:
             # whole records while cumulative payload bytes fit the budget;
             # always at least the first record (the reference's fetch
             # returns one batch even when it alone exceeds the budget).
-            # The global window is bounded by the requested fetch span —
-            # the span a byte budget implies is small by construction.
-            w = Window.orderBy("offset").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+            # The single-partition window is bounded by the requested
+            # fetch span — the span a byte budget implies is small by
+            # construction; constant partitioning = same execution as an
+            # unpartitioned window, without the spurious warning (see
+            # log.append).
+            one = Window.partitionBy(F.lit(0)).orderBy("offset")
+            w = one.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             df = (
                 df.withColumn("_cum", F.sum(F.length("payload")).over(w))
-                .withColumn("_rn", F.row_number().over(Window.orderBy("offset")))
+                .withColumn("_rn", F.row_number().over(one))
                 .where((F.col("_cum") <= batch_max_bytes) | (F.col("_rn") == 1))
                 .drop("_cum", "_rn")
             )

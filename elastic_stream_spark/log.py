@@ -130,13 +130,18 @@ class StreamLog:
         """
         from pyspark.sql import Window
 
-        # Global (unpartitioned) window — AUDITED, acceptable: one append
+        # Single-partition window — AUDITED, acceptable: one append
         # addresses exactly one range, so the window spans a single
         # record batch (bounded by batch size), mirroring the reference's
-        # one-mutable-range write serialization.  This is the source of
-        # the benign "WindowExec: No Partition Defined" warnings in bench
-        # stderr; no data-sized input ever flows through it.
-        w = Window.orderBy(F.col("ts"), F.monotonically_increasing_id())
+        # one-mutable-range write serialization.  Partitioning on a
+        # constant is semantically identical to an unpartitioned window
+        # (all rows hash to one partition) but states the intent
+        # explicitly and keeps the log free of spurious "No Partition
+        # Defined" warnings that would mask a REAL data-sized global
+        # window elsewhere.
+        w = Window.partitionBy(F.lit(0)).orderBy(
+            F.col("ts"), F.monotonically_increasing_id()
+        )
         out = batch.withColumn(
             "offset", (F.lit(base) + F.row_number().over(w) - 1).cast("long")
         ).select("offset", "ts", "properties", "payload")

@@ -65,8 +65,9 @@ def _modules():
 # nothing is ever dark, only riding on the last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r6 rotation — the registry (82 queries) is larger than the 50-row
-# window, so the steady-state schedule is an ALTERNATION: every query
+# r6 rotation — the registry (88 queries after the r6 additions) is
+# larger than the 50-row window, so the steady-state schedule is an
+# ALTERNATION: every query
 # whose last driver row is two rounds old (r4 — it sat out the r5
 # window) rotates back IN, every query hash-green in the r5 window
 # rotates OUT for one round (its row is the freshest possible), and

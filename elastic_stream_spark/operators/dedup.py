@@ -159,6 +159,10 @@ def ngram_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict entries from other (stopped) applications: their DataFrame
+    # handles are dead and would otherwise pin memory process-lifetime
+    for stale in [k for k in _PAIR_CACHE if k[0] != key[0]]:
+        del _PAIR_CACHE[stale]
     out = _ngram_pair_set(spark, sf_dir).localCheckpoint(eager=True)
     _PAIR_CACHE[key] = out
     return out

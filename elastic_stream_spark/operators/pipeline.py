@@ -145,6 +145,9 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CC_CACHE.get(key)
     if cached is None:
+        # evict dead-application entries (see dedup._PAIR_CACHE)
+        for stale in [k for k in _CC_CACHE if k[0] != key[0]]:
+            del _CC_CACHE[stale]
         cached = connected_components(ngram_pair_set(spark, sf_dir))
         _CC_CACHE[key] = cached
     return cached

@@ -187,6 +187,9 @@ def _train_centroids(
     key = (spark.sparkContext.applicationId, sf_dir, nlist, nprobe)
     cached = _CENTROID_CACHE.get(key)
     if cached is None:
+        # evict dead-application entries (see dedup._PAIR_CACHE)
+        for stale in [k for k in _CENTROID_CACHE if k[0] != key[0]]:
+            del _CENTROID_CACHE[stale]
         cached = train_ivf(_unit_emb(spark, sf_dir), nlist, nprobe)
         _CENTROID_CACHE[key] = cached
     return cached
@@ -661,6 +664,9 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     books = _PQ_CACHE.get(pkey)
     if books is None:
+        # evict dead-application entries (see dedup._PAIR_CACHE)
+        for stale in [k for k in _PQ_CACHE if k[0] != pkey[0]]:
+            del _PQ_CACHE[stale]
         books = train_pq(corpus)
         _PQ_CACHE[pkey] = books
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(

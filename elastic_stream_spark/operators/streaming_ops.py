@@ -116,10 +116,15 @@ def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists for — capacity ≪ vocabulary with the est−err ≤ true ≤ est
     guarantee — is asserted separately in tests/test_streaming.py.
 
-    Plan: one shuffle on the stream key into an Arrow-batched
-    applyInPandas whose per-group work is a pandas ``value_counts`` +
-    an O(|batch vocabulary|) dict fold — state O(capacity · streams),
-    the same shape the always-on streaming operator carries."""
+    Plan: the raw events reduce through a partial-aggregable
+    (stream, key) count FIRST — the only event-sized shuffle, map-side
+    combined — and the Arrow-batched sketch fold then runs over the
+    count table, whose per-stream group is VOCABULARY-sized, never
+    event-sized (an applyInPandas directly over the events would
+    materialize a whole logical stream in one task's memory — caught in
+    review).  Folding pre-aggregated counts is a valid sketch fold
+    (the streaming operator folds per-batch ``value_counts`` the same
+    way) and is order-independent at capacity ≥ vocabulary."""
     import pandas as pd
 
     from elastic_stream_spark.streaming.stateful import (
@@ -129,14 +134,23 @@ def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         space_saving_update,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.pmod(F.col("user_id"), F.lit(HH_REPLAY_STREAMS)).alias("stream_id"),
-        F.col("event_type").alias("key"),
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.pmod(F.col("user_id"), F.lit(HH_REPLAY_STREAMS)).alias("stream_id"),
+            F.col("event_type").alias("key"),
+        )
+        .groupBy("stream_id", "key")
+        .agg(F.count("*").alias("cnt"))
     )
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         table: dict[str, list[int]] = {}
-        space_saving_update(table, pdf["key"].value_counts(), HH_CAPACITY)
+        space_saving_update(
+            table,
+            pd.Series(pdf["cnt"].to_numpy(), index=pdf["key"]),
+            HH_CAPACITY,
+        )
         top = space_saving_top(table, HH_TOP)
         return pd.DataFrame(
             {
@@ -149,7 +163,7 @@ def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        ev.groupBy("stream_id")
+        counts.groupBy("stream_id")
         .applyInPandas(
             replay,
             schema="stream_id long, key string, est_count long, err long, rank int",

@@ -216,7 +216,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("c_t"))
     )
-    w = Window.orderBy(F.desc("c_t"), F.asc("token"))
+    # single-partition vocabulary rank, made explicit via a constant
+    # partition key (identical execution, no spurious warning) — the
+    # ranked table is vocabulary-sized, far below the corpus
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("c_t"), F.asc("token"))
     ranked = freq.withColumn("rk", F.row_number().over(w))
     ks = spark.range(len(VOCAB_KS)).select(
         F.element_at(
@@ -257,11 +260,17 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     single hash aggregation; the pruned table is vocabulary²-bounded
     but in practice ∝ corpus, and downstream consumers join it
     gram-partitioned."""
-    d = _docs(spark, sf_dir)
-    grams = F.expr(
-        "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 1, 0)),"
-        " i -> concat(element_at(split(lower(text), ' '), i), ' ',"
-        "             element_at(split(lower(text), ' '), i + 1)))"
+    d = _docs(spark, sf_dir).select(tokens("text").alias("t"))
+    # bigrams from the token array BOUND ONCE (re-splitting inside the
+    # lambda would pay O(tokens²) interpreted work per doc); slice of
+    # length greatest(size-1, 0) is EMPTY for a 0/1-token document —
+    # sequence(1, 0) is NOT (it descends [1, 0] and indexed
+    # out-of-bounds on single-token docs, diverging from the oracle's
+    # generate_series(1, 0) = []; caught in review, pinned by the
+    # edge-corpus test)
+    grams = F.transform(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("t"), i + 2)),
     )
     return (
         d.select(F.explode(grams).alias("gram"))

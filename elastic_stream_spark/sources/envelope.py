@@ -102,7 +102,9 @@ def events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream_id = lexical rank of event_type, computed on a tiny distinct
     # dim (|streams| rows) and broadcast back — the big events table never
     # passes through a global (single-partition) window.
-    sid = Window.orderBy("event_type")
+    # constant partition = identical execution, explicit intent, no
+    # spurious "No Partition Defined" warning (see log.append)
+    sid = Window.partitionBy(F.lit(0)).orderBy("event_type")
     stream_dim = (
         ev.select("event_type")
         .distinct()

@@ -212,10 +212,12 @@ def test_semantic_dedup_plan_is_join_free(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_heavy_hitters_replay_single_shuffle(spark):
-    """The sketch replay is one shuffle on the stream key into the
-    Arrow-batched fold — no join, no second data-sized exchange beyond
-    the final (k·streams)-row sort."""
+def test_heavy_hitters_replay_plan_shape(spark):
+    """The sketch replay's only event-sized exchange is the partial-
+    aggregable (stream, key) count; the Arrow fold then runs over the
+    vocabulary-sized count table (an applyInPandas straight over the
+    events would materialize a whole logical stream per task).  No join;
+    exchanges: count shuffle, fold regroup, bounded output sort."""
     import re
 
     from elastic_stream_spark.operators.streaming_ops import (
@@ -224,8 +226,10 @@ def test_heavy_hitters_replay_single_shuffle(spark):
 
     plan = plan_of(stream_heavy_hitters_replay(spark, SF_DIR))
     assert "Join" not in plan, plan
+    # the event-sized aggregation must partially aggregate map-side
+    assert plan.count("HashAggregate") >= 2, plan
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-    assert n_exchanges <= 2, plan
+    assert n_exchanges <= 3, plan
 
 
 def test_ivf_index_build_has_no_cell_exchange(spark):

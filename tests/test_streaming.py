@@ -381,6 +381,12 @@ def test_metrics_recorder_captures_batches(spark, log, workdir):
     finally:
         spark.streams.removeListener(rec)
 
+    # drain in-flight async listener callbacks: an event queued on the
+    # bus before removeListener can still append a metrics row — reading
+    # before it lands made n_batches race len(rows) (observed flake)
+    import time as _t2
+
+    _t2.sleep(1.5)
     m = read_metrics(spark, workdir)
     rows = m.where(F.col("query_name") == "metrics_probe").collect()
     assert len(rows) >= 1  # at least one progress event recorded

@@ -216,3 +216,52 @@ def test_doc_chunking_is_map_only(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_counts_edge_corpus(spark, workdir):
+    """0/1/2-token and repeated-bigram documents: a single-token doc
+    must contribute ZERO bigrams (the naive sequence(1, size-1) form
+    descended [1, 0] on size=1 and crashed / diverged from the oracle's
+    generate_series — regression pin), and counts match a local
+    recompute with the min-count prune applied."""
+    from collections import Counter
+
+    import duckdb
+
+    from elastic_stream_spark.operators.text_pipeline import (
+        NGRAM_MIN_COUNT,
+        ngram_counts,
+    )
+    from elastic_stream_spark.operators import all_oracles
+
+    texts = (
+        ["solo"] * NGRAM_MIN_COUNT          # 1 token → no bigrams
+        + ["a b"] * NGRAM_MIN_COUNT         # exactly at the prune line
+        + ["a b c"] * (NGRAM_MIN_COUNT - 1) # 'b c' below the line
+        + [""]                              # empty text → 1 empty token
+    )
+    rows = [(i, t, "xx", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(f"{workdir}/documents.parquet")
+
+    truth: Counter = Counter()
+    for t in texts:
+        toks = t.lower().split(" ")
+        truth.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    expected = {g: c for g, c in truth.items() if c >= NGRAM_MIN_COUNT}
+    assert expected == {"a b": 2 * NGRAM_MIN_COUNT - 1}
+
+    got = {r.gram: r.n for r in ngram_counts(spark, workdir).collect()}
+    assert got == expected
+
+    con = duckdb.connect()
+    # Spark writes the table as a directory of part files
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{workdir}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        g: n for g, n in con.execute(all_oracles()["ngram_counts"]).fetchall()
+    }
+    assert oracle == expected

@@ -223,6 +223,10 @@ def main():
     i = 0
     while i < len(args):
         if args[i] == "--json":
+            if i + 1 >= len(args):
+                raise SystemExit(
+                    "usage: compare.py [--json OUT.json] [sf_dir] [query ...]"
+                )
             json_out = args[i + 1]
             i += 2
         else:
@@ -244,6 +248,13 @@ def main():
     for name, qfn in qs.items():
         if only and name not in only:
             continue
+        # drop persist()-cached intermediates between queries: the dedup
+        # family's materializations register with the CacheManager
+        # (strong refs until unpersist) and would otherwise pin every
+        # cached table for the whole 88-query session, pressuring
+        # storage memory for later queries.  Session memos (pair set /
+        # CC labels) are localCheckpoints — unaffected.
+        spark.catalog.clearCache()
         try:
             res = compare_one(name, qfn, oracles.get(name), spark, con, sf_dir)
         except Exception as e:
