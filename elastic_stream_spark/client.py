@@ -120,10 +120,12 @@ class Stream:
             # returns one batch even when it alone exceeds the budget).
             # The single-partition window is bounded by the requested
             # fetch span — the span a byte budget implies is small by
-            # construction; constant partitioning = same execution as an
-            # unpartitioned window, without the spurious warning (see
-            # log.append).
-            one = Window.partitionBy(F.lit(0)).orderBy("offset")
+            # construction; the non-foldable constant partition key is
+            # the same execution as an unpartitioned window without the
+            # spurious warning (rationale at log.append).
+            one = Window.partitionBy(
+                F.pmod(F.col("offset"), F.lit(1))
+            ).orderBy("offset")
             w = one.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             df = (
                 df.withColumn("_cum", F.sum(F.length("payload")).over(w))

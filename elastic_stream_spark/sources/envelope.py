@@ -102,9 +102,12 @@ def events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream_id = lexical rank of event_type, computed on a tiny distinct
     # dim (|streams| rows) and broadcast back — the big events table never
     # passes through a global (single-partition) window.
-    # constant partition = identical execution, explicit intent, no
-    # spurious "No Partition Defined" warning (see log.append)
-    sid = Window.partitionBy(F.lit(0)).orderBy("event_type")
+    # non-foldable constant partition key = identical execution to an
+    # unpartitioned window over this |streams|-row dim, explicit intent,
+    # no spurious "No Partition Defined" warning (rationale at log.append)
+    sid = Window.partitionBy(
+        F.pmod(F.length("event_type"), F.lit(1))
+    ).orderBy("event_type")
     stream_dim = (
         ev.select("event_type")
         .distinct()
