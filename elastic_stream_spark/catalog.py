@@ -88,6 +88,13 @@ class StreamMeta:
     deleted: bool = False
     start_offset: int = 0  # advanced by trim
     next_offset: int = 0  # next offset to be assigned by append
+    # durable high-water mark: offsets below this have LANDED in the log
+    # (advanced by confirm_offset AFTER the data write), while next_offset
+    # advances at RESERVE time — the gap between them is an in-flight
+    # write.  ≙ the reference's confirm offset
+    # (components/replication/src/stream/replication_stream.rs confirm-
+    # offset advance); readers admit up to confirmed, never reserved.
+    confirmed_offset: int = 0
     epoch: int = 0  # writer fencing token
 
 
@@ -476,23 +483,23 @@ class StreamCatalog:
             if last["sealed"]:
                 raise SealedRange(f"range {last['range_index']} already sealed")
             sealed_end = sraw["next_offset"] if end is None else end
-            if sealed_end < last["start"]:
-                raise ValueError("seal end below range start")
+            # the only valid seal point is EXACTLY next_offset: nothing
+            # above it was ever assigned, and offsets in
+            # [end, next_offset) are already assigned — possibly written
+            # in this range's directory — so sealing below them would
+            # leave records above the metadata end for a later
+            # trim+vacuum to silently delete.  (The reference seals at
+            # the confirmed offset, never below assigned; a below-start
+            # value is subsumed — next_offset ≥ range start always.)
             if sealed_end > sraw["next_offset"]:
                 raise ValueError(
                     f"seal end {sealed_end} beyond next_offset {sraw['next_offset']}"
                 )
-            # offsets in [end, next_offset) are already assigned — and may
-            # be physically written in this range's directory.  Sealing
-            # below them would leave records above the metadata end, which
-            # a later trim+vacuum at >= end would silently delete.  Reject
-            # instead of clamping (the reference seals at the confirmed
-            # offset, which is never below assigned-and-acked).
             if sealed_end < sraw["next_offset"]:
                 raise ValueError(
                     f"seal end {sealed_end} below next_offset "
                     f"{sraw['next_offset']}: offsets past it are already "
-                    "assigned; seal at next_offset or later"
+                    "assigned; only a seal at exactly next_offset is valid"
                 )
             last["end"] = sealed_end
             last["sealed"] = True
@@ -543,6 +550,28 @@ class StreamCatalog:
             sraw["next_offset"] = base + count
             return base, RangeMeta(**last)
 
+    def confirm_offset(self, stream_id: int, upto: int) -> None:
+        """Advance the stream's durable confirm offset to ``upto`` after
+        the data write for a reserved block has landed — ≙ the
+        reference's confirm-offset advance
+        (components/replication/src/stream/replication_stream.rs; the
+        long-poll availability check, docs/sbp.md:246-252, waits on
+        exactly this).  Monotone (a replayed recovery confirm can never
+        move it backwards); bounded by next_offset (nothing can be
+        durable that was never reserved).  Readers — the streaming
+        source's admission, long-poll fetch — treat THIS as data
+        availability; next_offset alone only proves a reservation, and
+        admitting it would let a consumer silently skip a block whose
+        write is still in flight."""
+        with self._txn(stream_id) as t:
+            sraw = t.stream
+            if upto > sraw["next_offset"]:
+                raise ValueError(
+                    f"confirm {upto} beyond next_offset {sraw['next_offset']}"
+                )
+            if upto > sraw.get("confirmed_offset", 0):
+                sraw["confirmed_offset"] = upto
+
     def bulk_register(
         self, stream_id: int, next_offset: int, range_size: int
     ) -> list[RangeMeta]:
@@ -574,6 +603,12 @@ class StreamCatalog:
             )
             t.ranges[:] = ranges
             sraw["next_offset"] = next_offset
+            # bulk registration happens AFTER the bulk data write landed
+            # (the bulk_load → bulk_register protocol), so the whole
+            # extent is durable — confirm it
+            sraw["confirmed_offset"] = max(
+                next_offset, sraw.get("confirmed_offset", 0)
+            )
             sraw["epoch"] = n_full
             for r in ranges:
                 self._emit(

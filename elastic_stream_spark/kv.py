@@ -57,6 +57,21 @@ class Compare:
 class KVStore:
     FROM_KEY = b"\x00"  # range_end sentinel: "all keys >= key"
 
+    @classmethod
+    def _in_span(cls, k: bytes, key: bytes, range_end: bytes | None) -> bool:
+        """Span membership for Range/DeleteRange/Txn-delete.  ``b""`` is
+        the open-upper-bound sentinel ``prefix_end`` returns for an
+        all-0xff key (no byte string sorts above every key), so it must
+        mean "all keys >= key" exactly like FROM_KEY — previously the
+        generic ``k < b""`` branch matched nothing and such prefix scans
+        silently returned/deleted zero keys (caught in review; etcd maps
+        this case to the same from-key semantics)."""
+        if range_end is None:
+            return k == key
+        if range_end == cls.FROM_KEY or range_end == b"":
+            return k >= key
+        return key <= k < range_end
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -128,12 +143,7 @@ class KVStore:
             (self._dec(k), self._dec(v["value"]), v["version"])
             for k, v in st["data"].items()
         )
-        if range_end is None:
-            items = [it for it in items if it[0] == key]
-        elif range_end == self.FROM_KEY:
-            items = [it for it in items if it[0] >= key]
-        else:
-            items = [it for it in items if key <= it[0] < range_end]
+        items = [it for it in items if self._in_span(it[0], key, range_end)]
         more = bool(limit) and len(items) > limit
         if limit:
             items = items[:limit]
@@ -142,17 +152,11 @@ class KVStore:
     def delete_range(self, key: bytes, range_end: bytes | None = None) -> int:
         """≙ KV DeleteRange; returns number of deleted keys."""
         with self._txn() as st:
-            victims = []
-            for ek in list(st["data"]):
-                k = self._dec(ek)
-                if range_end is None:
-                    hit = k == key
-                elif range_end == self.FROM_KEY:
-                    hit = k >= key
-                else:
-                    hit = key <= k < range_end
-                if hit:
-                    victims.append(ek)
+            victims = [
+                ek
+                for ek in list(st["data"])
+                if self._in_span(self._dec(ek), key, range_end)
+            ]
             for ek in victims:
                 del st["data"][ek]
             if victims:
@@ -225,10 +229,7 @@ class KVStore:
             _, key, range_end = op
             n = 0
             for ek in list(st["data"]):
-                k = self._dec(ek)
-                if (range_end is None and k == key) or (
-                    range_end is not None and range_end != self.FROM_KEY and key <= k < range_end
-                ) or (range_end == self.FROM_KEY and k >= key):
+                if self._in_span(self._dec(ek), key, range_end):
                     del st["data"][ek]
                     n += 1
             if n:

@@ -85,6 +85,10 @@ class StreamLog:
             return meta.next_offset, meta.next_offset
         base, rng = self.catalog.reserve_offsets(stream_id, n, epoch=epoch)
         self.write_stamped(stream_id, batch, base, rng.range_index)
+        # the write job completed → advance the durable confirm offset
+        # (readers admit up to confirmed, never the reserve-time
+        # next_offset — see StreamCatalog.confirm_offset)
+        self.catalog.confirm_offset(stream_id, base + n)
         return base, base + n
 
     def prepare_batch(self, batch: DataFrame) -> DataFrame:
@@ -140,8 +144,13 @@ class StreamLog:
         # plain lit(0) is optimized away, resurrecting the spurious "No
         # Partition Defined" warning that would mask a REAL data-sized
         # global window elsewhere).
+        # coalesce: a NULL ts must not hash to a second (NULL-keyed)
+        # window partition — that would restart row_number and stamp
+        # duplicate offsets (caught in review); NULL-ts rows sort first
+        # (Spark asc_nulls_first), deterministically inside the one
+        # partition
         w = Window.partitionBy(
-            F.pmod(F.col("ts").cast("long"), F.lit(1))
+            F.pmod(F.coalesce(F.col("ts").cast("long"), F.lit(0)), F.lit(1))
         ).orderBy(F.col("ts"), F.monotonically_increasing_id())
         out = batch.withColumn(
             "offset", (F.lit(base) + F.row_number().over(w) - 1).cast("long")
@@ -264,6 +273,13 @@ class StreamLog:
         """≙ DESCRIBE_RANGE's max-offset answer (SURVEY.md §2.3 row 17)."""
         return self.catalog.describe_stream(stream_id).next_offset
 
+    def confirmed_offset(self, stream_id: int) -> int:
+        """Durable high-water mark: offsets below this have landed in the
+        log (≙ the reference's confirm offset — see
+        StreamCatalog.confirm_offset).  Readers poll THIS, not the
+        reserve-time next_offset."""
+        return self.catalog.describe_stream(stream_id).confirmed_offset
+
     # ---------------------------------------------------- objects plane
 
     def _range_dir(self, stream_id: int, range_index: int) -> str:
@@ -295,6 +311,39 @@ class StreamLog:
             self.objects.commit_batch(entries)
         return len(entries)
 
+    def _repair_swaps(self, stream_id: int) -> None:
+        """Complete/roll back any directory swap a maintenance crash left
+        half-done (vacuum/optimize rename ``d → old``, ``tmp → d``,
+        ``rm old``).  A crash between the two renames leaves the live
+        tree MISSING the range dir while the authoritative rows sit in
+        ``old-<tag>`` — without this repair they were stranded forever
+        (fetch returned nothing for the range; caught in review).  Rules:
+        ``old`` present + target missing → roll back (restore old; the
+        rewrite is redone later); ``old`` present + target present → the
+        swap completed, finish the cleanup; stale ``rewrite-*`` scratch →
+        drop (possibly partial; always regenerable).  Runs at every
+        vacuum/optimize entry, so one completed maintenance pass heals
+        any earlier crash."""
+        import glob as _glob
+        import shutil
+
+        for scratch in (
+            f"{self.catalog.root}/_vacuum_tmp",
+            f"{self.catalog.root}/_optimize_tmp",
+        ):
+            if not os.path.isdir(scratch):
+                continue
+            for old in _glob.glob(f"{scratch}/old-s{stream_id}-r*"):
+                tag = os.path.basename(old)[len("old-") :]
+                sid_s, ridx_s = tag[1:].split("-r")
+                d = self._range_dir(int(sid_s), int(ridx_s))
+                if not os.path.exists(d):
+                    os.replace(old, d)
+                else:
+                    shutil.rmtree(old)
+            for tmp in _glob.glob(f"{scratch}/rewrite-s{stream_id}-r*"):
+                shutil.rmtree(tmp, ignore_errors=True)
+
     def optimize(self, stream_id: int) -> dict[int, tuple[int, int]]:
         """Compact each SEALED multi-file range into one object
         (≙ range_accumulator.rs:129-170 small-object compaction).  Sealed
@@ -309,6 +358,7 @@ class StreamLog:
 
         scratch = f"{self.catalog.root}/_optimize_tmp"
         os.makedirs(scratch, exist_ok=True)
+        self._repair_swaps(stream_id)  # heal any earlier maintenance crash
         out: dict[int, tuple[int, int]] = {}
         for r in self.catalog.list_ranges(stream_id):
             if not r.sealed:
@@ -354,12 +404,19 @@ class StreamLog:
 
         from elastic_stream_spark.objects import parquet_files
 
-        st = self.catalog._load()
-        sraw = st.streams.get(str(stream_id))
-        if sraw is None:
+        # single-shard read (same correctness level as describe_stream —
+        # in-flight txn staging is replayed at catalog init): vacuum only
+        # needs THIS stream's metadata, and sweep() calls it per stream,
+        # so a full-catalog _load() here made sweep O(streams²) shard
+        # reads (caught in review)
+        data = self.catalog._read_shard(stream_id)
+        if data is None:
             return
+        sraw = data["stream"]
+        stream_ranges = data["ranges"]
+        self._repair_swaps(stream_id)  # heal any earlier maintenance crash
         keep_from = sraw["start_offset"]
-        live = {r["range_index"] for r in st.ranges.get(str(stream_id), [])}
+        live = {r["range_index"] for r in stream_ranges}
         import glob
         import os
 
@@ -376,10 +433,13 @@ class StreamLog:
         # rename the old partition aside (also outside the tree, so
         # concurrent partition discovery never sees a stray dir), move the
         # new one in, delete the old dir last — no point at which the
-        # retained rows exist in zero locations.
+        # retained rows exist in zero locations, and _repair_swaps (run
+        # at every maintenance entry) rolls back a swap interrupted
+        # between the two renames, so the rows are also never STRANDED
+        # outside the read tree.
         scratch = f"{self.catalog.root}/_vacuum_tmp"
         os.makedirs(scratch, exist_ok=True)
-        for r in st.ranges.get(str(stream_id), []):
+        for r in stream_ranges:
             d = f"{self.records_root}/stream_id={stream_id}/range_index={r['range_index']}"
             if not os.path.exists(d):
                 continue

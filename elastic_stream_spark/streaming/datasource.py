@@ -89,12 +89,20 @@ def _read_shard(root: str, stream_id: int) -> dict | None:
         return json.load(f)
 
 
-def _read_next_offset(root: str, stream_id: int) -> int:
-    """Committed next_offset from the catalog shard — the availability
-    probe (driver-side, metadata-only; ≙ the long-poll's confirm-offset
-    check, docs/sbp.md:246-252)."""
+def _read_confirmed_offset(root: str, stream_id: int) -> int:
+    """Durable availability probe (driver-side, metadata-only; ≙ the
+    long-poll's confirm-offset check, docs/sbp.md:246-252): the CONFIRM
+    offset, advanced only after a reserved block's data write lands.
+    Admitting the reserve-time ``next_offset`` instead would let the
+    source plan a window over an in-flight write, find zero rows at
+    read time, commit the batch, and permanently skip the records that
+    land moments later (silent loss — caught in review).  Falls back to
+    next_offset for shards written before the confirm field existed."""
     data = _read_shard(root, stream_id)
-    return 0 if data is None else int(data["stream"]["next_offset"])
+    if data is None:
+        return 0
+    s = data["stream"]
+    return int(s.get("confirmed_offset", s["next_offset"]))
 
 
 def _read_ranges(root: str, stream_id: int) -> list[dict]:
@@ -243,12 +251,25 @@ class StreamLogStreamReader(DataSourceStreamReader):
         }
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        # Spark calls this only when the CHECKPOINT has no offsets — a
+        # genuinely new query.  Reset the subscription's progress file to
+        # the start offsets: a stale file from a previous query life
+        # (checkpoint deleted, same subscription name) would otherwise
+        # floor the first admission window at its old position, making
+        # the first microbatch span [startOffset, old_progress + cap) —
+        # unbounded, violating the per-trigger cap (review finding).
+        if os.path.exists(self._progress_path):
+            os.makedirs(os.path.dirname(self._progress_path), exist_ok=True)
+            tmp = self._progress_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._to_wire(dict(self.start_offsets)), f)
+            os.replace(tmp, self._progress_path)
         return self._to_wire(dict(self.start_offsets))
 
     def latestOffset(self) -> dict:  # noqa: N802
         base = self._committed_progress() if self._last is None else self._last
         backlog = {
-            s: max(0, _read_next_offset(self.root, s) - base[s])
+            s: max(0, _read_confirmed_offset(self.root, s) - base[s])
             for s in self.stream_ids
         }
         admitted = fair_split(backlog, self.max_records)
@@ -260,9 +281,13 @@ class StreamLogStreamReader(DataSourceStreamReader):
 
     def _row_groups(self, sid: int) -> list[tuple[int, int, int, int]]:
         """Footer row-group index for the stream, cached until its
-        next_offset moves (sealed data is immutable, so the index only
-        grows as new ranges land)."""
-        committed = _read_next_offset(self.root, sid)
+        CONFIRM offset moves (landed data is immutable, so the index
+        only grows as new blocks confirm).  Keying the cache on the
+        reserve-time next_offset froze a mid-write (incomplete) footer
+        listing until the next reservation; the confirm offset only
+        advances after the files are durable, so a refreshed listing is
+        always complete up to the key."""
+        committed = _read_confirmed_offset(self.root, sid)
         hit = self._rg_cache.get(sid)
         if hit is not None and hit[0] == committed:
             return hit[1]
@@ -282,25 +307,37 @@ class StreamLogStreamReader(DataSourceStreamReader):
         return cost
 
     def _admit_within(self, sid: int, base: int, rec_cap: int, byte_share: float) -> int:
-        """Max records from ``base`` (≤ rec_cap) whose per-row-group cost
-        stays within ``byte_share`` — the walk admits whole records, group
-        by group, flooring inside the group where the budget runs out."""
-        taken = 0
+        """Max OFFSETS from ``base`` (≤ rec_cap) whose per-row-group cost
+        stays within ``byte_share`` — the walk admits whole records,
+        group by group, flooring inside the group where the budget runs
+        out.  The admitted window is an OFFSET SPAN: offsets falling in a
+        gap with no resident rows (a trim/compaction hole before the
+        first surviving row group) cost nothing and are admitted freely.
+        The previous row-count walk computed a NEGATIVE avail across such
+        a gap and stalled byte-capped admission at one offset per trigger
+        (caught in review)."""
+        end_cap = base + rec_cap
+        cur = base  # next offset to admit
         spent = 0.0
         for lo, hi, n, nbytes in self._row_groups(sid):
-            if taken >= rec_cap or hi < base:
+            if cur >= end_cap or hi < cur:
                 continue
+            if lo > cur:
+                # gap below this group: free offsets
+                cur = min(lo, end_cap)
+                if cur >= end_cap:
+                    break
             per_row = nbytes / n
-            avail = min(hi + 1, base + rec_cap) - max(lo, base)
+            avail = min(hi + 1, end_cap) - cur
             affordable = int((byte_share - spent) / per_row)
             take = min(avail, affordable)
             if take <= 0:
                 break
-            taken += take
+            cur += take
             spent += take * per_row
             if take < avail:
                 break
-        return taken
+        return cur - base
 
     def _apply_byte_cap(
         self, admitted: dict[int, int], base: dict[int, int]
@@ -372,6 +409,20 @@ class StreamLogStreamReader(DataSourceStreamReader):
         import pyarrow.dataset as ds
 
         if not os.path.isdir(partition.range_dir):
+            if partition.hi > partition.lo:
+                # the planned window covers CONFIRMED offsets, so the
+                # data must exist on disk — a missing dir means a
+                # concurrent maintenance swap is mid-rename (or its
+                # crash leftover).  Raising lets Spark retry the task —
+                # at-most-delay — where silently yielding nothing would
+                # commit the batch and permanently skip the records
+                # (caught in review).
+                raise FileNotFoundError(
+                    f"range dir missing for confirmed offsets "
+                    f"[{partition.lo}, {partition.hi}): {partition.range_dir} "
+                    "(concurrent maintenance swap? re-run sweep/vacuum to "
+                    "repair after a maintenance crash)"
+                )
             return
         dset = ds.dataset(partition.range_dir, format="parquet")
         flt = (ds.field("offset") >= partition.lo) & (

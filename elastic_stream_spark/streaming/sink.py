@@ -83,6 +83,9 @@ class ExactlyOnceAppendSink:
                     )
                 self.log.write_stamped(self.stream_id, batch, base, ridx)
             self.kv.cas(marker, version, f"committed:{base}:{end}".encode())
+            # block verified durable (count_span == end-base or rewritten)
+            # → advance the confirm offset downstream readers admit on
+            self.log.catalog.confirm_offset(self.stream_id, end)
             return
 
         batch = self.log.prepare_batch(batch_df)
@@ -99,3 +102,4 @@ class ExactlyOnceAppendSink:
         ent = self.kv.get(marker)
         assert ent is not None
         self.kv.cas(marker, ent[1], f"committed:{base}:{base + n}".encode())
+        self.log.catalog.confirm_offset(self.stream_id, base + n)

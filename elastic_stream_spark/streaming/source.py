@@ -115,13 +115,16 @@ def poll_fetch(
     ``start_offset`` or ``max_wait_ms`` elapses, then returns
     ``(records_df, end_offset)`` covering at most ``max_records``
     records — the bounded-admission fetch (maxOffsetsPerTrigger
-    analogue).  Availability is read from the catalog's committed
-    ``next_offset`` (driver-side metadata, no data scan); only the
-    returned window is planned as a partition-pruned log read.
+    analogue).  Availability is read from the catalog's CONFIRM offset
+    (driver-side metadata, no data scan) — the durable mark advanced
+    after a write lands, exactly the reference's long-poll confirm-offset
+    wait; polling the reserve-time next_offset instead could return a
+    window over an in-flight write.  Only the returned window is planned
+    as a partition-pruned log read.
     """
     deadline = time.monotonic() + max_wait_ms / 1000.0
     while True:
-        available = log.next_offset(stream_id) - start_offset
+        available = log.confirmed_offset(stream_id) - start_offset
         if available >= min_records or time.monotonic() >= deadline:
             break
         time.sleep(poll_interval_ms / 1000.0)

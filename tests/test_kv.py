@@ -85,3 +85,25 @@ def test_to_df(spark, workdir):
     df = kv.to_df(spark)
     assert df.count() == 2
     assert sorted(bytes(r.key) for r in df.collect()) == [b"a", b"b"]
+
+
+def test_prefix_scan_over_all_ff_keys(workdir):
+    """prefix_end(b"\\xff") = b"" (no byte string sorts above the
+    prefix): the open-upper-bound sentinel must mean "all keys >= key"
+    in Range/DeleteRange/Txn-delete — previously it matched nothing and
+    such scans silently returned/deleted zero keys (review finding;
+    etcd maps this case to the same from-key semantics)."""
+    kv = KVStore(workdir)
+    kv.put(b"\xfe", b"below")
+    kv.put(b"\xff\x01", b"v1")
+    kv.put(b"\xff\xff", b"v2")
+    end = prefix_end(b"\xff")
+    assert end == b""
+    items, more = kv.range(b"\xff", end)
+    assert [k for k, _, _ in items] == [b"\xff\x01", b"\xff\xff"]
+    assert not more
+    # txn delete over the same span
+    ok, _ = kv.txn([], [("delete", b"\xff\xff", b"")])
+    assert ok and kv.get(b"\xff\xff") is None
+    assert kv.delete_range(b"\xff", end) == 1
+    assert kv.get(b"\xfe") is not None

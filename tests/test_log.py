@@ -97,3 +97,38 @@ def test_empty_append_noop(spark, log):
     base, end = log.append(sid, _events(spark, 0))
     assert (base, end) == (0, 0)
     assert log.catalog.describe_stream(sid).next_offset == 0
+
+
+def test_vacuum_repairs_interrupted_swap(spark, log):
+    """A crash between vacuum's two directory renames leaves the live
+    tree missing the range dir while the rows sit in the scratch
+    ``old-<tag>`` dir; the next maintenance pass must roll the swap back
+    (restore the rows) instead of stranding them forever (review
+    finding)."""
+    import os
+    import shutil
+
+    sid = log.catalog.create_stream().stream_id
+    log.append(sid, _events(spark, 8))
+    assert log.fetch(sid, 0, 8).count() == 8
+
+    # simulate the interrupted swap: d → old done, tmp → d never ran
+    d = log._range_dir(sid, 0)
+    scratch = f"{log.catalog.root}/_vacuum_tmp"
+    os.makedirs(scratch, exist_ok=True)
+    tmp = f"{scratch}/rewrite-s{sid}-r0"
+    os.makedirs(tmp, exist_ok=True)  # stale partial rewrite
+    os.replace(d, f"{scratch}/old-s{sid}-r0")
+    assert log.fetch(sid, 0, 8).count() == 0  # the crash symptom
+
+    log.vacuum(sid)  # repair runs at maintenance entry
+    assert log.fetch(sid, 0, 8).count() == 8
+    assert not os.path.exists(f"{scratch}/old-s{sid}-r0")
+    assert not os.path.exists(tmp)
+
+    # completed-swap leftover (crash after tmp → d, before rm old):
+    # repair must finish the cleanup without touching the live dir
+    shutil.copytree(d, f"{scratch}/old-s{sid}-r0")
+    log.vacuum(sid)
+    assert not os.path.exists(f"{scratch}/old-s{sid}-r0")
+    assert log.fetch(sid, 0, 8).count() == 8

@@ -918,3 +918,58 @@ def test_heavy_hitters_streaming_equals_batch_replay(spark, workdir):
         for r in stream_heavy_hitters_replay(spark, sf).collect()
     }
     assert final == expected
+
+
+def test_confirmed_offset_gates_streaming_availability(spark, log):
+    """Reserved-but-unwritten offsets (an in-flight append) must NOT be
+    admitted: availability is the confirm offset, advanced only after
+    the data write lands — admitting the reserve-time next_offset let
+    the source plan a window over the in-flight block, read zero rows,
+    commit, and permanently skip the records (review finding)."""
+    from elastic_stream_spark.streaming.datasource import (
+        StreamLogStreamReader,
+        _read_confirmed_offset,
+    )
+    from elastic_stream_spark.streaming.source import poll_fetch
+
+    sid = log.catalog.create_stream().stream_id
+    log.append(sid, _events(spark, 3))
+    assert log.confirmed_offset(sid) == 3
+    # simulate the in-flight window: offsets reserved, write not landed
+    log.catalog.reserve_offsets(sid, 5)
+    assert log.next_offset(sid) == 8
+    assert log.confirmed_offset(sid) == 3
+    assert _read_confirmed_offset(log.catalog.root, sid) == 3
+    r = StreamLogStreamReader({"root": log.catalog.root, "streamid": str(sid)})
+    assert r.latestOffset()["offset"] == 3  # never past confirmed
+    df, end = poll_fetch(log, sid, 0, min_records=1, max_wait_ms=200)
+    assert end == 3 and df.count() == 3
+    # the landed write confirms and becomes visible
+    batch = log.prepare_batch(_events(spark, 5))
+    log.write_stamped(sid, batch, 3, 0)
+    log.catalog.confirm_offset(sid, 8)
+    r2 = StreamLogStreamReader({"root": log.catalog.root, "streamid": str(sid)})
+    assert r2.latestOffset()["offset"] == 8
+
+
+def test_byte_cap_admission_jumps_trim_gap(spark, log):
+    """After trim+vacuum the surviving row groups start past offset 0;
+    a byte-capped reader subscribed from 0 must admit the empty gap for
+    free in one trigger instead of inching through it one offset per
+    trigger (review finding: the row-count walk went negative on the
+    gap)."""
+    from elastic_stream_spark.streaming.datasource import StreamLogStreamReader
+
+    sid = log.catalog.create_stream().stream_id
+    log.append(sid, _events(spark, 10))
+    log.catalog.trim_stream(sid, 5)
+    log.vacuum(sid)  # physically drop offsets [0, 5) → gap below 5
+    r = StreamLogStreamReader(
+        {
+            "root": log.catalog.root,
+            "streamid": str(sid),
+            "maxbytespertrigger": "100000",
+        }
+    )
+    end = r.latestOffset()["offset"]
+    assert end == 10, end  # gap [0,5) free + all 5 resident records afford
