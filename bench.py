@@ -203,6 +203,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from elastic_stream_spark.operators import all_queries
     from elastic_stream_spark.session import get_spark
+from elastic_stream_spark.functions.materialize import unpersist_materialized
     from elastic_stream_spark.sources.envelope import TABLES, load_table
     from elastic_stream_spark.sources.materialize import get_engine
 
@@ -247,6 +248,7 @@ def main() -> None:
             # query would time a cache hit, not the build.  Session memos
             # (pair set / CC labels) are localCheckpoints — unaffected.
             spark.catalog.clearCache()
+            unpersist_materialized(spark)
             t0 = time.time()
             rows = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)

@@ -97,6 +97,21 @@ class StreamMeta:
     confirmed_offset: int = 0
     epoch: int = 0  # writer fencing token
 
+    @classmethod
+    def from_raw(cls, raw: dict) -> "StreamMeta":
+        """Deserialize a shard's stream record, upgrading legacy shards
+        written before ``confirmed_offset`` existed: absent field → the
+        stream predates in-flight tracking, so everything ever appended
+        is durable (confirmed = next_offset).  This matches the streaming
+        source's fallback (streaming/datasource.py
+        _read_confirmed_offset); defaulting to the dataclass's 0 instead
+        made ``StreamLog.confirmed_offset()`` / ``poll_fetch`` report
+        zero availability on pre-upgrade catalogs — silent empty fetches
+        until the next append confirmed (caught in review)."""
+        if "confirmed_offset" not in raw:
+            raw = {**raw, "confirmed_offset": raw["next_offset"]}
+        return cls(**raw)
+
 
 @dataclass
 class RangeMeta:
@@ -256,6 +271,13 @@ class StreamCatalog:
                 t.sid = stream_id
                 t.stream = data["stream"]
                 t.ranges = data["ranges"]
+                # upgrade-on-first-write for legacy shards (see
+                # StreamMeta.from_raw): materialize the confirmed =
+                # next_offset fallback BEFORE any mutation — a
+                # reserve_offsets that bumps next_offset first would
+                # otherwise inflate the fallback and mark its own
+                # in-flight block durable
+                t.stream.setdefault("confirmed_offset", t.stream["next_offset"])
             yield t
             self._stage_events(t)
             if t.sid is not None:
@@ -401,7 +423,7 @@ class StreamCatalog:
         data = self._read_shard(stream_id)
         if data is None or data["stream"]["deleted"]:
             raise StreamNotFound(stream_id)
-        return StreamMeta(**data["stream"])
+        return StreamMeta.from_raw(data["stream"])
 
     def update_stream(self, stream_id: int, **updates) -> StreamMeta:
         """≙ UPDATE_STREAM 0x3003 (pd/pkg/server/cluster/stream.go:79-96).
@@ -415,7 +437,7 @@ class StreamCatalog:
                 raise StreamNotFound(stream_id)
             t.stream.update(updates)
             self._emit(t, "updated", "stream", stream_id, **updates)
-            return StreamMeta(**t.stream)
+            return StreamMeta.from_raw(t.stream)
 
     def delete_stream(self, stream_id: int) -> None:
         """≙ DELETE_STREAM 0x3002 — tombstone; data reclaim is deferred to
@@ -426,7 +448,7 @@ class StreamCatalog:
 
     def list_streams(self, include_deleted: bool = False) -> list[StreamMeta]:
         st = self._load()
-        out = [StreamMeta(**raw) for raw in st.streams.values()]
+        out = [StreamMeta.from_raw(raw) for raw in st.streams.values()]
         if not include_deleted:
             out = [s for s in out if not s.deleted]
         return sorted(out, key=lambda s: s.stream_id)
@@ -562,14 +584,33 @@ class StreamCatalog:
         source's admission, long-poll fetch — treat THIS as data
         availability; next_offset alone only proves a reservation, and
         admitting it would let a consumer silently skip a block whose
-        write is still in flight."""
+        write is still in flight.
+
+        CONTRACT — one writer per stream (the reference's one-mutable-
+        range rule, components/model/src/stream/mod.rs:5-21; enforced
+        here by epoch fencing at reserve/seal time): the monotone max
+        below is a contiguous-durability watermark only under a single
+        confirmed-in-reserve-order writer.  Two concurrent appenders at
+        the same epoch could confirm out of order — a later block's
+        confirm would cover an earlier still-in-flight block, and
+        readers would admit past it.  Full per-reservation completion
+        tracking was considered and deliberately NOT adopted: the
+        exactly-once sink's documented crash window "reserve landed,
+        marker lost" (streaming/sink.py) leaves a reservation that no
+        writer will ever confirm, and a contiguity gate would wedge the
+        confirmed watermark below that leaked block forever (admission
+        deadlock).  The reference resolves the same situation by sealing
+        the range to fence the dead writer; our analogue is the same —
+        seal_range fences, and a sealed stream's confirm equals its end.
+        Concurrent same-epoch writers remain outside the contract for
+        both engines."""
         with self._txn(stream_id) as t:
             sraw = t.stream
             if upto > sraw["next_offset"]:
                 raise ValueError(
                     f"confirm {upto} beyond next_offset {sraw['next_offset']}"
                 )
-            if upto > sraw.get("confirmed_offset", 0):
+            if upto > sraw["confirmed_offset"]:
                 sraw["confirmed_offset"] = upto
 
     def bulk_register(
@@ -687,7 +728,7 @@ class StreamCatalog:
             if sraw["deleted"]:
                 raise StreamNotFound(stream_id)
             if new_start_offset <= sraw["start_offset"]:
-                return StreamMeta(**sraw)
+                return StreamMeta.from_raw(sraw)
             if new_start_offset > sraw["next_offset"]:
                 raise ValueError("cannot trim past next_offset")
             sraw["start_offset"] = new_start_offset
@@ -713,4 +754,4 @@ class StreamCatalog:
             self._emit(
                 t, "trimmed", "stream", stream_id, start_offset=new_start_offset
             )
-            return StreamMeta(**sraw)
+            return StreamMeta.from_raw(sraw)

@@ -20,15 +20,50 @@ Cached entries register with Spark's CacheManager keyed by canonicalized
 plan, so re-running an identical query reuses the cache — bench.py calls
 ``clearCache()`` between timed samples so construction queries measure
 the build, not a cache hit.
+
+Lifecycle: every handle is tracked per application so pinned storage can
+be RELEASED — nothing here unpersists implicitly (an identical re-run
+reusing the cache is the point), but a library consumer composing many
+dedup-family queries in one session should call
+``unpersist_materialized(spark)`` between unrelated query families (or
+``spark.catalog.clearCache()``, which drops the cached blocks of every
+plan) so intermediates from finished queries stop pressuring storage
+memory.  bench.py / tools/compare.py do exactly that between queries.
 """
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+# applicationId -> weak refs of persisted DataFrames (weak: a handle the
+# caller dropped and the JVM already GC'd should not be kept alive just
+# for bookkeeping; unpersist skips dead refs)
+_HANDLES: dict[str, list] = {}
 
 
 def materialize(df: DataFrame) -> DataFrame:
     out = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     out.count()
+    app = out.sparkSession.sparkContext.applicationId
+    for stale in [a for a in _HANDLES if a != app]:
+        del _HANDLES[stale]  # dead-application entries (restarted session)
+    _HANDLES.setdefault(app, []).append(weakref.ref(out))
     return out
+
+
+def unpersist_materialized(spark: SparkSession) -> int:
+    """Unpersist every DataFrame ``materialize`` pinned in this
+    application; returns how many were released.  Blocking=False: block
+    removal proceeds async, the storage accounting is released
+    immediately."""
+    app = spark.sparkContext.applicationId
+    n = 0
+    for ref in _HANDLES.pop(app, []):
+        df = ref()
+        if df is not None:
+            df.unpersist(blocking=False)
+            n += 1
+    return n

@@ -15,8 +15,33 @@ Semantics preserved from the reference:
 
 Linearizability (SURVEY.md §7 hard-part 5): transactions are serialized
 through a driver-side file lock — same single-coordinator role as the
-reference's etcd-leader PD.  The store is snapshotted to JSON with atomic
-rename, and exposed to Spark as a DataFrame for scan-style queries.
+reference's etcd-leader PD.
+
+Storage is HASH-SHARDED, like the stream catalog (catalog.py:18-26) and
+for the same reason the reference's PD keeps its KV in etcd's B-tree with
+per-key writes (pd/pkg/server/storage/kv/etcd.go): a monolithic JSON
+snapshot pays O(keyspace) per put (measured 38 ms/op at just 1k entries
+for the catalog's equivalent).  Keys hash into ``KV_SHARDS`` bucket
+files; one put rewrites one bucket (O(keyspace / shards)) plus the tiny
+manifest, and the fsync dominates — put latency stays flat as the
+keyspace grows (tools/kv_bench.py records the curve).
+
+Commit protocol (atomic across shards, crash-safe):
+1. take the ``fcntl`` lock; load the manifest (``kv-meta.json``:
+   revision + the generation-named file of every non-empty bucket);
+2. mutate in memory, lazily loading only the buckets the ops touch;
+3. write each dirty bucket to a NEW generation file
+   ``kv-shard-<bucket>.<rev>.json`` (tempfile + fsync + rename);
+4. atomically replace the manifest pointing at the new generation —
+   THE commit point (one rename makes a multi-bucket Txn atomic);
+5. unlink the replaced generation files (GC; a crash before this leaves
+   orphans that the next committer sweeps).
+Lock-free readers resolve manifest → bucket file; if a concurrent
+committer GC'd the file between those two reads, the reader re-reads the
+manifest and retries (the new generation is always resolvable).
+
+A legacy monolithic ``kv.json`` (pre-shard layout) is read transparently
+and migrated to shards by the first write transaction.
 """
 
 from __future__ import annotations
@@ -26,10 +51,18 @@ import fcntl
 import json
 import os
 import tempfile
+import zlib
 from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+# 256 buckets: at 100k keys a bucket holds ~400 entries (~40 KB JSON) —
+# small enough that per-put latency is fsync/flock-dominated, not
+# serialization-dominated (tools/kv_bench.py records the curve); at the
+# metadata scales this store serves (markers, allocators, sink batch
+# state) buckets stay single-digit KB
+KV_SHARDS = 256
 
 
 def prefix_end(key: bytes) -> bytes:
@@ -54,6 +87,79 @@ class Compare:
     value: bytes | int | bool | None = None
 
 
+class _State:
+    """Mutable view of the store inside one transaction: the manifest
+    plus lazily-loaded buckets, with dirty tracking so commit rewrites
+    only what changed."""
+
+    def __init__(self, store: "KVStore"):
+        self._store = store
+        self.meta = store._read_meta()
+        self.revision: int = self.meta["revision"]
+        self._buckets: dict[str, dict] = {}
+        self._dirty: set[str] = set()
+        self._legacy_migration = False
+        if self.meta.get("_legacy"):
+            # pre-shard monolithic kv.json: load it whole; the commit
+            # rewrites every populated bucket and drops the old file
+            legacy = self._store._read_legacy()
+            for ek, ent in legacy["data"].items():
+                self._buckets.setdefault(
+                    self._store._bucket_of_enc(ek), {}
+                )[ek] = ent
+            self._dirty = set(self._buckets)
+            self._legacy_migration = True
+
+    def bucket(self, b: str) -> dict:
+        got = self._buckets.get(b)
+        if got is None:
+            got = self._store._read_bucket_file(self.meta, b)
+            self._buckets[b] = got
+        return got
+
+    def all_items(self) -> dict:
+        """Every (enc_key -> entry) across buckets — scan-style ops."""
+        out: dict = {}
+        for b in list(self.meta["shards"]) + list(self._buckets):
+            out.update(self.bucket(b))
+        return out
+
+    # ------------------------------------------------------- mutations
+
+    def get_entry(self, key: bytes):
+        return self.bucket(self._store._bucket_of(key)).get(
+            self._store._enc(key)
+        )
+
+    def set_entry(self, key: bytes, value: bytes) -> int:
+        self.revision += 1
+        b = self._store._bucket_of(key)
+        self.bucket(b)[self._store._enc(key)] = {
+            "value": self._store._enc(value),
+            "version": self.revision,
+        }
+        self._dirty.add(b)
+        return self.revision
+
+    def delete_span(self, key: bytes, range_end: bytes | None) -> int:
+        n = 0
+        for b in set(list(self.meta["shards"]) + list(self._buckets)):
+            data = self.bucket(b)
+            victims = [
+                ek
+                for ek in data
+                if KVStore._in_span(self._store._dec(ek), key, range_end)
+            ]
+            for ek in victims:
+                del data[ek]
+            if victims:
+                self._dirty.add(b)
+                n += len(victims)
+        if n:
+            self.revision += 1
+        return n
+
+
 class KVStore:
     FROM_KEY = b"\x00"  # range_end sentinel: "all keys >= key"
 
@@ -75,36 +181,11 @@ class KVStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self._path = os.path.join(root, "kv.json")
+        self._legacy_path = os.path.join(root, "kv.json")
+        self._meta_path = os.path.join(root, "kv-meta.json")
         self._lock_path = os.path.join(root, "kv.lock")
 
     # ------------------------------------------------------------- state
-
-    @contextmanager
-    def _txn(self):
-        with open(self._lock_path, "a") as lockf:
-            fcntl.flock(lockf, fcntl.LOCK_EX)
-            state = self._load()
-            yield state
-            self._commit(state)
-
-    def _load(self) -> dict:
-        if not os.path.exists(self._path):
-            return {"revision": 0, "data": {}}
-        with open(self._path) as f:
-            return json.load(f)
-
-    def _commit(self, state: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".kv-")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(state, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
 
     @staticmethod
     def _enc(b: bytes) -> str:
@@ -114,20 +195,149 @@ class KVStore:
     def _dec(s: str) -> bytes:
         return base64.b64decode(s)
 
+    @classmethod
+    def _bucket_of(cls, key: bytes) -> str:
+        # crc32: stable across processes/runs (NOT Python hash(), which
+        # is salted per process) — the bucket of a key must never move
+        return f"{zlib.crc32(key) % KV_SHARDS:03x}"
+
+    @classmethod
+    def _bucket_of_enc(cls, ek: str) -> str:
+        return cls._bucket_of(cls._dec(ek))
+
+    def _read_meta(self) -> dict:
+        """Manifest: {"revision": R, "shards": {bucket: filename}}.
+        ``_legacy`` marks a pre-shard kv.json that the next write
+        transaction migrates."""
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f)
+        if os.path.exists(self._legacy_path):
+            legacy = self._read_legacy()
+            return {"revision": legacy["revision"], "shards": {}, "_legacy": True}
+        return {"revision": 0, "shards": {}}
+
+    def _read_legacy(self) -> dict:
+        with open(self._legacy_path) as f:
+            return json.load(f)
+
+    def _read_bucket_file(self, meta: dict, b: str) -> dict:
+        fn = meta["shards"].get(b)
+        if fn is None:
+            if meta.get("_legacy"):
+                legacy = self._read_legacy()
+                return {
+                    ek: ent
+                    for ek, ent in legacy["data"].items()
+                    if self._bucket_of_enc(ek) == b
+                }
+            return {}
+        with open(os.path.join(self.root, fn)) as f:
+            return json.load(f)
+
+    def _write_file(self, name: str, payload: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".kv-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.root, name))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    @contextmanager
+    def _txn(self):
+        with open(self._lock_path, "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            st = _State(self)
+            yield st
+            self._commit(st)
+
+    def _commit(self, st: _State) -> None:
+        if not st._dirty and st.revision == st.meta["revision"]:
+            return  # read-only txn (e.g. failed CAS with no failure ops)
+        old_meta = st.meta
+        shards = dict(old_meta["shards"])
+        replaced: list[str] = []
+        for b in sorted(st._dirty):
+            data = st._buckets[b]
+            prev = shards.get(b)
+            if prev is not None:
+                replaced.append(prev)
+            if data:
+                fn = f"kv-shard-{b}.{st.revision:012d}.json"
+                self._write_file(fn, data)
+                shards[b] = fn
+            else:
+                shards.pop(b, None)  # bucket emptied
+        # THE commit point: one atomic manifest replace covers every
+        # bucket this txn touched
+        self._write_file(
+            os.path.basename(self._meta_path),
+            {"revision": st.revision, "shards": shards},
+        )
+        # GC: replaced generations + the migrated legacy snapshot +
+        # orphans from a crash between shard writes and a manifest
+        # commit (their generation suffix is not referenced)
+        for fn in replaced:
+            p = os.path.join(self.root, fn)
+            if os.path.exists(p):
+                os.unlink(p)
+        # the manifest is authoritative from here: a kv.json is either
+        # the just-migrated snapshot or debris from a crash between a
+        # previous migration's manifest commit and its GC — gone either way
+        if os.path.exists(self._legacy_path):
+            os.unlink(self._legacy_path)
+        live = set(shards.values())
+        for fn in os.listdir(self.root):
+            if fn.startswith("kv-shard-") and fn not in live:
+                try:
+                    os.unlink(os.path.join(self.root, fn))
+                except FileNotFoundError:
+                    pass
+
+    def _snapshot(self) -> tuple[int, dict]:
+        """Lock-free consistent read of (revision, all entries): resolve
+        manifest → bucket files, retrying if a concurrent commit GC'd a
+        generation file between the two reads (the new manifest always
+        resolves)."""
+        for _ in range(64):
+            meta = self._read_meta()
+            try:
+                out: dict = {}
+                if meta.get("_legacy"):
+                    out.update(self._read_legacy()["data"])
+                for b in meta["shards"]:
+                    out.update(self._read_bucket_file(meta, b))
+                return meta["revision"], out
+            except FileNotFoundError:
+                continue
+        raise RuntimeError("kv snapshot: manifest churn exceeded retries")
+
+    def _get_bucket(self, key: bytes) -> dict:
+        """Lock-free single-bucket read (the point-get path): one
+        manifest read + one bucket file, O(keyspace / shards)."""
+        b = self._bucket_of(key)
+        for _ in range(64):
+            meta = self._read_meta()
+            try:
+                return self._read_bucket_file(meta, b)
+            except FileNotFoundError:
+                continue
+        raise RuntimeError("kv get: manifest churn exceeded retries")
+
     # --------------------------------------------------------------- ops
 
     def put(self, key: bytes, value: bytes) -> int:
-        """≙ KV Put; returns the new revision."""
+        """≙ KV Put; returns the new revision.  Writes ONE bucket file +
+        the manifest — O(keyspace / KV_SHARDS), fsync-dominated."""
         with self._txn() as st:
-            st["revision"] += 1
-            st["data"][self._enc(key)] = {
-                "value": self._enc(value),
-                "version": st["revision"],
-            }
-            return st["revision"]
+            return st.set_entry(key, value)
 
     def get(self, key: bytes) -> tuple[bytes, int] | None:
-        ent = self._load()["data"].get(self._enc(key))
+        ent = self._get_bucket(key).get(self._enc(key))
         if ent is None:
             return None
         return self._dec(ent["value"]), ent["version"]
@@ -138,12 +348,19 @@ class KVStore:
         """≙ KV Range (rpc.fbs:788-819): ``[key, range_end)`` in key order,
         with ``limit`` and a ``more`` paging flag.  range_end=None → point
         get; b"\\0" → from-key; prefix scans via ``prefix_end(key)``."""
-        st = self._load()
-        items = sorted(
-            (self._dec(k), self._dec(v["value"]), v["version"])
-            for k, v in st["data"].items()
-        )
-        items = [it for it in items if self._in_span(it[0], key, range_end)]
+        if range_end is None:
+            # point form reads one bucket, not the keyspace
+            ent = self._get_bucket(key).get(self._enc(key))
+            items = (
+                [(key, self._dec(ent["value"]), ent["version"])] if ent else []
+            )
+        else:
+            _, data = self._snapshot()
+            items = sorted(
+                (self._dec(k), self._dec(v["value"]), v["version"])
+                for k, v in data.items()
+            )
+            items = [it for it in items if self._in_span(it[0], key, range_end)]
         more = bool(limit) and len(items) > limit
         if limit:
             items = items[:limit]
@@ -152,16 +369,7 @@ class KVStore:
     def delete_range(self, key: bytes, range_end: bytes | None = None) -> int:
         """≙ KV DeleteRange; returns number of deleted keys."""
         with self._txn() as st:
-            victims = [
-                ek
-                for ek in list(st["data"])
-                if self._in_span(self._dec(ek), key, range_end)
-            ]
-            for ek in victims:
-                del st["data"][ek]
-            if victims:
-                st["revision"] += 1
-            return len(victims)
+            return st.delete_span(key, range_end)
 
     def txn(
         self,
@@ -193,8 +401,8 @@ class KVStore:
         ok, _ = self.txn(cmp, [("put", key, value)])
         return ok
 
-    def _check(self, st: dict, c: Compare) -> bool:
-        ent = st["data"].get(self._enc(c.key))
+    def _check(self, st: _State, c: Compare) -> bool:
+        ent = st.get_entry(c.key)
         if c.target == "exists":
             actual: object = ent is not None
         elif ent is None:
@@ -215,29 +423,17 @@ class KVStore:
             return actual > c.value  # type: ignore[operator]
         raise ValueError(c.op)
 
-    def _apply(self, st: dict, op: tuple):
+    def _apply(self, st: _State, op: tuple):
         kind = op[0]
         if kind == "put":
             _, key, value = op
-            st["revision"] += 1
-            st["data"][self._enc(key)] = {
-                "value": self._enc(value),
-                "version": st["revision"],
-            }
-            return st["revision"]
+            return st.set_entry(key, value)
         if kind == "delete":
             _, key, range_end = op
-            n = 0
-            for ek in list(st["data"]):
-                if self._in_span(self._dec(ek), key, range_end):
-                    del st["data"][ek]
-                    n += 1
-            if n:
-                st["revision"] += 1
-            return n
+            return st.delete_span(key, range_end)
         if kind == "get":
             _, key = op
-            ent = st["data"].get(self._enc(key))
+            ent = st.get_entry(key)
             return None if ent is None else (self._dec(ent["value"]), ent["version"])
         raise ValueError(kind)
 
@@ -246,9 +442,9 @@ class KVStore:
     def to_df(self, spark: SparkSession) -> DataFrame:
         """The ``_kv`` table (FIXTURES.md B.4) as a DataFrame for
         scan-style queries: ``key binary, value binary, version long``."""
-        st = self._load()
+        _, data = self._snapshot()
         rows = [
             (self._dec(k), self._dec(v["value"]), v["version"])
-            for k, v in st["data"].items()
+            for k, v in data.items()
         ]
         return spark.createDataFrame(rows, "key binary, value binary, version long")

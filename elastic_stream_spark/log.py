@@ -22,7 +22,9 @@ matching the reference's claim that throughput is flat in stream count).
 
 from __future__ import annotations
 
+import fcntl
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -311,6 +313,23 @@ class StreamLog:
             self.objects.commit_batch(entries)
         return len(entries)
 
+    @contextmanager
+    def _maintenance_lock(self, stream_id: int):
+        """Per-stream mutual exclusion for maintenance (vacuum/optimize).
+        ``_repair_swaps`` treats ``old-*``/``rewrite-*`` leftovers as
+        crash debris — correct only if at most one maintenance process
+        works a stream at a time: a second process entering mid-swap of
+        the first would roll back its in-flight ``old-*`` rename over the
+        live dir and rmtree its scratch, corrupting a healthy swap
+        (caught in review).  An fcntl lock file per stream serializes
+        them; cross-STREAM maintenance still parallelizes freely (the
+        sharding story every other per-stream path uses)."""
+        lock_dir = f"{self.catalog.root}/_maintenance"
+        os.makedirs(lock_dir, exist_ok=True)
+        with open(f"{lock_dir}/s{stream_id}.lock", "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            yield
+
     def _repair_swaps(self, stream_id: int) -> None:
         """Complete/roll back any directory swap a maintenance crash left
         half-done (vacuum/optimize rename ``d → old``, ``tmp → d``,
@@ -322,8 +341,9 @@ class StreamLog:
         rewrite is redone later); ``old`` present + target present → the
         swap completed, finish the cleanup; stale ``rewrite-*`` scratch →
         drop (possibly partial; always regenerable).  Runs at every
-        vacuum/optimize entry, so one completed maintenance pass heals
-        any earlier crash."""
+        vacuum/optimize entry — under ``_maintenance_lock``, so leftovers
+        are guaranteed crash debris, never another process's live swap —
+        and one completed maintenance pass heals any earlier crash."""
         import glob as _glob
         import shutil
 
@@ -358,32 +378,33 @@ class StreamLog:
 
         scratch = f"{self.catalog.root}/_optimize_tmp"
         os.makedirs(scratch, exist_ok=True)
-        self._repair_swaps(stream_id)  # heal any earlier maintenance crash
-        out: dict[int, tuple[int, int]] = {}
-        for r in self.catalog.list_ranges(stream_id):
-            if not r.sealed:
-                continue
-            d = self._range_dir(stream_id, r.range_index)
-            files = parquet_files(d)
-            if len(files) <= 1:
-                continue
-            tag = f"s{stream_id}-r{r.range_index}"
-            tmp = f"{scratch}/rewrite-{tag}"
-            old = f"{scratch}/old-{tag}"
-            (
-                self.spark.read.parquet(d)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            os.replace(d, old)
-            shutil.move(tmp, d)
-            shutil.rmtree(old)
-            self.objects.remove(files)
-            out[r.range_index] = (len(files), len(parquet_files(d)))
-        if out:
-            self.commit_objects(stream_id)
-        return out
+        with self._maintenance_lock(stream_id):
+            self._repair_swaps(stream_id)  # heal any earlier maintenance crash
+            out: dict[int, tuple[int, int]] = {}
+            for r in self.catalog.list_ranges(stream_id):
+                if not r.sealed:
+                    continue
+                d = self._range_dir(stream_id, r.range_index)
+                files = parquet_files(d)
+                if len(files) <= 1:
+                    continue
+                tag = f"s{stream_id}-r{r.range_index}"
+                tmp = f"{scratch}/rewrite-{tag}"
+                old = f"{scratch}/old-{tag}"
+                (
+                    self.spark.read.parquet(d)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                os.replace(d, old)
+                shutil.move(tmp, d)
+                shutil.rmtree(old)
+                self.objects.remove(files)
+                out[r.range_index] = (len(files), len(parquet_files(d)))
+            if out:
+                self.commit_objects(stream_id)
+            return out
 
     # ------------------------------------------------- maintenance jobs
 
@@ -409,57 +430,61 @@ class StreamLog:
         # needs THIS stream's metadata, and sweep() calls it per stream,
         # so a full-catalog _load() here made sweep O(streams²) shard
         # reads (caught in review)
-        data = self.catalog._read_shard(stream_id)
-        if data is None:
-            return
-        sraw = data["stream"]
-        stream_ranges = data["ranges"]
-        self._repair_swaps(stream_id)  # heal any earlier maintenance crash
-        keep_from = sraw["start_offset"]
-        live = {r["range_index"] for r in stream_ranges}
-        import glob
-        import os
+        with self._maintenance_lock(stream_id):
+            data = self.catalog._read_shard(stream_id)
+            if data is None:
+                return
+            sraw = data["stream"]
+            stream_ranges = data["ranges"]
+            self._repair_swaps(stream_id)  # heal any earlier maintenance crash
+            keep_from = sraw["start_offset"]
+            live = {r["range_index"] for r in stream_ranges}
+            import glob
+            import os
 
-        for d in glob.glob(f"{self.records_root}/stream_id={stream_id}/range_index=*"):
-            ridx = int(d.rsplit("=", 1)[1])
-            if sraw["deleted"] or ridx not in live:
-                self.objects.remove(parquet_files(d))
-                shutil.rmtree(d)
-                continue
-        if sraw["deleted"]:
-            return
-        # rewrite the straddling range (drop rows below keep_from).
-        # Crash-safety order: write the rewrite OUTSIDE the records tree,
-        # rename the old partition aside (also outside the tree, so
-        # concurrent partition discovery never sees a stray dir), move the
-        # new one in, delete the old dir last — no point at which the
-        # retained rows exist in zero locations, and _repair_swaps (run
-        # at every maintenance entry) rolls back a swap interrupted
-        # between the two renames, so the rows are also never STRANDED
-        # outside the read tree.
-        scratch = f"{self.catalog.root}/_vacuum_tmp"
-        os.makedirs(scratch, exist_ok=True)
-        for r in stream_ranges:
-            d = f"{self.records_root}/stream_id={stream_id}/range_index={r['range_index']}"
-            if not os.path.exists(d):
-                continue
-            df = self.spark.read.parquet(d)
-            if df.where(F.col("offset") < keep_from).limit(1).count() == 0:
-                continue
-            kept = df.where(F.col("offset") >= keep_from)
-            tag = f"s{stream_id}-r{r['range_index']}"
-            tmp = f"{scratch}/rewrite-{tag}"
-            old = f"{scratch}/old-{tag}"
-            old_files = parquet_files(d)
-            kept.write.mode("overwrite").parquet(tmp)
-            os.replace(d, old)
-            shutil.move(tmp, d)
-            shutil.rmtree(old)
-            # metadata reconcile: drop descriptors of the replaced files;
-            # if any existed, the stream's objects are catalog-managed —
-            # commit the rewritten file(s) so the catalog matches disk.
-            if self.objects.remove(old_files):
-                self.commit_objects(stream_id)
+            for d in glob.glob(
+                f"{self.records_root}/stream_id={stream_id}/range_index=*"
+            ):
+                ridx = int(d.rsplit("=", 1)[1])
+                if sraw["deleted"] or ridx not in live:
+                    self.objects.remove(parquet_files(d))
+                    shutil.rmtree(d)
+                    continue
+            if sraw["deleted"]:
+                return
+            # rewrite the straddling range (drop rows below keep_from).
+            # Crash-safety order: write the rewrite OUTSIDE the records
+            # tree, rename the old partition aside (also outside the tree,
+            # so concurrent partition discovery never sees a stray dir),
+            # move the new one in, delete the old dir last — no point at
+            # which the retained rows exist in zero locations, and
+            # _repair_swaps (run at every maintenance entry) rolls back a
+            # swap interrupted between the two renames, so the rows are
+            # also never STRANDED outside the read tree.
+            scratch = f"{self.catalog.root}/_vacuum_tmp"
+            os.makedirs(scratch, exist_ok=True)
+            for r in stream_ranges:
+                d = f"{self.records_root}/stream_id={stream_id}/range_index={r['range_index']}"
+                if not os.path.exists(d):
+                    continue
+                df = self.spark.read.parquet(d)
+                if df.where(F.col("offset") < keep_from).limit(1).count() == 0:
+                    continue
+                kept = df.where(F.col("offset") >= keep_from)
+                tag = f"s{stream_id}-r{r['range_index']}"
+                tmp = f"{scratch}/rewrite-{tag}"
+                old = f"{scratch}/old-{tag}"
+                old_files = parquet_files(d)
+                kept.write.mode("overwrite").parquet(tmp)
+                os.replace(d, old)
+                shutil.move(tmp, d)
+                shutil.rmtree(old)
+                # metadata reconcile: drop descriptors of the replaced
+                # files; if any existed, the stream's objects are
+                # catalog-managed — commit the rewritten file(s) so the
+                # catalog matches disk.
+                if self.objects.remove(old_files):
+                    self.commit_objects(stream_id)
 
     def sweep(self, now_ms: int | None = None, optimize: bool = False) -> dict:
         """One maintenance pass over ALL streams — the engine's analogue of

@@ -119,12 +119,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 60 days (no receipt/commit dates in the fixture).
 
     The original's EXISTS (another supplier) / NOT EXISTS (another late
-    supplier) correlation is re-expressed as one per-order profile —
-    ``countDistinct(supplier)`` and ``countDistinct(late supplier)`` per
-    orderkey — then a filter (``n_supp > 1 AND n_late_supp == 1``) and
-    an equi-join back to the late (order, supplier) pair.  Two
-    aggregations and one join, all partitioned by l_orderkey, no
-    correlated re-scans — the formulation that survives 100 TB."""
+    supplier) correlation is re-expressed as ONE pair-level
+    pre-aggregation — distinct ``(l_orderkey, l_suppkey)`` with
+    ``max(late)`` — from which both the per-order profile (plain
+    ``count`` / conditional count: ``n_supp``, ``n_late_supp``) and the
+    late-pair set are derived.  Two ``countDistinct``s in one groupBy
+    (the previous formulation) made Catalyst insert an Expand that
+    DOUBLED the lineitem-sized aggregation input in the shuffle; the
+    pre-aggregation shuffles each input row once and every later stage
+    operates on the far smaller pair table.  All stages key on
+    l_orderkey, no correlated re-scans — the formulation that survives
+    100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -132,18 +137,15 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"INTERVAL {Q21_LATE_DAYS} DAYS"
     )
     j = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
-    profile = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    pairs = j.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("is_late"))
+    profile = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("is_late"), 1)).alias("n_late_supp"),
     )
     sole_late_orders = profile.where(
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     ).select(F.col("l_orderkey").alias("slo_orderkey"))
-    late_pairs = (
-        j.where(late)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    late_pairs = pairs.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
     return (
         late_pairs.join(
             sole_late_orders, late_pairs.l_orderkey == F.col("slo_orderkey")

@@ -107,3 +107,79 @@ def test_prefix_scan_over_all_ff_keys(workdir):
     assert ok and kv.get(b"\xff\xff") is None
     assert kv.delete_range(b"\xff", end) == 1
     assert kv.get(b"\xfe") is not None
+
+
+def test_sharded_layout_and_point_ops(workdir):
+    """Puts land in per-bucket generation files + a manifest — never a
+    monolithic snapshot (r6 ADVICE item 2: O(keyspace) per put).  The
+    point paths (get / point-range) read exactly one bucket."""
+    import os
+
+    kv = KVStore(workdir)
+    for i in range(200):
+        kv.put(f"k{i:04d}".encode(), f"v{i}".encode())
+    files = os.listdir(workdir)
+    assert "kv-meta.json" in files
+    assert any(f.startswith("kv-shard-") for f in files)
+    assert "kv.json" not in files
+    # every key readable; versions monotone with insertion order
+    assert kv.get(b"k0000")[0] == b"v0"
+    assert kv.get(b"k0199")[0] == b"v199"
+    assert kv.get(b"k0199")[1] > kv.get(b"k0000")[1]
+    # full scan sees all keys in key order
+    items, more = kv.range(b"k", prefix_end(b"k"))
+    assert len(items) == 200 and not more
+    assert items[0][0] == b"k0000" and items[-1][0] == b"k0199"
+    # one generation file per populated bucket — replaced generations GC'd
+    shard_files = [f for f in files if f.startswith("kv-shard-")]
+    buckets = {f.split(".")[0] for f in shard_files}
+    assert len(shard_files) == len(buckets)
+
+
+def test_legacy_monolithic_snapshot_migrates(workdir):
+    """A pre-shard ``kv.json`` reads transparently and is migrated to the
+    sharded layout by the first write transaction."""
+    import base64
+    import json
+    import os
+
+    enc = lambda b: base64.b64encode(b).decode()
+    legacy = {
+        "revision": 7,
+        "data": {
+            enc(b"a"): {"value": enc(b"1"), "version": 3},
+            enc(b"b"): {"value": enc(b"2"), "version": 7},
+        },
+    }
+    with open(os.path.join(workdir, "kv.json"), "w") as f:
+        json.dump(legacy, f)
+    kv = KVStore(workdir)
+    # reads see the legacy content, at the legacy versions
+    assert kv.get(b"a") == (b"1", 3)
+    items, _ = kv.range(b"a", KVStore.FROM_KEY)
+    assert [k for k, _, _ in items] == [b"a", b"b"]
+    # first write migrates: revision continues from 7, kv.json is gone
+    rev = kv.put(b"c", b"3")
+    assert rev == 8
+    assert not os.path.exists(os.path.join(workdir, "kv.json"))
+    assert kv.get(b"a") == (b"1", 3) and kv.get(b"c") == (b"3", 8)
+
+
+def test_multi_bucket_txn_atomic_after_crash_window(workdir):
+    """Crash between shard-generation writes and the manifest commit
+    must leave the store unchanged (orphan generation files are swept by
+    the next committer) — the manifest rename is THE commit point."""
+    import os
+
+    kv = KVStore(workdir)
+    kv.put(b"a", b"1")
+    kv.put(b"b", b"2")
+    # simulate the crash window: a new generation file exists for some
+    # bucket but no manifest references it
+    orphan = os.path.join(workdir, "kv-shard-00.999999999999.json")
+    with open(orphan, "w") as f:
+        f.write('{"bogus": {"value": "eA==", "version": 999}}')
+    assert kv.get(b"a") == (b"1", 1)  # reads resolve via manifest only
+    kv.put(b"c", b"3")  # next commit sweeps the orphan
+    assert not os.path.exists(orphan)
+    assert kv.get(b"c")[1] == 3

@@ -244,3 +244,16 @@ def test_ivf_index_build_has_no_cell_exchange(spark):
     for fn in (sim_ann_ivf_clustered, sim_ann_ivf_pq):
         plan = plan_of(fn(spark, SF_DIR))
         assert "hashpartitioning(cell" not in plan, fn.__name__
+
+
+def test_q21_profile_has_no_expand(spark):
+    """q21's per-order profile must come from the pair-level
+    pre-aggregation, not a double countDistinct: two countDistincts in
+    one groupBy make Catalyst insert an Expand that doubles the
+    lineitem-sized shuffle input (r6 VERDICT "What's wrong" #1).  The
+    rewrite keeps the result hash identical (driver gate) while this
+    pins the plan shape."""
+    from elastic_stream_spark.operators.relational_tpch3 import q21_waiting_supplier
+
+    plan = plan_of(q21_waiting_supplier(spark, SF_DIR))
+    assert "Expand" not in plan, "q21 regressed to a countDistinct Expand"

@@ -34,6 +34,9 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 from elastic_stream_spark.session import get_spark  # noqa: E402
+from elastic_stream_spark.functions.materialize import (  # noqa: E402
+    unpersist_materialized,
+)
 from elastic_stream_spark.sources.envelope import TABLES  # noqa: E402
 
 
@@ -255,6 +258,7 @@ def main():
         # storage memory for later queries.  Session memos (pair set /
         # CC labels) are localCheckpoints — unaffected.
         spark.catalog.clearCache()
+        unpersist_materialized(spark)
         try:
             res = compare_one(name, qfn, oracles.get(name), spark, con, sf_dir)
         except Exception as e:
