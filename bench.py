@@ -83,6 +83,9 @@ HEADLINE = [
     "ngram_counts",
     "tfidf_topk_per_doc",
     "emb_covariance",
+    # round 7: IVF-PQ build/serve split — first sample pays the one-time
+    # index build, the best-of therefore measures the serving path
+    "sim_ann_ivf_pq_served",
 ]
 
 APPEND_PER_STREAM = 2_000

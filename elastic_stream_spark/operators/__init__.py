@@ -65,83 +65,42 @@ def _modules():
 # nothing is ever dark, only riding on the last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r6 rotation — the registry (88 queries after the r6 additions) is
-# larger than the 50-row window, so the steady-state schedule is an
-# ALTERNATION: every query
-# whose last driver row is two rounds old (r4 — it sat out the r5
-# window) rotates back IN, every query hash-green in the r5 window
-# rotates OUT for one round (its row is the freshest possible), and
-# never-checked / changed-this-round queries preempt everything.  This
-# keeps every registry query's driver row ≤ 2 rounds old, with the
-# committed strict full-registry self-check (tools/compare.py →
-# CORRECTNESS_FULL_r{N}.json, both sf) covering every query every round.
+# r7 rotation — the registry (89 queries) exceeds the 50-row window, so
+# the steady-state schedule is an ALTERNATION: every query whose last
+# driver row is two rounds old (r5 — it sat out the r6 window) rotates
+# back IN, every query hash-green in the r6 window rotates OUT for one
+# round (its row is the freshest possible), and never-checked /
+# changed-this-round queries preempt everything.  This keeps every
+# registry query's driver row ≤ 2 rounds old, with the committed strict
+# full-registry self-check (tools/compare.py → CORRECTNESS_FULL_r{N}.json,
+# both sf) covering every query every round.
 GATE_ORDER = [
-    # --- last driver row r4 (sat out r5): 26 queries rotate back in ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q19_brand_quantity_revenue",
-    "asof_join_purchase_click",
-    "dedup_exact",
-    "fetch_range",
-    "describe_streams",
-    "list_ranges",
-    "trim_fetch",
-    "offset_accounting",
+    # --- never driver-checked: the six r6-late corpus-prep queries
+    # (queued from r6 on strict full-gate evidence — the promised
+    # NEW_QUEUED_R7 rotation) and the r7 build/serve ANN addition ---
+    "chunk_dedup",
+    "text_unigram_logprob",
+    "vocab_coverage",
+    "ngram_counts",
+    "tfidf_topk_per_doc",
+    "emb_covariance",
+    "sim_ann_ivf_pq_served",
+    # --- changed in r7 (pair-level pre-agg replacing the countDistinct
+    # Expand; sharded KV store; ivf_pq_topk build/serve refactor), so
+    # they keep their window slot for a fresh row ---
+    "q21_waiting_supplier",
     "kv_range_scan",
-    "list_resources",
-    "list_objects",
-    "payload_decode",
-    "sim_topk_bruteforce",
-    "emb_label_centroids",
-    "text_token_stats",
-    "text_quality_score",
-    "dedup_clusters",
-    "pipeline_keep_list",
+    "sim_ann_ivf_pq",
+    # --- single green driver round so far (first rows in r6) ---
     "sim_ann_ivf",
-    # sim_ann_ivf doubles as changed-this-round: it now probes every
-    # cell (nprobe = nlist ⇒ exact) and carries a full DuckDB oracle —
-    # the registry's former only rows-only row is now hash-checkable.
-    # dedup_clusters / pipeline_keep_list were the r5-ADVICE gap (their
-    # execution changed in r5 but they sat beyond the window).
-    # --- never driver-checked: the third TPC-H tranche (queued from
-    # r5 on strict full-gate evidence) and the two r6 additions ---
     "q9_product_type_profit",
     "q12_priority_by_lateness",
     "q16_supplier_variety",
-    "q21_waiting_supplier",
     "dedup_semantic",
     "stream_heavy_hitters_replay",
-    # --- changed in r6 (persist materialization / numpy probe path /
-    # shared memos), so they keep their window slot for a fresh row ---
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_lsh",
-    "sim_ann_ivf_clustered",
-    "sim_ann_ivf_pq",
-    "pipeline_curation_verdict",
-    # --- single green driver round so far (first rows in r5) ---
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
-    "doc_chunking",
-    "token_heavy_hitters",
-    "source_distinctive_tokens",
-    "text_pii_redact",
-    # ---- 50-entry window boundary: every query below was hash-green in
-    # the r5 driver window (CORRECTNESS_r05.json — the freshest row a
-    # query can have), sits out exactly one round under the alternation,
-    # and is re-verified by the committed full-registry self-check at
-    # both sf this round; tests/test_registry.py pins all of this.
+    # --- last driver row r5 (sat out r6): 32 queries rotate back in ---
     "text_langid",
     "text_fingerprint",
     "top3_orders_per_customer",
@@ -174,18 +133,50 @@ GATE_ORDER = [
     "event_gaps_lag",
     "resource_latest_state",
     "offset_for_timestamp",
-    # NEW_QUEUED_R7: landed after the r6 window filled (50/50 with the
-    # rotation + the two r6 additions).  Beyond the window THIS round on
-    # the strength of the committed strict full-gate artifacts
-    # (CORRECTNESS_FULL_r06*.json, regenerated to include them); they
-    # rotate INTO the driver window in r7 — the registry test pins both
-    # facts (same mechanism the r5→r6 TPC-H tranche used).
-    "chunk_dedup",
-    "text_unigram_logprob",
-    "vocab_coverage",
-    "ngram_counts",
-    "tfidf_topk_per_doc",
-    "emb_covariance",
+    # ---- 50-entry window boundary: every query below was hash-green in
+    # the r6 driver window (CORRECTNESS_r06.json — the freshest row a
+    # query can have), sits out exactly one round under the alternation,
+    # and is re-verified by the committed full-registry self-check at
+    # both sf this round; tests/test_registry.py pins all of this.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q19_brand_quantity_revenue",
+    "asof_join_purchase_click",
+    "dedup_exact",
+    "fetch_range",
+    "describe_streams",
+    "list_ranges",
+    "trim_fetch",
+    "offset_accounting",
+    "list_resources",
+    "list_objects",
+    "payload_decode",
+    "sim_topk_bruteforce",
+    "emb_label_centroids",
+    "text_token_stats",
+    "text_quality_score",
+    "dedup_clusters",
+    "pipeline_keep_list",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_ivf_clustered",
+    "pipeline_curation_verdict",
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    "doc_chunking",
+    "token_heavy_hitters",
+    "source_distinctive_tokens",
+    "text_pii_redact",
 ]
 
 

@@ -879,3 +879,49 @@ def test_fused_pq_build_matches_standalone_encode(spark):
             for mi in range(m)
         )
         assert codes[r.vec_id] == exp
+
+
+def test_ivf_pq_build_serve_split(spark, workdir):
+    """The persisted-index serving path (ivf_pq_build → parquet codes
+    partitioned by cell + quantizer JSON → sim_ann_ivf_pq_served) must
+    return exactly what the inline build-and-query form returns — the
+    registered serving query shares the inline form's DuckDB oracle on
+    that equality.  Also pins the index layout (read back via
+    ivf_pq_load and the partition directories)."""
+    import os
+
+    from elastic_stream_spark.operators.similarity import (
+        IVF_CLUSTERED_NPROBE,
+        N_QUERIES,
+        ivf_pq_build,
+        ivf_pq_load,
+        ivf_pq_topk,
+        planted_centroids,
+        pq_twin_corpus,
+        train_pq,
+    )
+
+    corpus = pq_twin_corpus(spark, SF_DIR)
+    cents = planted_centroids(spark, SF_DIR)
+    books = train_pq(corpus)
+    idx = os.path.join(workdir, "ivfpq")
+    ivf_pq_build(spark, corpus, cents, books, idx)
+    # layout: quantizer round-trips, codes are cell-partitioned parquet
+    rc, rb = ivf_pq_load(idx)
+    assert rc == cents and rb == books
+    cell_dirs = [d for d in os.listdir(os.path.join(idx, "codes")) if d.startswith("cell=")]
+    assert len(cell_dirs) == len(cents)
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    codes = spark.read.parquet(os.path.join(idx, "codes")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "code"
+    )
+    served = ivf_pq_topk(
+        corpus, queries, cents, IVF_CLUSTERED_NPROBE, books, codes=codes
+    ).collect()
+    inline = ivf_pq_topk(
+        corpus, queries, cents, IVF_CLUSTERED_NPROBE, books
+    ).collect()
+    as_map = lambda rows: {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in rows}
+    assert as_map(served) == as_map(inline)

@@ -1,7 +1,7 @@
 """Gate-registry invariants: the driver records correctness rows for the
 first 50 registry entries only, so the order is load-bearing.
 
-Round-6 policy (operators/__init__.py GATE_ORDER): the registry (88
+Round-7 policy (operators/__init__.py GATE_ORDER): the registry (89
 queries) exceeds the 50-row window, so the schedule ALTERNATES — a query
 may sit beyond the window only if it was hash-green in the immediately
 preceding driver window; changed / never-checked queries always occupy a
@@ -15,45 +15,27 @@ import os
 
 from elastic_stream_spark.operators import GATE_ORDER, all_oracles, all_queries
 
-# Changed in round 6 (eager-persist materialization of the dedup-family
-# intermediates, numpy probe path for IVF/PQ, exact exhaustive-probe
-# sim_ann_ivf with its new oracle, session-memo re-keying) — each needs
-# a fresh driver row, so each must sit inside the window.
-# dedup_clusters / pipeline_keep_list close the r5 ADVICE gap: their
-# execution changed in r5 (session memos) without a fresh driver row.
-CHANGED_R6 = {
-    "sim_ann_ivf",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "sim_ann_ivf_clustered",
-    "sim_ann_ivf_pq",
-    "pipeline_curation_verdict",
-    "dedup_clusters",
-    "pipeline_keep_list",
-}
-
-# New in round 6 — never driver-checked, so each must sit inside the
-# window until it accumulates a green round.
-NEW_R6 = {
-    "dedup_semantic",
-    "stream_heavy_hitters_replay",
-}
-
-# Never driver-checked before r6: the third TPC-H tranche, queued from
-# r5 beyond the then-full window on strict full-gate evidence.
-QUEUED_FROM_R5 = {
-    "q9_product_type_profit",
-    "q12_priority_by_lateness",
-    "q16_supplier_variety",
+# Changed in round 7 — each needs a fresh driver row, so each must sit
+# inside the window: q21 swapped its double-countDistinct profile for a
+# pair-level pre-aggregation (Expand removed); the KV store was sharded
+# (kv_range_scan reads through the new manifest layout); ivf_pq_topk was
+# refactored for the build/serve split (sim_ann_ivf_pq shares the path).
+CHANGED_R7 = {
     "q21_waiting_supplier",
+    "kv_range_scan",
+    "sim_ann_ivf_pq",
 }
 
-# Landed after the r6 window filled: beyond the window THIS round on the
-# strength of the committed strict full-gate artifacts (regenerated to
-# include them), required to rotate INTO the window in r7.
-NEW_QUEUED_R7 = {
+# New in round 7 — never driver-checked, so it must sit inside the
+# window until it accumulates a green round.
+NEW_R7 = {
+    "sim_ann_ivf_pq_served",
+}
+
+# Never driver-checked before r7: the six r6-late corpus-prep queries,
+# queued from r6 beyond the then-full window on strict full-gate
+# evidence (the promised NEW_QUEUED_R7 rotation — r6 VERDICT item 1).
+QUEUED_FROM_R6 = {
     "chunk_dedup",
     "text_unigram_logprob",
     "vocab_coverage",
@@ -62,13 +44,27 @@ NEW_QUEUED_R7 = {
     "emb_covariance",
 }
 
+# First (and only) driver rows in r6 — kept inside the window for a
+# second consecutive green round before they start alternating.
+SINGLE_GREEN_R6 = {
+    "sim_ann_ivf",
+    "q9_product_type_profit",
+    "q12_priority_by_lateness",
+    "q16_supplier_variety",
+    "dedup_semantic",
+    "stream_heavy_hitters_replay",
+}
+
+
+def _load(artifact: str) -> dict:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, artifact)) as f:
+        return json.load(f)
+
 
 def _greens(artifact: str) -> set[str]:
     """Queries hash-green in a committed driver artifact."""
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, artifact)) as f:
-        rows = json.load(f)
-    return {n for n, row in rows.items() if row.get("hash_match")}
+    return {n for n, row in _load(artifact).items() if row.get("hash_match")}
 
 
 def test_registry_matches_gate_order():
@@ -80,60 +76,42 @@ def test_registry_matches_gate_order():
 def test_changed_and_new_queries_inside_window():
     names = list(all_queries())
     window = set(names[:50])
-    assert CHANGED_R6 <= window
-    assert NEW_R6 <= window
-    assert QUEUED_FROM_R5 <= window
+    assert CHANGED_R7 <= window
+    assert NEW_R7 <= window
+    assert QUEUED_FROM_R6 <= window
+    assert SINGLE_GREEN_R6 <= window
 
 
 def test_stale_queries_rotated_into_window():
-    """Alternation: every query whose last driver row is r4 (it sat out
-    the r5 window) must be back inside the r6 window — no query's driver
+    """Alternation: every query whose last driver row is r5 (it sat out
+    the r6 window) must be back inside the r7 window — no query's driver
     row is ever more than two rounds old."""
     names = list(all_queries())
     window = set(names[:50])
-    r4 = _greens("CORRECTNESS_r04.json")
-    r5 = set(
-        json.load(
-            open(
-                os.path.join(
-                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "CORRECTNESS_r05.json",
-                )
-            )
-        )
-    )
-    stale = (r4 - r5) & set(names)
+    r5 = _greens("CORRECTNESS_r05.json")
+    r6 = set(_load("CORRECTNESS_r06.json"))
+    stale = (r5 - r6) & set(names)
     missing = stale - window
-    assert not missing, f"r4-stale queries left beyond the window: {missing}"
+    assert not missing, f"r5-stale queries left beyond the window: {missing}"
 
 
 def test_beyond_window_queries_were_green_last_round():
     """A query may sit beyond the window only if it was hash-green in
     the immediately preceding driver window — the freshest row a
-    rotated-out query can have — except the NEW_QUEUED_R7 tranche, which
-    instead must be hash-green in BOTH committed strict full-gate
-    artifacts (its driver exposure is scheduled for the r7 window)."""
+    rotated-out query can have."""
     names = list(all_queries())
     beyond = names[50:]
-    r5_green = _greens("CORRECTNESS_r05.json")
-    full_green = _greens("CORRECTNESS_FULL_r06.json") & _greens(
-        "CORRECTNESS_FULL_r06_sf01.json"
-    )
-    stragglers = [
-        n
-        for n in beyond
-        if (n not in full_green if n in NEW_QUEUED_R7 else n not in r5_green)
-    ]
+    r6_green = _greens("CORRECTNESS_r06.json")
+    stragglers = [n for n in beyond if n not in r6_green]
     assert not stragglers, (
-        f"beyond-window queries without required green evidence: {stragglers}"
+        f"beyond-window queries without an r6-green driver row: {stragglers}"
     )
-    assert NEW_QUEUED_R7 <= set(beyond)
 
 
 def test_every_query_has_an_oracle():
-    """Since r6 every registry entry is hash-checkable: sim_ann_ivf —
+    """Since r6 every registry entry is hash-checkable (sim_ann_ivf —
     the former only rows-only row — probes every cell and carries the
-    exact top-k oracle."""
+    exact top-k oracle; the r7 serving form shares sim_ann_ivf_pq's)."""
     qs = all_queries()
     oracles = all_oracles()
     no_oracle = {n for n in qs if n not in oracles}
