@@ -205,8 +205,8 @@ def _bulk_throughput_bench(spark) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from elastic_stream_spark.operators import all_queries
+    from elastic_stream_spark.functions.materialize import unpersist_materialized
     from elastic_stream_spark.session import get_spark
-from elastic_stream_spark.functions.materialize import unpersist_materialized
     from elastic_stream_spark.sources.envelope import TABLES, load_table
     from elastic_stream_spark.sources.materialize import get_engine
 
@@ -231,6 +231,7 @@ from elastic_stream_spark.functions.materialize import unpersist_materialized
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     runs_taken: dict[str, int] = {}
+    raw_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         samples: list[float] = []
@@ -261,6 +262,14 @@ from elastic_stream_spark.functions.materialize import unpersist_materialized
         timings[name] = round(best, 3)
         spreads[name] = round(max(samples) / best, 2) if best > 0 else 1.0
         runs_taken[name] = len(samples)
+        # raw per-run samples IN RUN ORDER: a query whose first run pays
+        # a one-time cost (session memo build — dedup_clusters /
+        # pipeline_keep_list build the pair-set/CC materialization on
+        # first touch; sim_ann_ivf_pq_served builds its index) shows a
+        # cold-first/warm-rest pattern here, distinguishing an honest
+        # build/serve split from a host I/O stall (which hits a random
+        # sample).  Written to BENCH_LOCAL.json only (truncation-safe).
+        raw_samples[name] = [round(s, 3) for s in samples]
         print(
             f"# {name}: {timings[name]}s (spread x{spreads[name]} over "
             f"{len(samples)} runs, {rows} rows)",
@@ -296,7 +305,7 @@ from elastic_stream_spark.functions.materialize import unpersist_materialized
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
         "w",
     ) as f:
-        json.dump(payload, f, indent=1)
+        json.dump({**payload, "samples_in_run_order": raw_samples}, f, indent=1)
         f.write("\n")
     print(json.dumps(payload), flush=True)
     spark.stop()

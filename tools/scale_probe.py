@@ -350,6 +350,14 @@ def main() -> None:
     emb_lines = _emb_lsh_probe(spark, base)
     lines += emb_lines
 
+    # ---- committed extension sections (deep-dive measurements produced
+    # by their own tools — tools/pairgen_decade.py — live in
+    # SCALE.extra.md so a SCALE.md regeneration never loses them)
+    extra_path = os.path.join(os.path.dirname(out_md) or ".", "SCALE.extra.md")
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            lines += [f.read()]
+
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_md}", file=sys.stderr)
