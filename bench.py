@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_substring",
+    "source_ngram_overlap",
     "dedup_clusters",
     "dedup_embedding_lsh",
     "pipeline_keep_list",

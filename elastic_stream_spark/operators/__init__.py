@@ -75,9 +75,13 @@ def _modules():
 # full-registry self-check (tools/compare.py → CORRECTNESS_FULL_r{N}.json,
 # both sf) covering every query every round.
 GATE_ORDER = [
-    # --- never driver-checked: the six r6-late corpus-prep queries
-    # (queued from r6 on strict full-gate evidence — the promised
-    # NEW_QUEUED_R7 rotation) and the r7 build/serve ANN addition ---
+    # --- never driver-checked: the two r7 additions (substring-level
+    # dedup and the cross-source contamination matrix), the six r6-late
+    # corpus-prep queries (queued from r6 on strict full-gate evidence —
+    # the promised NEW_QUEUED_R7 rotation) and the r7 build/serve ANN
+    # addition ---
+    "dedup_substring",
+    "source_ngram_overlap",
     "chunk_dedup",
     "text_unigram_logprob",
     "vocab_coverage",
@@ -98,8 +102,6 @@ GATE_ORDER = [
     "q16_supplier_variety",
     "dedup_semantic",
     "stream_heavy_hitters_replay",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_lsh",
     # --- last driver row r5 (sat out r6): 32 queries rotate back in ---
     "text_langid",
     "text_fingerprint",
@@ -138,6 +140,11 @@ GATE_ORDER = [
     # query can have), sits out exactly one round under the alternation,
     # and is re-verified by the committed full-registry self-check at
     # both sf this round; tests/test_registry.py pins all of this.
+    # (dedup_ngram_jaccard / dedup_embedding_lsh were displaced from the
+    # window by the two never-checked r7 additions — both r6-green, so
+    # the displacement is policy-clean.)
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",

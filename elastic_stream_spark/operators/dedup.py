@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from elastic_stream_spark.functions.materialize import materialize
 from elastic_stream_spark.functions.textfns import bow_fingerprint, shingles
@@ -45,6 +46,8 @@ SHINGLE_DF_CAP = 1000  # inverted-index ceiling: drop shingles hotter than this
 MINHASH_K = 16  # 8 bands × 2 rows
 LSH_BANDS, LSH_ROWS = 8, 2
 EMB_THRESHOLD = 0.45  # fixture-calibrated (see module docstring)
+SUBSTR_K = 30  # duplicated-span gram width (chars); spans ≥ K are detected
+SUBSTR_MIN_DOCS = 2  # a gram must appear in ≥ this many distinct docs
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,6 +114,70 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .select("fp", "keep_doc_id", "n_docs")
         .orderBy("keep_doc_id")
+    )
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): maximal character spans that appear in
+    ≥ 2 *distinct* documents, detected via stride-1 ``SUBSTR_K``-char gram
+    fingerprints and merged per-doc with a gaps-and-islands window.  This is
+    the span-granular member of the dedup family — exact dedup drops whole
+    documents, chunk_dedup drops fixed chunks; this finds the *duplicated
+    region itself* (any shared span of length ≥ SUBSTR_K is covered by at
+    least one shared aligned gram, so detection is exact for such spans).
+
+    100 TB shape: the stride-1 explode is O(total corpus chars) rows — the
+    same asymptotic work as the reference algorithm's suffix array, as one
+    map-only higher-order transform (no text column carried past the
+    explode).  The duplicated-gram filter is ONE hash aggregation on the
+    gram (map-side combinable count-distinct over doc_id); the hit join is
+    an equi-join between two gram-keyed children of the same scan (gram-
+    partitioned, never broadcast — the dup-gram table is corpus-sized at
+    scale).  The islands window partitions by doc_id, so per-key state is
+    bounded by a single document's length.  At scale the shuffle key would
+    be ``xxhash64(gram)`` (8 bytes vs K chars); the gate groups by the gram
+    itself so the DuckDB oracle is textually identical and collision-free.
+    """
+    docs = _docs(spark, sf_dir).where(F.length("text") >= SUBSTR_K)
+    # materialized: the stride-1 transform is an interpreted higher-order
+    # expression and both the dup-filter and the hit-join branch read it
+    # (see _doc_shingles for the measured recompute/serialization cost)
+    grams = materialize(
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, length(text) - {SUBSTR_K}),"
+                    f" i -> substring(text, i + 1, {SUBSTR_K}))"
+                )
+            ).alias("i", "gram"),
+        )
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= SUBSTR_MIN_DOCS)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = hits.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(SUBSTR_K)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .orderBy("doc_id", "span_start")
     )
 
 
@@ -404,6 +471,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_substring": dedup_substring,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -487,6 +555,30 @@ ORACLES = {
         SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_docs
         FROM fp GROUP BY fp HAVING count(*) > 1
         ORDER BY keep_doc_id
+    """,
+    "dedup_substring": f"""
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, length(text) - {SUBSTR_K})) AS i
+          FROM documents WHERE length(text) >= {SUBSTR_K}
+        ), g AS (
+          SELECT doc_id, i, substring(text, i + 1, {SUBSTR_K}) AS gram FROM pos
+        ), dup AS (
+          SELECT gram FROM g
+          GROUP BY gram HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}
+        ), hits AS (
+          SELECT doc_id, i FROM g JOIN dup USING (gram)
+        ), runs AS (
+          SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM hits
+        )
+        SELECT doc_id,
+               CAST(min(i) AS BIGINT) AS span_start,
+               CAST(max(i) + {SUBSTR_K} AS BIGINT) AS span_end,
+               CAST(max(i) + {SUBSTR_K} - min(i) AS BIGINT) AS span_len
+        FROM runs GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start
     """,
     "dedup_ngram_jaccard": _CAPPED_JACCARD_ORACLE,
     # LSH-verified output provably equals the brute-force pair set on this

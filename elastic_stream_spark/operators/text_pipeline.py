@@ -16,13 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from elastic_stream_spark.functions.textfns import tokens
+from elastic_stream_spark.functions.textfns import shingles, tokens
 from elastic_stream_spark.sources.envelope import load_table_balanced
 
 CHUNK_CHARS = 200  # chunk window size
 CHUNK_STRIDE = 150  # start-to-start distance (50-char overlap)
 HEAVY_K = 20
 DISTINCT_TOP = 5
+OVERLAP_N = 3  # word-shingle width for the cross-source contamination matrix
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,6 +320,55 @@ def tfidf_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of word-``OVERLAP_N``-gram shingles they share, plus containment =
+    shared / min(|a|, |b|) — the per-pair generalization of train/test
+    decontamination (curation.decontaminate_ngrams) used to audit corpus
+    mixing before training (near-1 containment ⇒ one slice is inside the
+    other; the mixture double-counts it).
+
+    100 TB shape: one explode → distinct (source, shingle) — ONE hash
+    aggregation over the corpus.  The pair join is an equi-join of that
+    table with itself ON shingle: candidates ∝ Σ_g s_g², where s_g ≤
+    |sources| (thousands, not documents) — never doc² and never a corpus
+    broadcast.  Per-source sizes (|sources| rows) broadcast to the verify.
+    """
+    d = _docs(spark, sf_dir)
+    sg = (
+        d.select("source", F.explode(shingles("text", OVERLAP_N)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sg.alias("a"), sg.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    na = F.broadcast(sizes).alias("na")
+    nb = F.broadcast(sizes).alias("nb")
+    return (
+        pairs.join(na, F.col("source_a") == F.col("na.source"))
+        .join(nb, F.col("source_b") == F.col("nb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles")
+                / F.least(F.col("na.n"), F.col("nb.n")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 QUERIES = {
     "doc_chunking": doc_chunking,
     "token_heavy_hitters": token_heavy_hitters,
@@ -328,9 +378,35 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "ngram_counts": ngram_counts,
     "tfidf_topk_per_doc": tfidf_topk_per_doc,
+    "source_ngram_overlap": source_ngram_overlap,
 }
 
 ORACLES = {
+    "source_ngram_overlap": f"""
+        WITH toks AS (
+          SELECT source, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT source, shingle FROM (
+            SELECT source, unnest(list_distinct(list_transform(
+                     generate_series(1, len(t) - {OVERLAP_N - 1}),
+                     i -> array_to_string(t[i:i+{OVERLAP_N - 1}], ' ')))) AS shingle
+            FROM toks WHERE len(t) >= {OVERLAP_N}
+          )
+        ), sizes AS (
+          SELECT source, count(*) AS n FROM sh GROUP BY source
+        ), pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS shared_shingles
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY source_a, source_b
+        )
+        SELECT source_a, source_b, shared_shingles,
+               round(shared_shingles * 1.0 / least(na.n, nb.n), 6) AS containment
+        FROM pairs
+        JOIN sizes na ON source_a = na.source
+        JOIN sizes nb ON source_b = nb.source
+        ORDER BY source_a, source_b
+    """,
     "doc_chunking": f"""
         WITH chunks AS (
           SELECT doc_id, unnest(generate_series(

@@ -222,6 +222,79 @@ def test_chunk_dedup_against_local_recompute(spark):
     assert expected, "fixture contains no duplicated chunks"
 
 
+def test_substring_dedup_against_local_recompute(spark):
+    """Span-level dedup must agree with a pure-Python recompute from the
+    raw fixture text: same duplicated-gram set, same gaps-and-islands
+    merge, independently implemented with dicts and sets."""
+    from collections import defaultdict
+
+    from elastic_stream_spark.operators.dedup import SUBSTR_K, dedup_substring
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    gram_docs: dict[str, set] = defaultdict(set)
+    positions: dict = defaultdict(list)
+    for doc_id, text in docs.items():
+        for i in range(len(text) - SUBSTR_K + 1):
+            g = text[i : i + SUBSTR_K]
+            gram_docs[g].add(doc_id)
+            positions[doc_id].append((i, g))
+    expected = []
+    for doc_id in docs:
+        hit = sorted(i for i, g in positions[doc_id] if len(gram_docs[g]) >= 2)
+        run_start = None
+        prev = None
+        for i in hit + [None]:
+            if run_start is None:
+                run_start = i
+            elif i is None or i != prev + 1:
+                expected.append((doc_id, run_start, prev + SUBSTR_K))
+                run_start = i
+            prev = i
+    got = [
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup_substring(spark, SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+    assert expected, "fixture contains no cross-doc duplicated spans"
+    # every reported span is at least one gram wide
+    for _, lo, hi in got:
+        assert hi - lo >= SUBSTR_K
+
+
+def test_source_overlap_against_local_recompute(spark):
+    """Contamination matrix vs a Python set recompute with the same
+    tokenizer (lower + single-space split, distinct word 3-grams)."""
+    from collections import defaultdict
+
+    from elastic_stream_spark.operators.text_pipeline import (
+        OVERLAP_N,
+        source_ngram_overlap,
+    )
+
+    by_source: dict[str, set] = defaultdict(set)
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        toks = r.text.lower().split(" ")
+        for i in range(len(toks) - OVERLAP_N + 1):
+            by_source[r.source].add(" ".join(toks[i : i + OVERLAP_N]))
+    sources = sorted(by_source)
+    expected = {}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            shared = len(by_source[a] & by_source[b])
+            if shared:
+                cont = round(shared / min(len(by_source[a]), len(by_source[b])), 6)
+                expected[(a, b)] = (shared, cont)
+    got = {
+        (r.source_a, r.source_b): (r.shared_shingles, round(r.containment, 6))
+        for r in source_ngram_overlap(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected, "fixture contains no cross-source shingle overlap"
+
+
 def test_unigram_logprob_properties(spark):
     """Unigram LM scores: strictly negative (no token covers the whole
     corpus), bounded below by ln(1/N), and a hand-recomputed document

@@ -67,10 +67,17 @@ def test_lsh_and_decontamination_have_no_product_joins(spark):
     key: a cartesian or broadcast-nested-loop product anywhere means the
     plan is quadratic in corpus size."""
     from elastic_stream_spark.operators.curation import decontaminate_ngrams
-    from elastic_stream_spark.operators.dedup import dedup_minhash_lsh
+    from elastic_stream_spark.operators.dedup import dedup_minhash_lsh, dedup_substring
     from elastic_stream_spark.operators.similarity import dedup_embedding_lsh
+    from elastic_stream_spark.operators.text_pipeline import source_ngram_overlap
 
-    for q in (dedup_minhash_lsh, dedup_embedding_lsh, decontaminate_ngrams):
+    for q in (
+        dedup_minhash_lsh,
+        dedup_embedding_lsh,
+        decontaminate_ngrams,
+        dedup_substring,
+        source_ngram_overlap,
+    ):
         plan = plan_of(q(spark, SF_DIR))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__

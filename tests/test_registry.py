@@ -1,7 +1,7 @@
 """Gate-registry invariants: the driver records correctness rows for the
 first 50 registry entries only, so the order is load-bearing.
 
-Round-7 policy (operators/__init__.py GATE_ORDER): the registry (89
+Round-7 policy (operators/__init__.py GATE_ORDER): the registry (91
 queries) exceeds the 50-row window, so the schedule ALTERNATES — a query
 may sit beyond the window only if it was hash-green in the immediately
 preceding driver window; changed / never-checked queries always occupy a
@@ -26,10 +26,12 @@ CHANGED_R7 = {
     "sim_ann_ivf_pq",
 }
 
-# New in round 7 — never driver-checked, so it must sit inside the
+# New in round 7 — never driver-checked, so each must sit inside the
 # window until it accumulates a green round.
 NEW_R7 = {
     "sim_ann_ivf_pq_served",
+    "dedup_substring",
+    "source_ngram_overlap",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,
