@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_substring",
+    "dedup_incremental",
     "source_ngram_overlap",
     "dedup_clusters",
     "dedup_embedding_lsh",

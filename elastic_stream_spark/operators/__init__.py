@@ -81,6 +81,7 @@ GATE_ORDER = [
     # the promised NEW_QUEUED_R7 rotation) and the r7 build/serve ANN
     # addition ---
     "dedup_substring",
+    "dedup_incremental",
     "source_ngram_overlap",
     "chunk_dedup",
     "text_unigram_logprob",
@@ -95,8 +96,10 @@ GATE_ORDER = [
     "q21_waiting_supplier",
     "kv_range_scan",
     "sim_ann_ivf_pq",
-    # --- single green driver round so far (first rows in r6) ---
-    "sim_ann_ivf",
+    # --- single green driver round so far (first rows in r6); sim_ann_ivf
+    # was displaced below the boundary by the third r7 addition — it is
+    # r6-green (policy-clean) and its full IVF machinery stays in-window
+    # via sim_ann_ivf_pq / sim_ann_ivf_pq_served ---
     "q9_product_type_profit",
     "q12_priority_by_lateness",
     "q16_supplier_variety",
@@ -145,6 +148,7 @@ GATE_ORDER = [
     # the displacement is policy-clean.)
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
+    "sim_ann_ivf",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",

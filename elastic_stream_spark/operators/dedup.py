@@ -117,6 +117,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCREMENTAL_MOD = 4  # docs with doc_id % 4 == 3 play the incoming batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: flag documents of an incoming batch
+    whose content fingerprint already exists in the standing corpus, with
+    the corpus keeper they collide with.  The fixture splits ``documents``
+    deterministically (``doc_id % 4 == 3`` = incoming, rest = corpus); in
+    production the two sides are yesterday's corpus and today's crawl.
+
+    100 TB shape: the corpus side aggregates to one row per fingerprint
+    (min doc_id keeper — map-side combinable), then the batch joins it
+    fp-partitioned — an equi-join between two hash-keyed children, never a
+    broadcast of the corpus.  This is the O(new + corpus) alternative to
+    re-running full-corpus dedup on every ingest."""
+    docs = _docs(spark, sf_dir).withColumn("fp", bow_fingerprint("text"))
+    incoming = docs.where(F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_MOD - 1)
+    corpus = (
+        docs.where(F.col("doc_id") % INCREMENTAL_MOD != INCREMENTAL_MOD - 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("corpus_keep_doc_id"))
+    )
+    return (
+        incoming.join(corpus, "fp")
+        .select(
+            F.col("doc_id").alias("incoming_doc_id"),
+            "corpus_keep_doc_id",
+            "fp",
+        )
+        .orderBy("incoming_doc_id")
+    )
+
+
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better"): maximal character spans that appear in
@@ -139,11 +172,18 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     be ``xxhash64(gram)`` (8 bytes vs K chars); the gate groups by the gram
     itself so the DuckDB oracle is textually identical and collision-free.
     """
+    grams = _substring_grams(spark, sf_dir)
+    return _substring_spans(grams)
+
+
+def _substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, gram) stride-1 ``SUBSTR_K``-char gram index.
+
+    Materialized: the stride-1 transform is an interpreted higher-order
+    expression and both the dup-filter and the hit-join branch read it
+    (see _doc_shingles for the measured recompute/serialization cost)."""
     docs = _docs(spark, sf_dir).where(F.length("text") >= SUBSTR_K)
-    # materialized: the stride-1 transform is an interpreted higher-order
-    # expression and both the dup-filter and the hit-join branch read it
-    # (see _doc_shingles for the measured recompute/serialization cost)
-    grams = materialize(
+    return materialize(
         docs.select(
             "doc_id",
             F.posexplode(
@@ -154,6 +194,12 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("i", "gram"),
         )
     )
+
+
+def _substring_spans(grams: DataFrame) -> DataFrame:
+    """Duplicated-span extraction over a (doc_id, i, gram) index: one
+    distinct-doc count per gram, gram-partitioned hit join, per-doc
+    gaps-and-islands merge."""
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -471,6 +517,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_substring": dedup_substring,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -555,6 +602,22 @@ ORACLES = {
         SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_docs
         FROM fp GROUP BY fp HAVING count(*) > 1
         ORDER BY keep_doc_id
+    """,
+    "dedup_incremental": f"""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(text), ' '))), ' ')) AS fp
+          FROM documents
+        ), corpus AS (
+          SELECT fp, min(doc_id) AS corpus_keep_doc_id
+          FROM fp WHERE doc_id % {INCREMENTAL_MOD} != {INCREMENTAL_MOD - 1}
+          GROUP BY fp
+        )
+        SELECT i.doc_id AS incoming_doc_id, c.corpus_keep_doc_id, i.fp
+        FROM fp i JOIN corpus c USING (fp)
+        WHERE i.doc_id % {INCREMENTAL_MOD} = {INCREMENTAL_MOD - 1}
+        ORDER BY incoming_doc_id
     """,
     "dedup_substring": f"""
         WITH pos AS (

@@ -264,6 +264,42 @@ def test_substring_dedup_against_local_recompute(spark):
         assert hi - lo >= SUBSTR_K
 
 
+def test_incremental_dedup_against_local_recompute(spark):
+    """Incremental dedup vs a Python recompute: every flagged incoming doc
+    collides with the corpus-side keeper of its fingerprint group."""
+    from elastic_stream_spark.operators.dedup import (
+        INCREMENTAL_MOD,
+        dedup_incremental,
+    )
+    from elastic_stream_spark.functions.textfns import bow_fingerprint  # noqa: F401
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+
+    def fp(text):
+        import hashlib
+
+        toks = sorted(set(text.lower().split(" ")))
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    corpus: dict[str, int] = {}
+    for r in rows:
+        if r.doc_id % INCREMENTAL_MOD != INCREMENTAL_MOD - 1:
+            f_ = fp(r.text)
+            corpus[f_] = min(corpus.get(f_, r.doc_id), r.doc_id)
+    expected = {
+        r.doc_id: corpus[fp(r.text)]
+        for r in rows
+        if r.doc_id % INCREMENTAL_MOD == INCREMENTAL_MOD - 1
+        and fp(r.text) in corpus
+    }
+    got = {
+        r.incoming_doc_id: r.corpus_keep_doc_id
+        for r in dedup_incremental(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected, "fixture has no incoming/corpus fingerprint collisions"
+
+
 def test_source_overlap_against_local_recompute(spark):
     """Contamination matrix vs a Python set recompute with the same
     tokenizer (lower + single-space split, distinct word 3-grams)."""
