@@ -89,6 +89,10 @@ HEADLINE = [
     # round 7: IVF-PQ build/serve split — first sample pays the one-time
     # index build, the best-of therefore measures the serving path
     "sim_ann_ivf_pq_served",
+    # round 7 late: per-source quota cap (WindowGroupLimit top-N) and
+    # the deterministic JL random projection (map-only codegen fold)
+    "source_cap_sample",
+    "emb_random_project",
 ]
 
 APPEND_PER_STREAM = 2_000

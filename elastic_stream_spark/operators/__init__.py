@@ -65,7 +65,7 @@ def _modules():
 # nothing is ever dark, only riding on the last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r7 rotation — the registry (89 queries) exceeds the 50-row window, so
+# r7 rotation — the registry (94 queries) exceeds the 50-row window, so
 # the steady-state schedule is an ALTERNATION: every query whose last
 # driver row is two rounds old (r5 — it sat out the r6 window) rotates
 # back IN, every query hash-green in the r6 window rotates OUT for one
@@ -146,6 +146,15 @@ GATE_ORDER = [
     # (dedup_ngram_jaccard / dedup_embedding_lsh were displaced from the
     # window by the two never-checked r7 additions — both r6-green, so
     # the displacement is policy-clean.)
+    # --- NEW_QUEUED_R8: r7-late additions (per-source quota cap and
+    # deterministic JL random projection) landed after the 50-row window
+    # was already fully claimed by never-checked/changed queries; they
+    # carry strict full-gate evidence this round
+    # (CORRECTNESS_FULL_r07*.json) and tests/test_registry.py pins their
+    # rotation into the r8 window — the same queue-then-rotate path the
+    # six r6-late corpus-prep queries took.
+    "source_cap_sample",
+    "emb_random_project",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

@@ -57,6 +57,7 @@ PHONE_RE = r"555-[0-9]{4}"
 # or one token is >30% of the document
 REP_DUP2_MAX = 0.2
 REP_TOPTOK_MAX = 0.3
+SOURCE_CAP = 15  # max documents any one source may contribute
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +313,30 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain quota step of a web-corpus
+    pipeline — e.g. C4 / RefinedWeb cap how much any one host may
+    contribute): keep the top ``SOURCE_CAP`` documents per source, ranked
+    by a deterministic priority (longest first, doc_id tiebreak).
+
+    Plan: ONE ``row_number`` window per source with the ``rk <= cap``
+    filter directly on top.  Spark's rank-limit optimization rewrites
+    this into a ``WindowGroupLimit`` — a map-side partial top-N per key
+    BEFORE the shuffle (asserted in tests/test_plans.py) — so per-key
+    sort state is O(cap) on every executor and a hot domain with 10⁹
+    pages shuffles only ``cap`` survivors per map partition, not its
+    whole row set.  That is the two-phase top-N a 1000-executor quota
+    job needs, obtained declaratively."""
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SOURCE_CAP)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "text_boilerplate": text_boilerplate,
@@ -319,6 +344,7 @@ QUERIES = {
     "pipeline_sample_mix": pipeline_sample_mix,
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
+    "source_cap_sample": source_cap_sample,
 }
 
 _NGRAMS_SQL = f"""
@@ -450,5 +476,15 @@ ORACLES = {
                (dup_2gram_frac > {REP_DUP2_MAX}
                 OR top_tok_frac > {REP_TOPTOK_MAX}) AS flagged
         FROM fr ORDER BY doc_id
+    """,
+    "source_cap_sample": f"""
+        SELECT source, doc_id, n_chars, rk FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents
+        )
+        WHERE rk <= {SOURCE_CAP}
+        ORDER BY source, rk
     """,
 }

