@@ -161,27 +161,33 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one shared aligned gram, so detection is exact for such spans).
 
     100 TB shape: the stride-1 explode is O(total corpus chars) rows — the
-    same asymptotic work as the reference algorithm's suffix array, as one
-    map-only higher-order transform (no text column carried past the
-    explode).  The duplicated-gram filter is ONE hash aggregation on the
-    gram (map-side combinable count-distinct over doc_id); the hit join is
-    an equi-join between two gram-keyed children of the same scan (gram-
-    partitioned, never broadcast — the dup-gram table is corpus-sized at
-    scale).  The islands window partitions by doc_id, so per-key state is
-    bounded by a single document's length.  At scale the shuffle key would
-    be ``xxhash64(gram)`` (8 bytes vs K chars); the gate groups by the gram
-    itself so the DuckDB oracle is textually identical and collision-free.
-    """
+    same asymptotic work as the reference algorithm's suffix array — and the
+    gram TEXT never leaves that map stage: each gram is folded to a 128-bit
+    key (two independent ``xxhash64`` lanes) before the persist, so the
+    index rows are four fixed-width integers (~32 B vs ~60 B with a 30-char
+    string).  The duplicated-gram test is then ONE shuffle: a window over
+    the hash key computing ``min(doc_id) != max(doc_id)`` (running
+    aggregates, O(1) state per key; fixed-width radix-sortable keys) —
+    replacing the previous aggregate + self-join shape that shuffled the
+    gram-sized table three times and went I/O-bound a decade up
+    (SCALE.extra.md: +1.46 at a 32-wide shuffle, +1.31 at 256 — measured,
+    then redesigned).  The islands window partitions by doc_id, so per-key
+    state is bounded by a single document's length.  A 128-bit collision
+    could only merge two gram groups (false span): P ≈ n²/2¹²⁹ — ~3e-13
+    even at 10¹³ corpus grams.  The DuckDB oracle keeps grouping by the
+    gram text itself (oracle clarity; identical output)."""
     grams = _substring_grams(spark, sf_dir)
     return _substring_spans(grams)
 
 
 def _substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, i, gram) stride-1 ``SUBSTR_K``-char gram index.
+    """(doc_id, i, h1, h2) stride-1 ``SUBSTR_K``-char gram index with the
+    gram folded to a 128-bit key in the same map stage (two ``xxhash64``
+    lanes — the second seeded by a prepended literal), so only fixed-width
+    integers are persisted and shuffled.
 
     Materialized: the stride-1 transform is an interpreted higher-order
-    expression and both the dup-filter and the hit-join branch read it
-    (see _doc_shingles for the measured recompute/serialization cost)."""
+    expression (see _doc_shingles for the measured recompute cost)."""
     docs = _docs(spark, sf_dir).where(F.length("text") >= SUBSTR_K)
     return materialize(
         docs.select(
@@ -192,21 +198,29 @@ def _substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" i -> substring(text, i + 1, {SUBSTR_K}))"
                 )
             ).alias("i", "gram"),
+        ).select(
+            "doc_id",
+            "i",
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64(F.lit("s2"), F.col("gram")).alias("h2"),
         )
     )
 
 
 def _substring_spans(grams: DataFrame) -> DataFrame:
-    """Duplicated-span extraction over a (doc_id, i, gram) index: one
-    distinct-doc count per gram, gram-partitioned hit join, per-doc
-    gaps-and-islands merge."""
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .where(F.col("n_docs") >= SUBSTR_MIN_DOCS)
-        .select("gram")
+    """Duplicated-span extraction over a (doc_id, i, h1, h2) index: ONE
+    gram-hash-partitioned window marks positions whose gram occurs in
+    ≥ 2 distinct docs (``min(doc_id) != max(doc_id)`` — running
+    aggregates, exactly the SUBSTR_MIN_DOCS = 2 distinct-docs test),
+    then a per-doc gaps-and-islands merge."""
+    assert SUBSTR_MIN_DOCS == 2, "min/max dup test encodes exactly 2"
+    wg = Window.partitionBy("h1", "h2")
+    hits = (
+        grams.withColumn("mn", F.min("doc_id").over(wg))
+        .withColumn("mx", F.max("doc_id").over(wg))
+        .where(F.col("mn") != F.col("mx"))
+        .select("doc_id", "i")
     )
-    hits = grams.join(dup, "gram").select("doc_id", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
     runs = hits.withColumn("grp", F.col("i") - F.row_number().over(w))
     return (

@@ -32,6 +32,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE pre-coalesce width: start every shuffle wide (8× cores by
+        # default) and let coalescePartitions collapse small exchanges
+        # back down — the partitions-follow-data discipline a real
+        # cluster applies, obtained adaptively.  Bounded benefit,
+        # honestly measured (SCALE.extra.md substring decade): widening
+        # 32 → 256 moved the dense span-extraction point only +1.46 →
+        # +1.31 — per-partition width was NOT the bottleneck there (the
+        # shuffled bytes were; fixed algorithmically by hashing the
+        # shuffle key).  Kept because right-sizing large shuffles while
+        # coalescing small ones is strictly better than a fixed width.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(cpus * 8)),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ---- python boundary: always Arrow, never per-row pickle ----
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
