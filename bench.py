@@ -93,6 +93,11 @@ HEADLINE = [
     # the deterministic JL random projection (map-only codegen fold)
     "source_cap_sample",
     "emb_random_project",
+    # round 7 late: deterministic split/shard assignment, per-source
+    # quality-quartile curriculum tiers, int8 quantization audit
+    "corpus_split_shards",
+    "quality_buckets",
+    "emb_quantize_int8",
 ]
 
 APPEND_PER_STREAM = 2_000

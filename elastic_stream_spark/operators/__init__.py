@@ -155,6 +155,9 @@ GATE_ORDER = [
     # six r6-late corpus-prep queries took.
     "source_cap_sample",
     "emb_random_project",
+    "corpus_split_shards",
+    "quality_buckets",
+    "emb_quantize_int8",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

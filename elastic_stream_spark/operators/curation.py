@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from elastic_stream_spark.operators.text import _STOP_SQL, quality_score_col
 from elastic_stream_spark.sources.envelope import load_table_balanced
 
 NGRAM_N = 5  # word n-gram width for decontamination
@@ -58,6 +59,10 @@ PHONE_RE = r"555-[0-9]{4}"
 REP_DUP2_MAX = 0.2
 REP_TOPTOK_MAX = 0.3
 SOURCE_CAP = 15  # max documents any one source may contribute
+# deterministic split thresholds on the first 16 bits of md5("split:"+id):
+# < 0x0ccc → val (~5%), < 0x1999 → test (~5% more), else train (~90%)
+SPLIT_VAL_HEX, SPLIT_TEST_HEX = "0ccc", "1999"
+N_QUALITY_BUCKETS = 4  # curriculum tiers per source (quality quartiles)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,6 +342,78 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + training-shard assignment —
+    the last step before a corpus is written out for a training run:
+    every document lands in a split (hash-gated, ~5% val / ~5% test /
+    ~90% train) and a shard (one md5 hex nibble → 16 shards) purely as a
+    function of its id, so the assignment is reproducible, independent
+    of data order, and identical in any engine.
+
+    Plan: the split/shard columns are a pure projection (one md5 per
+    row, no shuffle); the summary is ONE map-side-combinable groupBy on
+    (split, shard).  At 100 TB the production form of this operator is
+    ``df.write.partitionBy("split", "shard")`` over the same projection
+    — assignment cost stays map-only at any corpus size, and shard
+    counts stay balanced because the hash is uniform.  Contrast with
+    ``orderBy(rand())`` global shuffles: hash-sharding gives the same
+    training-order decorrelation with zero sort."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    prefix = F.substring(h, 1, 4)
+    split = (
+        F.when(prefix < SPLIT_VAL_HEX, F.lit("val"))
+        .when(prefix < SPLIT_TEST_HEX, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    return (
+        docs.select(
+            split.alias("split"),
+            F.substring(h, 5, 1).alias("shard"),
+            F.size(toks).alias("n_tokens"),
+        )
+        .groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum tiers: per-source quality quartiles (ntile over the
+    shared heuristic quality score, doc_id tiebreak) with each tier's
+    membership and score band — the bucketing a curriculum-ordered or
+    quality-weighted sampler consumes.
+
+    Plan: ONE ``ntile`` window partitioned by source (rank state is a
+    running counter; the per-partition sort spills), then a
+    map-side-combinable groupBy on (source, bucket).  Partitioning by
+    source keeps the window shard-parallel — the global-ntile variant
+    would serialize the corpus through one partition, so a production
+    run over a skewed mega-source would instead switch to fixed score
+    thresholds (quantile-sketch calibrated) and drop the sort entirely;
+    per-source quartiles are the semantics a per-domain curriculum
+    wants.  Tiebreak by doc_id makes the tier assignment total-ordered
+    ⇒ engine-portable."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("source", "doc_id", quality_score_col().alias("q"))
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(N_QUALITY_BUCKETS).over(w).cast("bigint"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_q"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "text_boilerplate": text_boilerplate,
@@ -345,6 +422,8 @@ QUERIES = {
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
     "source_cap_sample": source_cap_sample,
+    "corpus_split_shards": corpus_split_shards,
+    "quality_buckets": quality_buckets,
 }
 
 _NGRAMS_SQL = f"""
@@ -486,5 +565,50 @@ ORACLES = {
         )
         WHERE rk <= {SOURCE_CAP}
         ORDER BY source, rk
+    """,
+    "corpus_split_shards": f"""
+        WITH assigned AS (
+          SELECT CASE
+                   WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        < '{SPLIT_VAL_HEX}' THEN 'val'
+                   WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        < '{SPLIT_TEST_HEX}' THEN 'test'
+                   ELSE 'train'
+                 END AS split,
+                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 5, 1) AS shard,
+                 len(string_split(lower(text), ' ')) AS n_tokens
+          FROM documents
+        )
+        SELECT split, shard, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM assigned GROUP BY split, shard ORDER BY split, shard
+    """,
+    "quality_buckets": f"""
+        WITH per_doc AS (
+          SELECT source, doc_id,
+                 len(string_split(lower(text), ' ')) AS n_tok,
+                 len(list_filter(string_split(lower(text), ' '),
+                                 x -> x IN {_STOP_SQL})) AS stop_hits,
+                 (length(text) - len(string_split(lower(text), ' ')) + 1)
+                   * 1.0 / len(string_split(lower(text), ' ')) AS mean_len
+          FROM documents
+        ), scored AS (
+          SELECT source, doc_id,
+                 round(
+                   (CASE WHEN n_tok >= 30 THEN 0.4 ELSE 0.1 END)
+                 + (CASE WHEN stop_hits * 1.0 / n_tok >= 0.02
+                          AND stop_hits * 1.0 / n_tok <= 0.4 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 0.3 ELSE 0.0 END)
+                 , 4) AS q
+          FROM per_doc
+        ), tiered AS (
+          SELECT source, q,
+                 ntile({N_QUALITY_BUCKETS}) OVER (
+                   PARTITION BY source ORDER BY q, doc_id) AS bucket
+          FROM scored
+        )
+        SELECT source, bucket, count(*) AS n_docs, round(avg(q), 4) AS avg_q,
+               min(q) AS min_q, max(q) AS max_q
+        FROM tiered GROUP BY source, bucket ORDER BY source, bucket
     """,
 }

@@ -1098,6 +1098,62 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INT8_MAX = 127  # symmetric int8 quantization range
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit — the storage-compression step an
+    embedding pipeline applies before shipping vectors to a serving
+    index (4× smaller than float32; the faiss ``SQ8`` scheme): each
+    vector gets a symmetric per-vector scale ``max|x| / 127``, every
+    coordinate rounds to the nearest of 255 levels, and the operator
+    reports per-label reconstruction quality (mean relative L2 error,
+    worst absolute L2 error, mean scale).
+
+    Plan: quantize + dequantize + error are ONE map-only pass of array
+    expressions (``aggregate``/``transform`` fold entirely inside
+    whole-stage codegen — no Python, no explode, no shuffle), then a
+    map-side-combinable groupBy on label.  At 100 TB the production form
+    writes the int8 codes alongside this audit in the same single scan;
+    nothing here grows with corpus size except the linear scan itself.
+
+    Portability: rounding is ``floor(v + 0.5)`` in BOTH engines (no
+    engine-specific HALF_UP question); per-vector folds are sequential
+    left-to-right in both (Spark ``aggregate``, DuckDB ``list_sum`` over
+    the list order), so per-vector errors are bit-identical and the
+    cross-engine max() agrees exactly; 6-decimal rounding absorbs the
+    label-level avg() summation-order noise."""
+    emb = load_table_balanced(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scaled = emb.withColumn(
+        "sc",
+        F.expr("aggregate(e, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")
+        / F.lit(float(INT8_MAX)),
+    )
+    err2 = F.expr(
+        "aggregate(e, CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + pow(x - floor(x / sc + 0.5) * sc, 2))"
+    )
+    norm2 = F.expr("aggregate(e, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")
+    per_vec = scaled.select(
+        "label",
+        F.col("sc").alias("scale"),
+        F.sqrt(err2 / norm2).alias("rel_err"),
+        F.sqrt(err2).alias("l2_err"),
+    )
+    return (
+        per_vec.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("rel_err"), 6).alias("avg_rel_err"),
+            F.round(F.max("l2_err"), 6).alias("max_l2_err"),
+        )
+        .orderBy("label")
+    )
+
+
 RP_K = 16  # random-projection output dimensionality
 
 
@@ -1228,6 +1284,7 @@ QUERIES = {
     "emb_label_centroids": emb_label_centroids,
     "emb_covariance": emb_covariance,
     "emb_random_project": emb_random_project,
+    "emb_quantize_int8": emb_quantize_int8,
 }
 
 # Exact cosine top-5 on the raw embeddings table — the oracle for BOTH
@@ -1419,5 +1476,27 @@ ORACLES = {
         FROM long0 l JOIN signs s ON l.pos - 1 = s.i
         GROUP BY l.vec_id, s.j
         ORDER BY l.vec_id, out_dim
+    """,
+    "emb_quantize_int8": f"""
+        WITH v AS (
+          SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), s AS (
+          SELECT label, e,
+                 list_max(list_transform(e, x -> abs(x))) / {INT8_MAX} AS sc
+          FROM v
+        ), per_vec AS (
+          SELECT label, sc,
+                 sqrt(list_sum(list_transform(e,
+                     x -> pow(x - floor(x / sc + 0.5) * sc, 2)))
+                   / list_sum(list_transform(e, x -> x * x))) AS rel_err,
+                 sqrt(list_sum(list_transform(e,
+                     x -> pow(x - floor(x / sc + 0.5) * sc, 2)))) AS l2_err
+          FROM s
+        )
+        SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+               round(avg(sc), 6) AS avg_scale,
+               round(avg(rel_err), 6) AS avg_rel_err,
+               round(max(l2_err), 6) AS max_l2_err
+        FROM per_vec GROUP BY label ORDER BY label
     """,
 }

@@ -285,3 +285,41 @@ def test_random_project_is_map_only(spark):
     plan = plan_of(emb_random_project(spark, SF_DIR))
     assert "hashpartitioning" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_split_shards_is_projection_plus_one_agg(spark):
+    """corpus_split_shards: split/shard assignment must stay a pure
+    projection over the scan — no join, no window; the only hash
+    exchange is the (split, shard) aggregation with a partial_ map-side
+    combine below it."""
+    from elastic_stream_spark.operators.curation import corpus_split_shards
+
+    plan = plan_of(corpus_split_shards(spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_count" in plan
+
+
+def test_quantize_int8_is_map_only_fold(spark):
+    """emb_quantize_int8: the quantize/dequantize/error fold must not
+    explode the vectors or shuffle them — one scan, one label
+    aggregation (map-side combinable), no join/window/Generate."""
+    from elastic_stream_spark.operators.similarity import emb_quantize_int8
+
+    plan = plan_of(emb_quantize_int8(spark, SF_DIR))
+    assert "Generate" not in plan, "vector exploded — fold regressed"
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_avg" in plan
+
+
+def test_quality_buckets_single_source_window(spark):
+    """quality_buckets: ONE hash exchange total — the ntile window
+    partitions by source and the (source, bucket) groupBy's clustered
+    distribution is satisfied by that same partitioning (subset
+    property), so the tier summary adds no second shuffle."""
+    from elastic_stream_spark.operators.curation import quality_buckets
+
+    plan = plan_of(quality_buckets(spark, SF_DIR))
+    assert "ntile" in plan and "Join" not in plan
+    assert plan.count("hashpartitioning") == 1

@@ -43,6 +43,9 @@ NEW_R7 = {
 NEW_QUEUED_R8 = {
     "source_cap_sample",
     "emb_random_project",
+    "corpus_split_shards",
+    "quality_buckets",
+    "emb_quantize_int8",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,
@@ -124,10 +127,10 @@ def test_beyond_window_queries_were_green_last_round():
 
 
 def test_queued_r8_sit_at_window_boundary():
-    """The two r7-late additions must head the beyond-window region (so
-    the r8 rotation is a pure block swap) until they earn a driver row."""
+    """The r7-late additions must head the beyond-window region (so the
+    r8 rotation is a pure block swap) until they earn a driver row."""
     names = list(all_queries())
-    assert set(names[50:52]) == NEW_QUEUED_R8
+    assert set(names[50 : 50 + len(NEW_QUEUED_R8)]) == NEW_QUEUED_R8
 
 
 def test_every_query_has_an_oracle():
