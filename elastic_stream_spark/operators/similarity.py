@@ -743,6 +743,31 @@ def ivf_pq_build(
     return index_dir
 
 
+def ivf_pq_append(spark: SparkSession, emb: DataFrame, index_dir: str) -> str:
+    """Incremental ingest into a persisted IVF-PQ index (faiss ``add``
+    on a trained index): encode the NEW batch with the index's frozen
+    quantizer (centroids + codebooks from ``quantizer.json``) and append
+    its (vec_id, cell, code) rows to the cell-partitioned codes parquet.
+
+    The quantizer is deliberately NOT retrained — that is the faiss
+    contract (train once on a representative sample, add forever), and
+    it is what makes ingest map-only: assignment + PQ encoding is one
+    Arrow pass over the new batch, the append touches only the cell
+    partitions the batch lands in, and serving reads stay partition-
+    pruned.  A streaming deployment runs exactly this function inside
+    ``foreachBatch`` — each micro-batch of new embeddings becomes one
+    appended ingest, visible to the next serving scan; callers own
+    vec_id uniqueness across batches (the stream's offset is the natural
+    id, as in streaming/sink.py)."""
+    import os as _os
+
+    centroids, books = ivf_pq_load(index_dir)
+    ivf_pq_encode_corpus(emb, centroids, books).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(_os.path.join(index_dir, "codes"))
+    return index_dir
+
+
 def ivf_pq_load(index_dir: str) -> tuple[list, list]:
     """(centroids, codebooks) from a persisted index (``read_index``)."""
     import json as _json

@@ -1036,6 +1036,51 @@ def test_ivf_pq_build_serve_split(spark, workdir):
     assert as_map(served) == as_map(inline)
 
 
+def test_ivf_pq_append_incremental_ingest(spark, workdir):
+    """ivf_pq_append (faiss ``add`` on a trained index): build the index
+    on half the corpus, append the other half with the frozen quantizer,
+    and serving over the appended index must equal serving over a
+    one-shot full build — the incremental-ingest path a foreachBatch
+    streaming deployment runs per micro-batch."""
+    import os
+
+    from elastic_stream_spark.operators.similarity import (
+        IVF_CLUSTERED_NPROBE,
+        N_QUERIES,
+        ivf_pq_append,
+        ivf_pq_build,
+        ivf_pq_topk,
+        planted_centroids,
+        pq_twin_corpus,
+        train_pq,
+    )
+
+    corpus = pq_twin_corpus(spark, SF_DIR)
+    cents = planted_centroids(spark, SF_DIR)
+    books = train_pq(corpus)
+    half = F.col("vec_id") % 2 == 0
+    idx = os.path.join(workdir, "ivfpq_incr")
+    ivf_pq_build(spark, corpus.where(half), cents, books, idx)
+    ivf_pq_append(spark, corpus.where(~half), idx)
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    codes = spark.read.parquet(os.path.join(idx, "codes")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "code"
+    )
+    appended = ivf_pq_topk(
+        corpus, queries, cents, IVF_CLUSTERED_NPROBE, books, codes=codes
+    ).collect()
+    oneshot = ivf_pq_topk(
+        corpus, queries, cents, IVF_CLUSTERED_NPROBE, books
+    ).collect()
+    as_map = lambda rows: {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in rows}
+    assert as_map(appended) == as_map(oneshot)
+    # appended rows land in the same cell partitions (no new layout)
+    n_codes = spark.read.parquet(os.path.join(idx, "codes")).count()
+    assert n_codes == corpus.count()
+
+
 def test_source_cap_sample_cap_rank_and_priority(spark):
     """Per-source quota: nobody exceeds SOURCE_CAP, ranks are contiguous
     from 1, and the kept set per source is exactly the top-cap docs by

@@ -86,6 +86,15 @@ PROBE = [
     "ngram_counts",
     "tfidf_topk_per_doc",
     "emb_covariance",
+    # round 7
+    "dedup_substring",
+    "dedup_incremental",
+    "source_ngram_overlap",
+    "source_cap_sample",
+    "emb_random_project",
+    "corpus_split_shards",
+    "quality_buckets",
+    "emb_quantize_int8",
 ]
 
 
