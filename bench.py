@@ -295,6 +295,21 @@ def main() -> None:
     print(f"# bulk: {bulk}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    # cold/warm split, made explicit (not just derivable from raw
+    # samples): a query whose FIRST run exceeds 2× its best while the
+    # rest sit tight is paying a one-time session construction (pair-set
+    # / CC-label memo build, resource-feed listing, persisted-index
+    # build) — a build-once/serve-many cost at scale, not run-to-run
+    # noise.  A genuinely noisy query (random sample slow) stays out of
+    # this map and is visible in spread_max_over_min instead.
+    cold_first_run = {
+        name: s[0]
+        for name, s in raw_samples.items()
+        if len(s) >= 2
+        and min(s) > 0
+        and s[0] / min(s) > 2.0
+        and (len(s) < 3 or max(s[1:]) / min(s[1:]) <= 2.0)
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # key order is load-bearing: the driver archives only the LAST 2000
     # chars of stdout, so the per-query medians — the artifact's primary
@@ -310,6 +325,7 @@ def main() -> None:
         "append": append,
         "bulk": bulk,
         "spread_max_over_min": spreads,
+        "cold_first_run": cold_first_run,
         "runs": runs_taken,
         "queries": timings,
     }
