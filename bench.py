@@ -98,6 +98,10 @@ HEADLINE = [
     "corpus_split_shards",
     "quality_buckets",
     "emb_quantize_int8",
+    # round 7 late: substring-scrub accounting (interval-union merge of
+    # duplicated spans) and temperature-based source mix weights
+    "substring_scrub_stats",
+    "mix_temperature_weights",
 ]
 
 APPEND_PER_STREAM = 2_000

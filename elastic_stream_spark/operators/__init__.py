@@ -158,6 +158,8 @@ GATE_ORDER = [
     "corpus_split_shards",
     "quality_buckets",
     "emb_quantize_int8",
+    "substring_scrub_stats",
+    "mix_temperature_weights",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

@@ -63,6 +63,7 @@ SOURCE_CAP = 15  # max documents any one source may contribute
 # < 0x0ccc → val (~5%), < 0x1999 → test (~5% more), else train (~90%)
 SPLIT_VAL_HEX, SPLIT_TEST_HEX = "0ccc", "1999"
 N_QUALITY_BUCKETS = 4  # curriculum tiers per source (quality quartiles)
+MIX_ALPHA = 0.3  # temperature exponent for source upsampling (mT5 / XLM-R)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,6 +415,50 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling weights (the multinomial
+    smoothing of mT5 / XLM-R), on TOKEN mass — the unit a training mix
+    is actually budgeted in: w_s ∝ p_s^α with α = MIX_ALPHA, i.e.
+    w_s = n_s^α / Σ_t n_t^α over per-source token counts — upsampling
+    small sources relative to their raw share.  Reports each source's
+    raw token share, smoothed weight and the resulting boost factor;
+    ``pipeline_sample_mix`` then executes such a target with its hash
+    gate.
+
+    Plan: ONE map-side-combinable token-sum per source, then a 1-row
+    global aggregate broadcast back over the per-source table — no
+    window over the source table, so a web-scale per-domain version
+    (10⁸ domains) still runs as two tiny shuffles with O(1) reducer
+    state.  The transcendental ``pow(n, α)`` agrees across engines to
+    ≤ 1 ulp; 6-decimal rounding absorbs it."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    per = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(toks).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    per = per.withColumn("na", F.pow("n_tokens", F.lit(MIX_ALPHA)))
+    tot = per.agg(
+        F.sum("na").alias("sum_na"), F.sum("n_tokens").alias("n_total")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_total"), 6).alias("p_raw"),
+            F.round(F.col("na") / F.col("sum_na"), 6).alias("weight"),
+            F.round(
+                (F.col("na") / F.col("sum_na"))
+                / (F.col("n_tokens") / F.col("n_total")),
+                4,
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "text_boilerplate": text_boilerplate,
@@ -424,6 +469,7 @@ QUERIES = {
     "source_cap_sample": source_cap_sample,
     "corpus_split_shards": corpus_split_shards,
     "quality_buckets": quality_buckets,
+    "mix_temperature_weights": mix_temperature_weights,
 }
 
 _NGRAMS_SQL = f"""
@@ -610,5 +656,23 @@ ORACLES = {
         SELECT source, bucket, count(*) AS n_docs, round(avg(q), 4) AS avg_q,
                min(q) AS min_q, max(q) AS max_q
         FROM tiered GROUP BY source, bucket ORDER BY source, bucket
+    """,
+    "mix_temperature_weights": f"""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ), t AS (
+          SELECT sum(pow(n_tokens, {MIX_ALPHA})) AS sum_na,
+                 sum(n_tokens) AS n_total
+          FROM per
+        )
+        SELECT source, n_tokens,
+               round(n_tokens * 1.0 / n_total, 6) AS p_raw,
+               round(pow(n_tokens, {MIX_ALPHA}) / sum_na, 6) AS weight,
+               round((pow(n_tokens, {MIX_ALPHA}) / sum_na)
+                     / (n_tokens * 1.0 / n_total), 4) AS boost
+        FROM per, t ORDER BY source
     """,
 }

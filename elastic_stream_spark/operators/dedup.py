@@ -241,6 +241,60 @@ def _substring_spans(grams: DataFrame) -> DataFrame:
     )
 
 
+def substring_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of substring dedup (Lee et al. 2022 *remove* the
+    duplicated spans, not the documents): per source, how many characters
+    substring-scrubbing would delete and what fraction of the corpus that
+    is — the before/after accounting a curation run reports.
+
+    Adjacent duplicated-gram islands can overlap in CHARACTER space
+    (island ends at ``i₁+K`` while the next starts at ``i₂ < i₁+K``), so
+    naive ``sum(span_len)`` double-counts; the spans first go through a
+    classic interval-union merge (running ``max(span_end)`` over the
+    doc's spans ordered by start; a span opens a new region iff it
+    starts past everything seen).
+
+    100 TB shape: the interval merge runs on the SPANS table (∝
+    duplicated regions, ≪ corpus) with two doc-partitioned windows —
+    per-key state is one running max / counter; the corpus join is a
+    doc-keyed equi-join; the per-source rollup is map-side combinable.
+    Nothing here revisits the gram index beyond ``dedup_substring``
+    itself."""
+    spans = dedup_substring(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    prev_end = F.max("span_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = spans.withColumn(
+        "new_iv",
+        F.when(F.col("span_start") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    grouped = opens.withColumn(
+        "iv", F.sum("new_iv").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = grouped.groupBy("doc_id", "iv").agg(
+        (F.max("span_end") - F.min("span_start")).alias("dup_chars")
+    )
+    per_doc = merged.groupBy("doc_id").agg(F.sum("dup_chars").alias("chars_dup"))
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("chars_dup").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.coalesce(F.sum("chars_dup"), F.lit(0))
+            .cast("bigint")
+            .alias("chars_duplicated"),
+            F.round(
+                F.coalesce(F.sum("chars_dup"), F.lit(0)) / F.sum("n_chars"), 6
+            ).alias("frac_duplicated"),
+        )
+        .orderBy("source")
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL near-dup pairs at word-3-gram Jaccard ≥ 0.8 via the inverted
     index, computed with map-side-combinable aggregation.
@@ -533,10 +587,35 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "dedup_substring": dedup_substring,
+    "substring_scrub_stats": substring_scrub_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
 }
+
+# Shared CTE chain for the substring family: stride-1 char grams →
+# duplicated grams (≥ SUBSTR_MIN_DOCS distinct docs) → per-doc hit
+# positions → gaps-and-islands run ids.  (The oracle groups by the gram
+# TEXT where the Spark plan shuffles a 128-bit hash of it — oracle
+# clarity; identical output.)
+_SUBSTR_RUNS_SQL = f"""
+  pos AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, length(text) - {SUBSTR_K})) AS i
+          FROM documents WHERE length(text) >= {SUBSTR_K}
+        ), g AS (
+          SELECT doc_id, i, substring(text, i + 1, {SUBSTR_K}) AS gram FROM pos
+        ), dup AS (
+          SELECT gram FROM g
+          GROUP BY gram HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}
+        ), hits AS (
+          SELECT doc_id, i FROM g JOIN dup USING (gram)
+        ), runs AS (
+          SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM hits
+        )
+"""
 
 _SHINGLES_SQL = f"""
   toks AS (
@@ -634,28 +713,46 @@ ORACLES = {
         ORDER BY incoming_doc_id
     """,
     "dedup_substring": f"""
-        WITH pos AS (
-          SELECT doc_id, text,
-                 unnest(generate_series(0, length(text) - {SUBSTR_K})) AS i
-          FROM documents WHERE length(text) >= {SUBSTR_K}
-        ), g AS (
-          SELECT doc_id, i, substring(text, i + 1, {SUBSTR_K}) AS gram FROM pos
-        ), dup AS (
-          SELECT gram FROM g
-          GROUP BY gram HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}
-        ), hits AS (
-          SELECT doc_id, i FROM g JOIN dup USING (gram)
-        ), runs AS (
-          SELECT doc_id, i,
-                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-          FROM hits
-        )
+        WITH {_SUBSTR_RUNS_SQL}
         SELECT doc_id,
                CAST(min(i) AS BIGINT) AS span_start,
                CAST(max(i) + {SUBSTR_K} AS BIGINT) AS span_end,
                CAST(max(i) + {SUBSTR_K} - min(i) AS BIGINT) AS span_len
         FROM runs GROUP BY doc_id, grp
         ORDER BY doc_id, span_start
+    """,
+    "substring_scrub_stats": f"""
+        WITH {_SUBSTR_RUNS_SQL}, spans AS (
+          SELECT doc_id, min(i) AS span_start,
+                 max(i) + {SUBSTR_K} AS span_end
+          FROM runs GROUP BY doc_id, grp
+        ), opens AS (
+          SELECT doc_id, span_start, span_end,
+                 CASE WHEN span_start > coalesce(max(span_end) OVER (
+                        PARTITION BY doc_id ORDER BY span_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS new_iv
+          FROM spans
+        ), ivg AS (
+          SELECT doc_id, span_start, span_end,
+                 sum(new_iv) OVER (PARTITION BY doc_id ORDER BY span_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iv
+          FROM opens
+        ), merged AS (
+          SELECT doc_id, iv, max(span_end) - min(span_start) AS dup_chars
+          FROM ivg GROUP BY doc_id, iv
+        ), per_doc AS (
+          SELECT doc_id, sum(dup_chars) AS chars_dup FROM merged GROUP BY doc_id
+        )
+        SELECT d.source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN p.chars_dup IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_affected,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+               CAST(coalesce(sum(p.chars_dup), 0) AS BIGINT) AS chars_duplicated,
+               round(coalesce(sum(p.chars_dup), 0) * 1.0 / sum(d.n_chars), 6)
+                 AS frac_duplicated
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
     """,
     "dedup_ngram_jaccard": _CAPPED_JACCARD_ORACLE,
     # LSH-verified output provably equals the brute-force pair set on this

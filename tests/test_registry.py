@@ -46,6 +46,8 @@ NEW_QUEUED_R8 = {
     "corpus_split_shards",
     "quality_buckets",
     "emb_quantize_int8",
+    "substring_scrub_stats",
+    "mix_temperature_weights",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,

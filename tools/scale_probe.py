@@ -95,6 +95,8 @@ PROBE = [
     "corpus_split_shards",
     "quality_buckets",
     "emb_quantize_int8",
+    "substring_scrub_stats",
+    "mix_temperature_weights",
 ]
 
 
