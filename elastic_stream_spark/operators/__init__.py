@@ -27,6 +27,7 @@ def _modules():
         relational_tpch,
         relational_tpch2,
         relational_tpch3,
+        retrieval,
         scale_patterns,
         text_pipeline,
         similarity,
@@ -36,6 +37,7 @@ def _modules():
     )
 
     return [
+        retrieval,
         stream_ops,
         relational,
         relational_ext,
@@ -160,6 +162,10 @@ GATE_ORDER = [
     "emb_quantize_int8",
     "substring_scrub_stats",
     "mix_temperature_weights",
+    "bm25_search",
+    "bigram_pmi",
+    "event_funnel",
+    "stream_join_replay",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

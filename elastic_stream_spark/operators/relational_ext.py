@@ -146,6 +146,67 @@ def purchase_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced conversion funnel over the event stream: per user, the
+    earliest ``view``, the earliest ``click`` strictly after it, and the
+    earliest ``purchase`` strictly after that click — per stage, how many
+    users reached it and the average seconds from the previous stage
+    (NULL for the entry stage).  The classic product-analytics funnel
+    (the reference's event stream has no query surface at all; this is
+    the first aggregation any consumer of it builds).
+
+    Plan: three user-keyed aggregations chained by user_id equi-joins —
+    each stage shuffles once on user_id and carries only (user, ts)
+    rows, so the chain is |users|-sized after stage 1 regardless of
+    event volume; the final output is three scalar aggregates unioned
+    (3 rows).  No windows, no correlated subplans."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(df: DataFrame, etype: str, prev: DataFrame | None, pcol: str, out: str) -> DataFrame:
+        e = df.where(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(pcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out), F.min(pcol).alias(pcol))
+        )
+
+    s1 = stage(ev, "view", None, "", "t1")
+    s2 = stage(ev, "click", s1, "t1", "t2")
+    s3 = stage(ev, "purchase", s2, "t2", "t3")
+
+    def lag_s(a: str, b: str):
+        return F.round(
+            F.avg((F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))) / 1e6), 4
+        )
+
+    r1 = s1.agg(F.count("*").alias("users")).select(
+        F.lit(1).alias("stage"),
+        F.lit("view").alias("stage_name"),
+        "users",
+        F.lit(None).cast("double").alias("avg_lag_s"),
+    )
+    r2 = s2.agg(
+        F.count("*").alias("users"), lag_s("t1", "t2").alias("avg_lag_s")
+    ).select(
+        F.lit(2).alias("stage"),
+        F.lit("click").alias("stage_name"),
+        "users",
+        "avg_lag_s",
+    )
+    r3 = s3.agg(
+        F.count("*").alias("users"), lag_s("t2", "t3").alias("avg_lag_s")
+    ).select(
+        F.lit(3).alias("stage"),
+        F.lit("purchase").alias("stage_name"),
+        "users",
+        "avg_lag_s",
+    )
+    return r1.unionByName(r2).unionByName(r3).orderBy("stage")
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets — all 4 combinations of (returnflag,
     linestatus); complements rollup_revenue's hierarchy.  grouping_id
@@ -209,6 +270,7 @@ QUERIES = {
     "top_balance_per_nation": top_balance_per_nation,
     "event_gaps_lag": event_gaps_lag,
     "purchase_click_burst": purchase_click_burst,
+    "event_funnel": event_funnel,
     "cube_revenue": cube_revenue,
     "price_quantiles_by_flag": price_quantiles_by_flag,
     "acctbal_quartiles": acctbal_quartiles,
@@ -276,6 +338,35 @@ ORACLES = {
          AND c.ts >= p.ts - INTERVAL 1 HOUR
         GROUP BY p.event_id
         ORDER BY purchase_id
+    """,
+    "event_funnel": f"""
+        WITH {EVENTS_NORM_SQL},
+        s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events_n
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+          FROM events_n e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2
+          FROM events_n e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        )
+        SELECT 1 AS stage, 'view' AS stage_name, count(*) AS users,
+               CAST(NULL AS DOUBLE) AS avg_lag_s
+        FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*),
+               round(avg((epoch_us(t2) - epoch_us(t1)) / 1e6), 4)
+        FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*),
+               round(avg((epoch_us(t3) - epoch_us(t2)) / 1e6), 4)
+        FROM s3
+        ORDER BY stage
     """,
     "cube_revenue": """
         SELECT l_returnflag, l_linestatus,

@@ -172,15 +172,78 @@ def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SSJ_WINDOW_MIN = 120  # forward attribution window (minutes)
+
+
+def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the watermarked stream-stream inner join — every
+    (purchase, click) pair by the same user with the click inside
+    ``[p_ts, p_ts + SSJ_WINDOW_MIN min]`` (forward attribution: which
+    clicks a purchase led to).  ``tests/test_streaming.py::
+    test_stream_stream_windowed_join`` proves the streaming execution of
+    this exact join shape (both sides watermarked, state bounded by the
+    watermark horizon) equals the batch result; this registered batch
+    form gives the shape a driver hash gate.
+
+    Plan: the user_id equality key makes this a hash/sort-merge join
+    with a residual band predicate — never a cross-product (same
+    contract as ``purchase_click_burst``, which is the backward-looking
+    COUNT; this emits the forward pairs).  In streaming execution the
+    state store holds only rows newer than watermark − window."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    lag = (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("p_ts"))) / 1e6
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                <= F.col("p_ts") + F.expr(f"INTERVAL {SSJ_WINDOW_MIN} MINUTES")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            F.round(lag, 4).alias("lag_s"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
 QUERIES = {
     "tumbling_window_counts": tumbling_window_counts,
     "sliding_window_stats": sliding_window_stats,
     "session_windows": session_windows,
     "stream_dedup_events": stream_dedup_events,
     "stream_heavy_hitters_replay": stream_heavy_hitters_replay,
+    "stream_join_replay": stream_join_replay,
 }
 
 ORACLES = {
+    "stream_join_replay": f"""
+        WITH {EVENTS_NORM_SQL}
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS user_id,
+               round((epoch_us(c.ts) - epoch_us(p.ts)) / 1e6, 4) AS lag_s
+        FROM (SELECT * FROM events_n WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events_n WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts
+         AND c.ts <= p.ts + INTERVAL {SSJ_WINDOW_MIN} MINUTES
+        ORDER BY purchase_id, click_id
+    """,
     "tumbling_window_counts": f"""
         WITH {EVENTS_NORM_SQL}
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

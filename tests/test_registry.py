@@ -48,6 +48,10 @@ NEW_QUEUED_R8 = {
     "emb_quantize_int8",
     "substring_scrub_stats",
     "mix_temperature_weights",
+    "bm25_search",
+    "bigram_pmi",
+    "event_funnel",
+    "stream_join_replay",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,
