@@ -102,6 +102,13 @@ HEADLINE = [
     # duplicated spans) and temperature-based source mix weights
     "substring_scrub_stats",
     "mix_temperature_weights",
+    # round 7 late: sparse-text retrieval (BM25 two-phase top-k, PMI
+    # collocations) and event-sequence analytics (funnel, stream-join
+    # forward-attribution replay)
+    "bm25_search",
+    "bigram_pmi",
+    "event_funnel",
+    "stream_join_replay",
 ]
 
 APPEND_PER_STREAM = 2_000

@@ -166,6 +166,8 @@ GATE_ORDER = [
     "bigram_pmi",
     "event_funnel",
     "stream_join_replay",
+    "split_leakage_check",
+    "emb_norm_outliers",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

@@ -383,6 +383,55 @@ def corpus_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: for every pair of corpus splits, how
+    many exact-duplicate contents (bag-of-words fingerprint — the
+    ``dedup_exact`` key) appear on BOTH sides, and how many
+    document-level duplicate pairs cross the boundary.  A val/test row
+    here means the held-out split is contaminated by training data —
+    the audit every split assignment must pass before a training run
+    (the split hash is content-independent, so duplicates land in
+    different splits freely).
+
+    Plan: split assignment and fingerprint are pure projections; ONE
+    (fp, split) aggregation builds per-split multiplicity, then a
+    fp-partitioned self-join (between two rows of the same fp-keyed
+    aggregate — never broadcast, candidates ∝ duplicated fingerprints
+    only) and a 3×3-bounded pair aggregation.  Cross-pair count for a
+    fingerprint with n_a and n_b copies is n_a·n_b (exact)."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    prefix = F.substring(h, 1, 4)
+    split = (
+        F.when(prefix < SPLIT_VAL_HEX, F.lit("val"))
+        .when(prefix < SPLIT_TEST_HEX, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.sort_array(F.array_distinct(F.split(F.lower(F.col("text")), " "))),
+        )
+    )
+    per = (
+        docs.select(fp.alias("fp"), split.alias("split"))
+        .groupBy("fp", "split")
+        .agg(F.count("*").alias("n"))
+    )
+    a = per.select("fp", F.col("split").alias("split_a"), F.col("n").alias("n_a"))
+    b = per.select("fp", F.col("split").alias("split_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_shared_fps"),
+            F.sum(F.col("n_a") * F.col("n_b")).alias("n_cross_pairs"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum tiers: per-source quality quartiles (ntile over the
     shared heuristic quality score, doc_id tiebreak) with each tier's
@@ -468,6 +517,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "source_cap_sample": source_cap_sample,
     "corpus_split_shards": corpus_split_shards,
+    "split_leakage_check": split_leakage_check,
     "quality_buckets": quality_buckets,
     "mix_temperature_weights": mix_temperature_weights,
 }
@@ -628,6 +678,28 @@ ORACLES = {
         SELECT split, shard, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM assigned GROUP BY split, shard ORDER BY split, shard
+    """,
+    "split_leakage_check": f"""
+        WITH assigned AS (
+          SELECT md5(array_to_string(list_sort(list_distinct(
+                   string_split(lower(text), ' '))), ' ')) AS fp,
+                 CASE
+                   WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        < '{SPLIT_VAL_HEX}' THEN 'val'
+                   WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        < '{SPLIT_TEST_HEX}' THEN 'test'
+                   ELSE 'train'
+                 END AS split
+          FROM documents
+        ), per AS (
+          SELECT fp, split, count(*) AS n FROM assigned GROUP BY fp, split
+        )
+        SELECT a.split AS split_a, b.split AS split_b,
+               count(*) AS n_shared_fps,
+               CAST(sum(a.n * b.n) AS BIGINT) AS n_cross_pairs
+        FROM per a JOIN per b ON a.fp = b.fp AND a.split < b.split
+        GROUP BY split_a, split_b
+        ORDER BY split_a, split_b
     """,
     "quality_buckets": f"""
         WITH per_doc AS (

@@ -1298,6 +1298,54 @@ def _exact_topk_sql(tbl: str) -> str:
 """
 
 
+NORM_TAIL_FRAC = 0.01  # flag the bottom/top 1% of vectors by L2 norm
+
+
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene audit: the vectors whose L2 norm sits in the
+    extreme ``NORM_TAIL_FRAC`` tails of the corpus distribution —
+    near-zero norms (dead/failed encodes, cosine-unstable) and
+    oversized norms (outlier inputs that dominate dot-product
+    retrieval).  The standard pre-index sanity filter for an embedding
+    store.
+
+    Plan: one map-only pass computes the norm (sequential
+    ``aggregate`` fold over the double-cast array — bit-identical
+    across engines, the ``emb_quantize_int8`` contract), then the two
+    tails are RANK-based top-k / bottom-k via ``orderBy().limit(k)``
+    (per-partition heaps + driver merge, k = ceil(frac·n)) — NOT an
+    exact-percentile aggregate, which would buffer every norm in one
+    reducer at corpus scale.  Ties at the cut break by vec_id, so the
+    selected set is deterministic in both engines."""
+    import math
+
+    emb = load_table_balanced(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    norm = F.sqrt(
+        F.expr("aggregate(e, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")
+    )
+    d = emb.select("vec_id", "label", norm.alias("nrm"))
+    k = math.ceil(NORM_TAIL_FRAC * d.count())
+    low = (
+        d.orderBy(F.asc("nrm"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("tail", F.lit("low"))
+    )
+    high = (
+        d.orderBy(F.desc("nrm"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("tail", F.lit("high"))
+    )
+    return (
+        low.unionByName(high)
+        .select(
+            "vec_id", "label", F.round("nrm", 6).alias("l2_norm"), "tail"
+        )
+        .orderBy("tail", "vec_id")
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1310,6 +1358,7 @@ QUERIES = {
     "emb_covariance": emb_covariance,
     "emb_random_project": emb_random_project,
     "emb_quantize_int8": emb_quantize_int8,
+    "emb_norm_outliers": emb_norm_outliers,
 }
 
 # Exact cosine top-5 on the raw embeddings table — the oracle for BOTH
@@ -1523,5 +1572,29 @@ ORACLES = {
                round(avg(rel_err), 6) AS avg_rel_err,
                round(max(l2_err), 6) AS max_l2_err
         FROM per_vec GROUP BY label ORDER BY label
+    """,
+    "emb_norm_outliers": f"""
+        WITH v AS (
+          SELECT vec_id, label,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) AS nrm
+          FROM embeddings
+        ), n AS (
+          SELECT CAST(ceil({NORM_TAIL_FRAC} * count(*)) AS BIGINT) AS k
+          FROM v
+        ), low AS (
+          SELECT vec_id, label, nrm, 'low' AS tail,
+                 row_number() OVER (ORDER BY nrm ASC, vec_id ASC) AS rk
+          FROM v
+        ), high AS (
+          SELECT vec_id, label, nrm, 'high' AS tail,
+                 row_number() OVER (ORDER BY nrm DESC, vec_id ASC) AS rk
+          FROM v
+        )
+        SELECT vec_id, label, round(nrm, 6) AS l2_norm, tail
+        FROM (SELECT * FROM low UNION ALL SELECT * FROM high) t
+        CROSS JOIN n
+        WHERE rk <= k
+        ORDER BY tail, vec_id
     """,
 }

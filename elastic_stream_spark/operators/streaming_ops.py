@@ -201,7 +201,10 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
     )
-    lag = (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("p_ts"))) / 1e6
+    # exact integer microseconds — a rounded float lag lands on .XXXX5
+    # boundaries for micro-precise timestamps, where Spark's BigDecimal
+    # HALF_UP and DuckDB's multiply-shift round diverge (caught at sf0.1)
+    lag = F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("p_ts"))
     return (
         p.join(
             c,
@@ -216,7 +219,7 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
             "click_id",
             F.col("p_user").alias("user_id"),
-            F.round(lag, 4).alias("lag_s"),
+            lag.alias("lag_us"),
         )
         .orderBy("purchase_id", "click_id")
     )
@@ -236,7 +239,7 @@ ORACLES = {
         WITH {EVENTS_NORM_SQL}
         SELECT p.event_id AS purchase_id, c.event_id AS click_id,
                p.user_id AS user_id,
-               round((epoch_us(c.ts) - epoch_us(p.ts)) / 1e6, 4) AS lag_s
+               epoch_us(c.ts) - epoch_us(p.ts) AS lag_us
         FROM (SELECT * FROM events_n WHERE event_type = 'purchase') p
         JOIN (SELECT * FROM events_n WHERE event_type = 'click') c
           ON p.user_id = c.user_id

@@ -52,6 +52,8 @@ NEW_QUEUED_R8 = {
     "bigram_pmi",
     "event_funnel",
     "stream_join_replay",
+    "split_leakage_check",
+    "emb_norm_outliers",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,
