@@ -109,6 +109,12 @@ HEADLINE = [
     "bigram_pmi",
     "event_funnel",
     "stream_join_replay",
+    # round 7 late: cross-split leakage audit and embedding-norm tails
+    "split_leakage_check",
+    "emb_norm_outliers",
+    # round 7 late: fuzzy batch-vs-corpus lookup, windowed distinct
+    "neardup_lookup",
+    "window_unique_users",
 ]
 
 APPEND_PER_STREAM = 2_000

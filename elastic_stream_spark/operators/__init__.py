@@ -168,6 +168,8 @@ GATE_ORDER = [
     "stream_join_replay",
     "split_leakage_check",
     "emb_norm_outliers",
+    "neardup_lookup",
+    "window_unique_users",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

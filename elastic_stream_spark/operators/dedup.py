@@ -150,6 +150,70 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy incremental dedup: near-duplicate LOOKUP of an incoming
+    batch against the standing corpus — the MinHash-LSH analogue of
+    ``dedup_incremental`` (which only catches exact-fingerprint
+    collisions).  Same fixture split (``doc_id % 4 == 3`` = incoming);
+    emits every (batch doc, corpus doc) pair at word-3-gram Jaccard
+    ≥ 0.8, verified exactly.
+
+    Plan mirrors ``dedup_minhash_lsh`` (16 minhashes in ONE aggregation,
+    8×2 banding as a projection) but the band equi-join is
+    batch × corpus instead of a self-join — candidates ∝ band
+    collisions against the NEW batch only, so a daily ingest pays
+    O(batch + collisions), never O(corpus²).  Recall contract is the
+    LSH gate's own: planted near-dups sit at j ≥ 0.9 where band recall
+    is 1 - (1-j²)^8 > 0.999998, so the verified output equals the
+    brute-force cross-pair oracle."""
+    sh = _doc_shingles(spark, sf_dir)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("bucket"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    bands = materialize(
+        mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+    is_batch = F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_MOD - 1
+    a = bands.where(is_batch).alias("a")
+    b = bands.where(~is_batch).alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        _verify_jaccard(sh, candidates)
+        .select(
+            F.col("doc_a").alias("batch_doc"),
+            F.col("doc_b").alias("corpus_doc"),
+            "jaccard",
+        )
+        .orderBy("batch_doc", "corpus_doc")
+    )
+
+
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better"): maximal character spans that appear in
@@ -586,6 +650,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
+    "neardup_lookup": neardup_lookup,
     "dedup_substring": dedup_substring,
     "substring_scrub_stats": substring_scrub_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -758,6 +823,36 @@ ORACLES = {
     # LSH-verified output provably equals the brute-force pair set on this
     # corpus (recall argument in the docstring) — same oracle.
     "dedup_minhash_lsh": _JACCARD_ORACLE,
+    # brute-force cross-pair (batch × corpus) Jaccard — the LSH lookup
+    # equals it under the band-recall contract (see neardup_lookup)
+    "neardup_lookup": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {SHINGLE_N - 1}),
+                   i -> array_to_string(t[i:i+{SHINGLE_N - 1}], ' ')))) AS shingle
+          FROM toks WHERE len(t) >= {SHINGLE_N}
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+                 count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          WHERE a.doc_id % {INCREMENTAL_MOD} = {INCREMENTAL_MOD - 1}
+            AND b.doc_id % {INCREMENTAL_MOD} != {INCREMENTAL_MOD - 1}
+          GROUP BY batch_doc, corpus_doc
+        )
+        SELECT batch_doc, corpus_doc,
+               round(common * 1.0 /
+                     (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON batch_doc = sa.doc_id
+        JOIN sizes sb ON corpus_doc = sb.doc_id
+        WHERE common * {JACCARD_DEN}
+              >= {JACCARD_NUM} * (sa.n_shingles + sb.n_shingles - common)
+        ORDER BY batch_doc, corpus_doc
+    """,
     # full bit-exact oracle (long-form bit sums; DuckDB parses the md5
     # prefix via '0x'-cast and provides xor/bit_count/shifts) — upgraded
     # from a rows-only check once the bit ops proved expressible

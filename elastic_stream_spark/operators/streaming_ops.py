@@ -172,6 +172,31 @@ def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exact-distinct aggregation: unique users + event volume
+    per tumbling hour — the cardinality-over-time panel every stream
+    consumer builds first.
+
+    Scale shape: a single COUNT DISTINCT group plans as TWO chained
+    partial-aggregable hash aggregations ((window, user) dedup, then
+    the window rollup) — no Expand (the q21 lesson: Expand appears only
+    with ≥ 2 distinct groups).  At 100 TB the exact form shuffles the
+    (window, user) pairs once; the sketch alternative
+    (``approx_count_distinct`` / HLL, mergeable partials, no second
+    shuffle of raw pairs) is the drop-in when ±2% error is acceptable —
+    the exact form is registered because it is oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+        .orderBy("window_start")
+    )
+
+
 SSJ_WINDOW_MIN = 120  # forward attribution window (minutes)
 
 
@@ -232,9 +257,19 @@ QUERIES = {
     "stream_dedup_events": stream_dedup_events,
     "stream_heavy_hitters_replay": stream_heavy_hitters_replay,
     "stream_join_replay": stream_join_replay,
+    "window_unique_users": window_unique_users,
 }
 
 ORACLES = {
+    "window_unique_users": f"""
+        WITH {EVENTS_NORM_SQL}
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events_n
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
     "stream_join_replay": f"""
         WITH {EVENTS_NORM_SQL}
         SELECT p.event_id AS purchase_id, c.event_id AS click_id,

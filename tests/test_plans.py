@@ -266,6 +266,17 @@ def test_q21_profile_has_no_expand(spark):
     assert "Expand" not in plan, "q21 regressed to a countDistinct Expand"
 
 
+def test_window_unique_users_has_no_expand(spark):
+    """A SINGLE distinct group (countDistinct + plain count) must plan
+    as two chained hash aggregations — Catalyst inserts an Expand only
+    for ≥ 2 distinct groups (the q21 lesson).  Pins that the windowed
+    cardinality panel never doubles its event-sized shuffle input."""
+    from elastic_stream_spark.operators.streaming_ops import window_unique_users
+
+    plan = plan_of(window_unique_users(spark, SF_DIR))
+    assert "Expand" not in plan, "windowed distinct gained an Expand"
+
+
 def test_source_cap_uses_window_group_limit(spark):
     """The per-source quota must execute as a map-side partial top-N
     (WindowGroupLimit below the shuffle), not a full per-key sort — the

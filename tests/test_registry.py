@@ -54,6 +54,8 @@ NEW_QUEUED_R8 = {
     "stream_join_replay",
     "split_leakage_check",
     "emb_norm_outliers",
+    "neardup_lookup",
+    "window_unique_users",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,
