@@ -9,6 +9,10 @@ from elastic_stream_spark.streaming.stateful import (
     stream_offset_tracker,
     streaming_heavy_hitters,
 )
+from elastic_stream_spark.streaming.twstate import (
+    RunningTotalsProcessor,
+    stream_running_totals,
+)
 from elastic_stream_spark.streaming.metrics import (
     MetricsRecorder,
     metrics_summary,
@@ -24,6 +28,8 @@ __all__ = [
     "StreamLogDataSource",
     "stream_offset_tracker",
     "streaming_heavy_hitters",
+    "RunningTotalsProcessor",
+    "stream_running_totals",
     "MetricsRecorder",
     "metrics_summary",
     "read_metrics",

@@ -973,3 +973,67 @@ def test_byte_cap_admission_jumps_trim_gap(spark, log):
     )
     end = r.latestOffset()["offset"]
     assert end == 10, end  # gap [0,5) free + all 5 resident records afford
+
+
+def test_transform_with_state_running_totals(spark, log):
+    """Custom stateful op on the transformWithState API (Spark 4
+    StatefulProcessor + typed ValueState, RocksDB state store): per-key
+    (count, sum) accumulators persist across microbatches; the final
+    emission per key equals the batch ground truth and emissions are
+    monotone — the same contract as the applyInPandasWithState offset
+    tracker, proven on the newer engine surface.
+
+    Requires google.protobuf (the transformWithState state-server
+    protocol); skipped where the container lacks it — see the
+    environment-gate note in streaming/twstate.py."""
+    pytest.importorskip("google.protobuf")
+    from elastic_stream_spark.streaming import (
+        read_records_stream,
+        stream_running_totals,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sid = log.catalog.create_stream().stream_id
+        for k in range(3):
+            log.append(sid, _events(spark, 5, base_ts=k * 1_000_000))
+
+        sdf = read_records_stream(spark, log, max_files_per_trigger=1).select(
+            (F.col("properties")["i"].cast("long") % 3).alias("key"),
+            F.col("offset").cast("double").alias("value"),
+        )
+        out = stream_running_totals(sdf)
+        q = _run_available_now(out, "twstate", output_mode="update")
+        q.stop()
+        rows = spark.sql("SELECT * FROM twstate").collect()
+
+        final: dict[int, tuple[int, float]] = {}
+        seen: dict[int, int] = {}
+        for r in rows:  # memory sink appends update-mode emissions in order
+            assert r.n_events >= seen.get(r.key, 0)  # monotone
+            seen[r.key] = r.n_events
+            final[r.key] = (r.n_events, r.total_value)
+
+        truth_rows = (
+            log.fetch(sid, 0, 1 << 30)
+            .select(
+                (F.col("properties")["i"].cast("long") % 3).alias("key"),
+                F.col("offset").cast("double").alias("value"),
+            )
+            .groupBy("key")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+        truth = {r.key: (r.n, r.s) for r in truth_rows}
+        assert final == truth
+        # three appends at maxFilesPerTrigger=1 → state crossed batches
+        assert any(n >= 2 for n in (sum(1 for r in rows if r.key == k) for k in final))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
