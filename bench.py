@@ -115,6 +115,7 @@ HEADLINE = [
     # round 7 late: fuzzy batch-vs-corpus lookup, windowed distinct
     "neardup_lookup",
     "window_unique_users",
+    "retention_cohorts",
 ]
 
 APPEND_PER_STREAM = 2_000

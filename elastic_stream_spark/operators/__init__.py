@@ -170,6 +170,7 @@ GATE_ORDER = [
     "emb_norm_outliers",
     "neardup_lookup",
     "window_unique_users",
+    "retention_cohorts",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

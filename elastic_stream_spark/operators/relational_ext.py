@@ -207,6 +207,44 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionByName(r2).unionByName(r3).orderBy("stage")
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day
+    (cohort), then per (cohort_day, day_offset) the number of distinct
+    cohort members active that many days later — the product-analytics
+    retention triangle.
+
+    Plan: one user-keyed min-aggregation assigns cohorts, a
+    user-partitioned equi-join stamps each event with its user's cohort
+    (both sides keyed on user_id — never a broadcast of the user
+    dimension at scale), and ONE two-level distinct aggregation
+    ((cohort, offset, user) dedup then rollup — single distinct group,
+    no Expand) builds the matrix, whose size is bounded by days², not
+    by event volume."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        # ISO string: Spark DATE surfaces as python date objects where
+        # DuckDB's lands as datetime64 — the driver compare sees mixed
+        # dtypes; both engines render 'YYYY-MM-DD' identically
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets — all 4 combinations of (returnflag,
     linestatus); complements rollup_revenue's hierarchy.  grouping_id
@@ -271,6 +309,7 @@ QUERIES = {
     "event_gaps_lag": event_gaps_lag,
     "purchase_click_burst": purchase_click_burst,
     "event_funnel": event_funnel,
+    "retention_cohorts": retention_cohorts,
     "cube_revenue": cube_revenue,
     "price_quantiles_by_flag": price_quantiles_by_flag,
     "acctbal_quartiles": acctbal_quartiles,
@@ -367,6 +406,20 @@ ORACLES = {
                round(avg((epoch_us(t3) - epoch_us(t2)) / 1e6), 4)
         FROM s3
         ORDER BY stage
+    """,
+    "retention_cohorts": f"""
+        WITH {EVENTS_NORM_SQL},
+        ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day FROM events_n
+        ), cohorts AS (
+          SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+        )
+        SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+               datediff('day', cohort_day, day) AS day_offset,
+               count(DISTINCT ev.user_id) AS n_active
+        FROM ev JOIN cohorts USING (user_id)
+        GROUP BY cohorts.cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
     """,
     "cube_revenue": """
         SELECT l_returnflag, l_linestatus,

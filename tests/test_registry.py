@@ -56,6 +56,7 @@ NEW_QUEUED_R8 = {
     "emb_norm_outliers",
     "neardup_lookup",
     "window_unique_users",
+    "retention_cohorts",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,
