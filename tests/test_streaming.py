@@ -1037,3 +1037,93 @@ def test_transform_with_state_running_totals(spark, log):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, log):
+    """Stream-stream LEFT OUTER join with watermarks: matched pairs
+    emit immediately; unmatched left rows emit with nulls only once the
+    watermark passes their join horizon (state eviction — the semantic
+    that distinguishes outer from inner stream joins).  Purchases with
+    odd ids have no click; a later sentinel batch advances the
+    watermark, and the subsequent (no-data) microbatch flushes their
+    null-extended rows — hence the processing-time trigger with two
+    drain cycles rather than availableNow, which stops before the
+    cleanup batch."""
+    import time as _t
+
+    from elastic_stream_spark.streaming import StreamLogDataSource
+
+    spark.dataSource.register(StreamLogDataSource)
+    pa = log.catalog.create_stream().stream_id
+    cl = log.catalog.create_stream().stream_id
+    log.append(pa, _events(spark, 20, base_ts=3_600_000))
+    log.append(
+        cl,
+        _events(spark, 20, base_ts=3_630_000).where(
+            F.col("properties")["i"].cast("long") % 2 == 0
+        ),
+    )
+
+    def side(sid: int, alias: str):
+        sdf = (
+            spark.readStream.format("stream_log")
+            .option("root", log.catalog.root)
+            .option("streamId", sid)
+            .load()
+        )
+        return sdf.select(
+            F.col("properties")["i"].cast("long").alias(f"{alias}_user"),
+            F.col("ts").alias(f"{alias}_ts"),
+        ).withWatermark(f"{alias}_ts", "10 minutes")
+
+    joined = side(pa, "p").join(
+        side(cl, "c"),
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts AND p_ts + interval 90 seconds"
+        ),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssoj")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel batch far in the future pushes both watermarks past
+        # the first batch's horizon
+        log.append(pa, _events(spark, 1, base_ts=18_000_000))
+        log.append(cl, _events(spark, 1, base_ts=18_000_000))
+        q.processAllAvailable()
+        # the flush happens in a no-data microbatch AFTER the watermark
+        # advanced; give the 200 ms trigger a few cycles
+        deadline = _t.monotonic() + 30
+        while _t.monotonic() < deadline:
+            n_null = sum(
+                1 for r in spark.table("ssoj").collect() if r.c_user is None
+            )
+            if n_null >= 10:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+
+    import datetime as _dt
+
+    # drop the sentinel pair (5:00) — only the 1:00-1:20 batch is asserted
+    rows = [
+        r
+        for r in spark.table("ssoj").collect()
+        if r.p_ts < _dt.datetime(1970, 1, 1, 3)
+    ]
+    matched = {r.p_user for r in rows if r.c_user is not None}
+    unmatched = {r.p_user for r in rows if r.c_user is None}
+    # every even purchase matched its click; odd purchases flushed null
+    assert matched == set(range(0, 20, 2))
+    assert set(range(1, 20, 2)) <= unmatched
+    for r in rows:
+        if r.c_user is not None:
+            assert r.c_user == r.p_user
+            assert (r.c_ts - r.p_ts).total_seconds() == 30.0
