@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elastic_stream_spark.functions.materialize import materialize
 from elastic_stream_spark.functions.textfns import tokens
 from elastic_stream_spark.sources.envelope import load_table_balanced
 
@@ -67,7 +68,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("t"))
     dl = d.select("doc_id", F.size("t").alias("dl"))
     toks = d.select("doc_id", F.explode("t").alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # materialized: dfreq re-derives from tf, and without the persist
+    # both subtrees recompute the postings aggregation from the scan
+    tf = materialize(
+        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -97,6 +97,16 @@ PROBE = [
     "emb_quantize_int8",
     "substring_scrub_stats",
     "mix_temperature_weights",
+    # round 7 late: retrieval, event analytics, split hygiene
+    "bm25_search",
+    "bigram_pmi",
+    "event_funnel",
+    "stream_join_replay",
+    "split_leakage_check",
+    "emb_norm_outliers",
+    "neardup_lookup",
+    "window_unique_users",
+    "retention_cohorts",
 ]
 
 
