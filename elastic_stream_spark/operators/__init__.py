@@ -67,7 +67,8 @@ def _modules():
 # nothing is ever dark, only riding on the last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r7 rotation — the registry (94 queries) exceeds the 50-row window, so
+# r7 rotation — the registry (108 queries as of late r7) exceeds the
+# 50-row window, so
 # the steady-state schedule is an ALTERNATION: every query whose last
 # driver row is two rounds old (r5 — it sat out the r6 window) rotates
 # back IN, every query hash-green in the r6 window rotates OUT for one

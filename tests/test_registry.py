@@ -1,7 +1,7 @@
 """Gate-registry invariants: the driver records correctness rows for the
 first 50 registry entries only, so the order is load-bearing.
 
-Round-7 policy (operators/__init__.py GATE_ORDER): the registry (94
+Round-7 policy (operators/__init__.py GATE_ORDER): the registry (108
 queries) exceeds the 50-row window, so the schedule ALTERNATES — a query
 may sit beyond the window only if it was hash-green in the immediately
 preceding driver window; changed / never-checked queries always occupy a
