@@ -116,6 +116,7 @@ HEADLINE = [
     "neardup_lookup",
     "window_unique_users",
     "retention_cohorts",
+    "dedup_containment",
 ]
 
 APPEND_PER_STREAM = 2_000

@@ -172,6 +172,7 @@ GATE_ORDER = [
     "neardup_lookup",
     "window_unique_users",
     "retention_cohorts",
+    "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

@@ -150,6 +150,69 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_NUM, CONTAIN_DEN = 9, 10  # containment threshold 0.9, exact ratio
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where the SMALLER document's
+    shingle set is ≥ 0.9 inside the larger's — ``|A∩B| / min(|A|,|B|)``.
+    This is the metric that catches a short document quoted wholesale
+    inside a long one, which symmetric Jaccard structurally misses (a
+    200-shingle doc inside a 10,000-shingle doc has containment 1.0 but
+    Jaccard ≈ 0.02 — LSH on minhash never even proposes the pair);
+    ``tests/test_retrieval.py`` pins exactly that case on a crafted
+    corpus.  Emits (inner_doc, outer_doc, containment) with inner = the
+    smaller set (doc_id breaks size ties).
+
+    Plan: identical shape to ``_ngram_pair_set`` (df-capped inverted
+    index, sorted posting lists, pairs via double explode, ONE
+    map-side-combinable common-count aggregation) with the integer
+    containment threshold in place of Jaccard — per-key state O(cap),
+    candidates ∝ co-occurrence, no self-join, no floats until the
+    final display rounding."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    capped_df = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .select("shingle")
+    )
+    posting = (
+        sh.join(capped_df, "shingle", "left_semi")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    )
+    pairs = posting.select(
+        F.posexplode("docs").alias("pos", "doc_a"), F.col("docs")
+    ).select(
+        "doc_a",
+        F.explode(F.slice("docs", F.col("pos") + 2, F.size("docs"))).alias("doc_b"),
+    )
+    common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("common"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    n_min = F.least(F.col("na"), F.col("nb"))
+    inner_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("common") * CONTAIN_DEN >= CONTAIN_NUM * n_min)
+        .select(
+            F.when(inner_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "inner_doc"
+            ),
+            F.when(inner_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "outer_doc"
+            ),
+            F.round(F.col("common") / n_min, 6).alias("containment"),
+        )
+        .orderBy("inner_doc", "outer_doc")
+    )
+
+
 def neardup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy incremental dedup: near-duplicate LOOKUP of an incoming
     batch against the standing corpus — the MinHash-LSH analogue of
@@ -651,6 +714,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "neardup_lookup": neardup_lookup,
+    "dedup_containment": dedup_containment,
     "dedup_substring": dedup_substring,
     "substring_scrub_stats": substring_scrub_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -823,6 +887,41 @@ ORACLES = {
     # LSH-verified output provably equals the brute-force pair set on this
     # corpus (recall argument in the docstring) — same oracle.
     "dedup_minhash_lsh": _JACCARD_ORACLE,
+    "dedup_containment": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {SHINGLE_N - 1}),
+                   i -> array_to_string(t[i:i+{SHINGLE_N - 1}], ' ')))) AS shingle
+          FROM toks WHERE len(t) >= {SHINGLE_N}
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), rare AS (
+          SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) BETWEEN 2 AND {SHINGLE_DF_CAP}
+        ), idx AS (
+          SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+        ), cpairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY doc_a, doc_b
+        )
+        SELECT CASE WHEN sa.n_shingles < sb.n_shingles
+                      OR (sa.n_shingles = sb.n_shingles AND doc_a < doc_b)
+                    THEN doc_a ELSE doc_b END AS inner_doc,
+               CASE WHEN sa.n_shingles < sb.n_shingles
+                      OR (sa.n_shingles = sb.n_shingles AND doc_a < doc_b)
+                    THEN doc_b ELSE doc_a END AS outer_doc,
+               round(common * 1.0 / least(sa.n_shingles, sb.n_shingles), 6)
+                 AS containment
+        FROM cpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE common * {CONTAIN_DEN}
+              >= {CONTAIN_NUM} * least(sa.n_shingles, sb.n_shingles)
+        ORDER BY inner_doc, outer_doc
+    """,
     # brute-force cross-pair (batch × corpus) Jaccard — the LSH lookup
     # equals it under the band-recall contract (see neardup_lookup)
     "neardup_lookup": f"""

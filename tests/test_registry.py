@@ -57,6 +57,7 @@ NEW_QUEUED_R8 = {
     "neardup_lookup",
     "window_unique_users",
     "retention_cohorts",
+    "dedup_containment",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,

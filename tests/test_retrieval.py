@@ -142,3 +142,38 @@ def test_event_funnel_zero_conversion(spark, workdir):
         (2, 0, None),
         (3, 0, None),
     ]
+
+
+def test_containment_catches_what_jaccard_misses(spark, workdir):
+    """A short document quoted wholesale inside a long one: containment
+    1.0, Jaccard far below threshold — the asymmetric pair must appear
+    in dedup_containment and must NOT appear in the Jaccard pair set
+    (the structural blind spot the operator exists for); engine and
+    oracle agree on the crafted corpus."""
+    from elastic_stream_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))  # 10 3-gram shingles
+    filler = " ".join(f"f{i}" for i in range(300))
+    texts = [
+        quote,                       # 0: the short doc
+        filler + " " + quote,        # 1: long doc containing it verbatim
+        "unrelated words only here", # 2: background
+    ]
+    _write_docs(spark, workdir, texts)
+
+    got = dedup_containment(spark, workdir).collect()
+    assert [(r.inner_doc, r.outer_doc) for r in got] == [(0, 1)]
+    assert got[0].containment == pytest.approx(1.0)
+
+    # symmetric Jaccard at 0.8 structurally misses the pair
+    assert dedup_ngram_jaccard(spark, workdir).count() == 0
+
+    oracle = (
+        _duck(workdir)
+        .execute(all_oracles()["dedup_containment"])
+        .fetchall()
+    )
+    assert [(r.inner_doc, r.outer_doc, r.containment) for r in got] == oracle

@@ -107,6 +107,7 @@ PROBE = [
     "neardup_lookup",
     "window_unique_users",
     "retention_cohorts",
+    "dedup_containment",
 ]
 
 
