@@ -117,6 +117,9 @@ HEADLINE = [
     "window_unique_users",
     "retention_cohorts",
     "dedup_containment",
+    # round 7 late: persisted-LSH-index serving path — first sample pays
+    # the one-time corpus index build, best-of measures the probe
+    "neardup_lookup_served",
 ]
 
 APPEND_PER_STREAM = 2_000

@@ -173,6 +173,7 @@ GATE_ORDER = [
     "window_unique_users",
     "retention_cohorts",
     "dedup_containment",
+    "neardup_lookup_served",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

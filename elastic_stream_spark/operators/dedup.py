@@ -230,30 +230,7 @@ def neardup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 1 - (1-j²)^8 > 0.999998, so the verified output equals the
     brute-force cross-pair oracle."""
     sh = _doc_shingles(spark, sf_dir)
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                ).alias("bucket"),
-            )
-            for band in range(LSH_BANDS)
-        ]
-    )
-    bands = materialize(
-        mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
-        )
-    )
+    bands = materialize(_minhash_bands(sh))
     is_batch = F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_MOD - 1
     a = bands.where(is_batch).alias("a")
     b = bands.where(~is_batch).alias("b")
@@ -272,6 +249,148 @@ def neardup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_a").alias("batch_doc"),
             F.col("doc_b").alias("corpus_doc"),
             "jaccard",
+        )
+        .orderBy("batch_doc", "corpus_doc")
+    )
+
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band table from a (doc_id, shingle)
+    table — 16 minhashes in ONE aggregation, banding as a projection
+    (the ``dedup_minhash_lsh`` signature pipeline)."""
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("bucket"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    return mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def lsh_index_build(spark: SparkSession, corpus_sh: DataFrame, index_dir: str) -> str:
+    """Persist the corpus side of the near-dup lookup (the dedup
+    analogue of ``similarity.ivf_pq_build``): the LSH band table
+    (doc_id, band, bucket) written PARTITIONED BY band — a probe's band
+    equi-join prunes to its band directories — plus the corpus shingle
+    SETS (doc_id, sorted shingle array, size) for the exact-Jaccard
+    verify, and a params JSON pinning (k, bands, rows, shingle_n) so a
+    serving process can refuse an index built under different
+    hyper-parameters.  At 100 TB these two tables ARE the standing
+    dedup index a daily ingest probes: built once per corpus rev by
+    this job, while each ingest computes signatures for ITS OWN batch
+    only."""
+    import json as _json
+    import os as _os
+
+    _minhash_bands(corpus_sh).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(_os.path.join(index_dir, "bands"))
+    (
+        corpus_sh.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("s"))
+        .withColumn("n", F.size("s"))
+        .write.mode("overwrite")
+        .parquet(_os.path.join(index_dir, "shingle_sets"))
+    )
+    params = {
+        "version": 1,
+        "minhash_k": MINHASH_K,
+        "bands": LSH_BANDS,
+        "rows": LSH_ROWS,
+        "shingle_n": SHINGLE_N,
+    }
+    with open(_os.path.join(index_dir, "params.json"), "w") as f:
+        _json.dump(params, f)
+    return index_dir
+
+
+_LSH_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _corpus_lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/serve-many memo for the fixture's standing-corpus
+    index (docs with ``doc_id % 4 != 3``), per (application, corpus)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _LSH_INDEX_CACHE.get(key)
+    if got is None or not _os.path.exists(_os.path.join(got, "params.json")):
+        for stale in [k for k in _LSH_INDEX_CACHE if k[0] != key[0]]:
+            del _LSH_INDEX_CACHE[stale]
+        d = _tempfile.mkdtemp(prefix="esspark-lsh-")
+        corpus_sh = _doc_shingles(spark, sf_dir).where(
+            F.col("doc_id") % INCREMENTAL_MOD != INCREMENTAL_MOD - 1
+        )
+        lsh_index_build(spark, corpus_sh, d)
+        _LSH_INDEX_CACHE[key] = got = d
+    return got
+
+
+def neardup_lookup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING form of ``neardup_lookup``: probes the PERSISTED
+    corpus index (bands parquet partitioned by band + shingle-set
+    parquet; built once per session by ``lsh_index_build``) instead of
+    re-hashing the standing corpus per ingest.  Only the incoming
+    batch's signatures are computed inline — the per-ingest cost a
+    production near-dup service pays — so serving work is
+    O(batch + band collisions) against a corpus-sized index that is
+    READ, never rebuilt.  Output and oracle are identical to
+    ``neardup_lookup``."""
+    import os as _os
+
+    idx = _corpus_lsh_index_dir(spark, sf_dir)
+    batch_sh = _doc_shingles(spark, sf_dir).where(
+        F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_MOD - 1
+    )
+    corpus_bands = spark.read.parquet(_os.path.join(idx, "bands")).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").cast("int").alias("band"),
+        "bucket",
+    )
+    batch_bands = _minhash_bands(batch_sh).select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    candidates = (
+        batch_bands.join(corpus_bands, ["band", "bucket"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = batch_sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("s_a")
+    ).select(F.col("doc_id").alias("doc_a"), "s_a", F.size("s_a").alias("na"))
+    sb = spark.read.parquet(_os.path.join(idx, "shingle_sets")).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("s_b"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("s_a", "s_b")))
+    )
+    union_sz = F.col("na") + F.col("nb") - F.col("common")
+    return (
+        pairs.where(F.col("common") * JACCARD_DEN >= JACCARD_NUM * union_sz)
+        .select(
+            F.col("doc_a").alias("batch_doc"),
+            F.col("doc_b").alias("corpus_doc"),
+            F.round(F.col("common") / union_sz, 6).alias("jaccard"),
         )
         .orderBy("batch_doc", "corpus_doc")
     )
@@ -714,6 +833,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "neardup_lookup": neardup_lookup,
+    "neardup_lookup_served": neardup_lookup_served,
     "dedup_containment": dedup_containment,
     "dedup_substring": dedup_substring,
     "substring_scrub_stats": substring_scrub_stats,
@@ -990,6 +1110,10 @@ ORACLES = {
         ORDER BY doc_a, doc_b
     """,
 }
+
+# The serving form reads the persisted index but computes the identical
+# result — it shares the inline form's brute-force cross-pair oracle.
+ORACLES["neardup_lookup_served"] = ORACLES["neardup_lookup"]
 
 # Oracle for the unregistered exact path (kept for tests/selfcheck of the
 # guard-protected baseline; not part of the gate registry).

@@ -58,6 +58,7 @@ NEW_QUEUED_R8 = {
     "window_unique_users",
     "retention_cohorts",
     "dedup_containment",
+    "neardup_lookup_served",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,

@@ -177,3 +177,44 @@ def test_containment_catches_what_jaccard_misses(spark, workdir):
         .fetchall()
     )
     assert [(r.inner_doc, r.outer_doc, r.containment) for r in got] == oracle
+
+
+def test_lsh_index_layout_and_serving_parity(spark, workdir):
+    """The persisted near-dup index writes its band table PARTITIONED
+    BY band (a probe's equi-join prunes to band directories — the
+    inverted-list seek) plus shingle sets and a params JSON; the
+    serving path over that index returns exactly the inline lookup's
+    rows."""
+    import os
+
+    from elastic_stream_spark.operators.dedup import (
+        INCREMENTAL_MOD,
+        LSH_BANDS,
+        lsh_index_build,
+        neardup_lookup,
+        neardup_lookup_served,
+    )
+    from elastic_stream_spark.operators.dedup import _doc_shingles
+
+    base = " ".join(f"w{i}" for i in range(40))
+    texts = [base, base + " tail", "other words entirely unrelated x y z"]
+    # doc 3 plays the incoming batch (doc_id % 4 == 3): near-dup of doc 0/1
+    texts.append(base + " tip")
+    _write_docs(spark, workdir, texts)
+
+    idx = os.path.join(workdir, "lsh_index")
+    corpus_sh = _doc_shingles(spark, workdir).where(
+        F.col("doc_id") % INCREMENTAL_MOD != INCREMENTAL_MOD - 1
+    )
+    lsh_index_build(spark, corpus_sh, idx)
+    bands_dirs = {
+        d for d in os.listdir(os.path.join(idx, "bands")) if d.startswith("band=")
+    }
+    assert bands_dirs == {f"band={b}" for b in range(LSH_BANDS)}
+    assert os.path.exists(os.path.join(idx, "params.json"))
+    assert os.path.exists(os.path.join(idx, "shingle_sets"))
+
+    inline = [tuple(r) for r in neardup_lookup(spark, workdir).collect()]
+    served = [tuple(r) for r in neardup_lookup_served(spark, workdir).collect()]
+    assert served == inline
+    assert served, "crafted batch doc must near-dup the corpus docs"

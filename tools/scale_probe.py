@@ -108,6 +108,7 @@ PROBE = [
     "window_unique_users",
     "retention_cohorts",
     "dedup_containment",
+    "neardup_lookup_served",
 ]
 
 
