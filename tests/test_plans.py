@@ -334,3 +334,27 @@ def test_quality_buckets_single_source_window(spark):
     plan = plan_of(quality_buckets(spark, SF_DIR))
     assert "ntile" in plan and "Join" not in plan
     assert plan.count("hashpartitioning") == 1
+
+
+def test_bm25_two_phase_topk_plan(spark):
+    """BM25's per-query top-k must execute as the two-phase prune: a
+    WindowGroupLimit (rank pushed into the sort) on BOTH window passes,
+    no cartesian product, and the probe-terms join broadcast (the
+    corpus-side postings never move for it)."""
+    from elastic_stream_spark.operators.retrieval import bm25_search
+
+    plan = plan_of(bm25_search(spark, SF_DIR))
+    assert plan.count("WindowGroupLimit") >= 2, "two-phase top-k degraded"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # tiny probe set broadcasts
+
+
+def test_bigram_pmi_take_ordered_plan(spark):
+    """PMI's global top-k must be TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows) — never a single-partition sort or
+    window over the full collocation table."""
+    from elastic_stream_spark.operators.retrieval import bigram_pmi
+
+    plan = plan_of(bigram_pmi(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
