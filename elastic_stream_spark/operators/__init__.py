@@ -149,13 +149,17 @@ GATE_ORDER = [
     # (dedup_ngram_jaccard / dedup_embedding_lsh were displaced from the
     # window by the two never-checked r7 additions — both r6-green, so
     # the displacement is policy-clean.)
-    # --- NEW_QUEUED_R8: r7-late additions (per-source quota cap and
-    # deterministic JL random projection) landed after the 50-row window
-    # was already fully claimed by never-checked/changed queries; they
-    # carry strict full-gate evidence this round
-    # (CORRECTNESS_FULL_r07*.json) and tests/test_registry.py pins their
-    # rotation into the r8 window — the same queue-then-rotate path the
-    # six r6-late corpus-prep queries took.
+    # --- NEW_QUEUED_R8: the 18 r7-late additions (quota cap, JL
+    # projection, split/shard + quality tiers, int8 audit, substring
+    # scrub, temperature mix, BM25, PMI, funnel, stream-join replay,
+    # split-leakage audit, norm outliers, near-dup lookup inline+served,
+    # windowed distinct, retention cohorts, containment dedup) landed
+    # after the 50-row window was already fully claimed by
+    # never-checked/changed queries; each carries strict full-gate
+    # evidence this round (CORRECTNESS_FULL_r07*.json, both sf) and
+    # tests/test_registry.py pins their rotation into the r8 window —
+    # the same queue-then-rotate path the six r6-late corpus-prep
+    # queries took.
     "source_cap_sample",
     "emb_random_project",
     "corpus_split_shards",
