@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from elastic_stream_spark.operators import (
         curation,
+        data_audit,
         dedup,
         multimodal,
         pipeline,
@@ -28,16 +29,19 @@ def _modules():
         relational_tpch2,
         relational_tpch3,
         retrieval,
+        retrieval_fusion,
         scale_patterns,
         text_pipeline,
         similarity,
         stream_ops,
         streaming_ops,
         text,
+        timeseries,
     )
 
     return [
         retrieval,
+        retrieval_fusion,
         stream_ops,
         relational,
         relational_ext,
@@ -46,6 +50,8 @@ def _modules():
         relational_tpch3,
         dedup,
         pipeline,
+        timeseries,
+        data_audit,
         similarity,
         text,
         text_pipeline,
@@ -178,6 +184,14 @@ GATE_ORDER = [
     "retention_cohorts",
     "dedup_containment",
     "neardup_lookup_served",
+    "hybrid_rrf_search",
+    "filtered_vector_search",
+    "ts_gapfill_locf",
+    "rolling_revenue_7d",
+    "event_transitions",
+    "key_skew_audit",
+    "column_profile",
+    "fuzzy_name_match",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

@@ -1,0 +1,233 @@
+"""Data-quality / pre-flight audit operators — join-key skew audit,
+per-column profiling, and blocked fuzzy record linkage.
+
+The reference engine carries no profiling surface (its metrics are
+transport-level: components/observation); these are the audits a data
+platform runs BEFORE committing a 100 TB job: "is this join key skewed
+enough to need salting" (the input to scale_patterns.skew_salted_join),
+"what do the columns look like" (null rates / cardinality / lengths —
+the Deequ/Great-Expectations profile), and "which records are the same
+entity under small edits" (blocked edit-distance linkage — the blocking
++ verify shape of every record-linkage system).
+
+Scale notes (100 TB):
+- ``key_skew_audit``: ONE map-side-combinable count per key; the global
+  top-k is ``orderBy().limit()`` → TakeOrderedAndProject (per-partition
+  heaps + a k·n_partitions driver merge); the share window then runs on
+  the k-row result.  The corpus never passes through a global window.
+- ``column_profile``: the wide→long explode is map-only (rows × n_cols,
+  no shuffle); profiling is a two-level aggregation — (col, value)
+  partial counts first, so the single-distinct count never plans an
+  Expand over the raw rows and every stage map-side combines.
+- ``fuzzy_name_match``: the candidate join is BLOCKED (equi-join on a
+  blocking key), so comparisons are Σ block² over distinct names, never
+  corpus²; the same df-cap discipline as dedup.py's posting lists
+  applies if a block grows pathological (documented, not needed at this
+  name cardinality).  Edit distance runs only on candidates that share
+  a block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elastic_stream_spark.sources.envelope import load_table, load_table_balanced
+
+SKEW_TOP = 20  # hottest keys reported
+FUZZY_MAX_DIST = 2  # edit-distance match threshold
+
+# documents columns profiled (name → already-string?); ints cast to
+# string so the long form is one uniform value column in both engines
+PROFILE_COLS = ("doc_id", "lang", "n_chars", "source", "text")
+
+
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for ``lineitem.l_suppkey``: the ``SKEW_TOP``
+    hottest keys with per-key row count, corpus share, and cumulative
+    top-k share — the pre-flight a planner (or scale_patterns'
+    salted-join) consults before shuffling on the key.
+
+    Plan: one count-per-key aggregation, TakeOrderedAndProject top-k,
+    then shares against a broadcast scalar total on the k-row set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("total")).withColumn("k", F.lit(1))
+    top = counts.orderBy(F.desc("n_rows"), F.asc("l_suppkey")).limit(SKEW_TOP)
+    order = (F.desc("n_rows"), F.asc("l_suppkey"))
+    # constant non-foldable key: the window input is the k-row top set
+    # (rationale at sources/envelope.py stream_dim)
+    wsum = (
+        Window.partitionBy(F.pmod(F.col("l_suppkey"), F.lit(1)))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wrank = Window.partitionBy(F.pmod(F.col("l_suppkey"), F.lit(1))).orderBy(*order)
+    return (
+        top.withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .select(
+            "l_suppkey",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+            F.round(F.sum("n_rows").over(wsum) / F.col("total"), 6).alias(
+                "cum_share"
+            ),
+            F.row_number().over(wrank).cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the documents table (long form, one row per
+    column): row/null counts, distinct cardinality, and value-length
+    min/max/mean — the schema-drift / data-quality audit.
+
+    Plan: map-only wide→long explode, then a TWO-LEVEL aggregation.
+    Values are collapsed to ``(md5(value), length(value))`` BEFORE the
+    first shuffle — the profile needs only identity and length, so the
+    shuffle carries a 32-hex fingerprint instead of the payload (a text
+    column at 100 TB would otherwise move wholesale just to be counted).
+    The distinct count is an ordinary second-level ``count`` over the
+    fingerprint groups (no Expand) and both levels map-side combine;
+    md5 is cryptographic, so fingerprint-distinct equals value-distinct
+    (and the DuckDB oracle counts plain distinct values)."""
+    docs = load_table_balanced(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("kv")
+    ).select(
+        "kv.col_name",
+        F.md5("kv.value").alias("h"),
+        F.length("kv.value").alias("len"),
+    )
+    g = kv.groupBy("col_name", "h", "len").agg(F.count("*").alias("c"))
+    nn = F.when(F.col("h").isNotNull(), F.col("c"))
+    return (
+        g.groupBy("col_name")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("h").isNull(), F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_null"),
+            F.count(F.when(F.col("h").isNotNull(), F.lit(1))).alias(
+                "n_distinct"
+            ),
+            F.min("len").cast("long").alias("min_len"),
+            F.max("len").cast("long").alias("max_len"),
+            F.round(F.sum(F.col("len") * F.col("c")) / F.sum(nn), 4).alias(
+                "avg_len"
+            ),
+        )
+        .orderBy("col_name")
+    )
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over part names: distinct-name pairs
+    within the same blocking key (the name's second token) at Levenshtein
+    distance ≤ ``FUZZY_MAX_DIST``, with how many parts carry each name —
+    the blocking + edit-distance-verify shape of entity resolution.
+
+    Plan: names collapse to a distinct-name dim first (one count
+    aggregation), the candidate self-join is an EQUI-join on the block
+    key (Σ block² candidates, never n²), and the edit distance runs only
+    inside blocks."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("blk", F.split("p_name", " ").getItem(1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+            F.col("a.n_parts").alias("n_a"),
+            F.col("b.n_parts").alias("n_b"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+QUERIES = {
+    "key_skew_audit": key_skew_audit,
+    "column_profile": column_profile,
+    "fuzzy_name_match": fuzzy_name_match,
+}
+
+_PROFILE_LONG_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM documents"
+    for c in PROFILE_COLS
+)
+
+ORACLES = {
+    "key_skew_audit": f"""
+        WITH c AS (
+          SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+          FROM lineitem GROUP BY l_suppkey
+        ), t AS (
+          SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c
+        ), top AS (
+          SELECT * FROM c ORDER BY n_rows DESC, l_suppkey LIMIT {SKEW_TOP}
+        )
+        SELECT l_suppkey, n_rows,
+               round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+               round(CAST(sum(n_rows) OVER (
+                       ORDER BY n_rows DESC, l_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE) / total, 6) AS cum_share,
+               CAST(row_number() OVER (ORDER BY n_rows DESC, l_suppkey)
+                    AS BIGINT) AS rank
+        FROM top CROSS JOIN t
+        ORDER BY rank
+    """,
+    "column_profile": f"""
+        WITH long AS ({_PROFILE_LONG_SQL})
+        SELECT col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(value) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+               CAST(min(length(value)) AS BIGINT) AS min_len,
+               CAST(max(length(value)) AS BIGINT) AS max_len,
+               round(CAST(sum(length(value)) AS DOUBLE) / count(value), 4)
+                 AS avg_len
+        FROM long GROUP BY col_name
+        ORDER BY col_name
+    """,
+    "fuzzy_name_match": f"""
+        WITH names AS (
+          SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+                 string_split(p_name, ' ')[2] AS blk
+          FROM part GROUP BY p_name
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               a.n_parts AS n_a, b.n_parts AS n_b
+        FROM names a JOIN names b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+        ORDER BY name_a, name_b
+    """,
+}

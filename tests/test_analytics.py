@@ -1,0 +1,236 @@
+"""Semantic invariants for the late-r7 tranche-2 operators: hybrid RRF
+retrieval, filtered vector search, time-series gap-fill / rolling /
+transitions, and the data-audit family.
+
+The DuckDB hash oracle (tools/compare.py) proves cross-engine equality;
+these tests pin the SEMANTICS each operator promises — RRF arithmetic,
+pre-filter recall sets, spine completeness and LOCF carry, RANGE-frame
+arithmetic, probability normalization, blocking correctness — plus the
+plan shapes that must survive a 100× scale-up."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from elastic_stream_spark.operators.data_audit import (
+    FUZZY_MAX_DIST,
+    SKEW_TOP,
+    column_profile,
+    fuzzy_name_match,
+    key_skew_audit,
+)
+from elastic_stream_spark.operators.retrieval_fusion import (
+    FUSE_SEEDS,
+    FUSE_TOP,
+    FV_LANG,
+    FV_TOP_K,
+    RRF_K,
+    filtered_vector_search,
+    hybrid_rrf_search,
+)
+from elastic_stream_spark.operators.timeseries import (
+    ROLL_DAYS,
+    event_transitions,
+    rolling_revenue_7d,
+    ts_gapfill_locf,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ retrieval
+
+
+def test_hybrid_rrf_scores_and_seeds(spark):
+    rows = hybrid_rrf_search(spark, SF_DIR).collect()
+    by_qid: dict = {}
+    for r in rows:
+        by_qid.setdefault(r.qid, []).append(r)
+        # a seed never retrieves itself
+        assert r.doc_id != r.qid
+        # rrf arithmetic: score == Σ 1/(K + rank) over the present arms
+        want = 0.0
+        if r.sparse_rank is not None:
+            want += 1.0 / (RRF_K + r.sparse_rank)
+        if r.dense_rank is not None:
+            want += 1.0 / (RRF_K + r.dense_rank)
+        assert r.rrf_score == pytest.approx(want, abs=1e-6)
+        # at least one arm contributed
+        assert r.sparse_rank is not None or r.dense_rank is not None
+    assert set(by_qid) == set(FUSE_SEEDS)
+    for qid, grp in by_qid.items():
+        grp.sort(key=lambda r: r.rank)
+        assert [r.rank for r in grp] == list(range(1, FUSE_TOP + 1))
+        # fused order is by score (desc), doc_id tie-break
+        scores = [r.rrf_score for r in grp]
+        assert scores == sorted(scores, reverse=True)
+        # a doc ranked #1 by BOTH arms must be fused #1 (dominance)
+        both_first = [
+            r for r in grp if r.sparse_rank == 1.0 and r.dense_rank == 1.0
+        ]
+        if both_first:
+            assert both_first[0].rank == 1
+
+
+def test_filtered_vector_search_prefilter_semantics(spark):
+    out = filtered_vector_search(spark, SF_DIR)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    en_ids = {r.doc_id for r in docs.where(f"lang = '{FV_LANG}'").collect()}
+    by_q: dict = {}
+    for r in rows:
+        assert r.neighbor_id in en_ids  # pre-filter: recall set is filtered corpus
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, grp in by_q.items():
+        grp.sort(key=lambda r: r.rank)
+        assert [r.rank for r in grp] == list(range(1, FV_TOP_K + 1))
+        cos = [r.cosine for r in grp]
+        assert cos == sorted(cos, reverse=True)
+        assert all(-1.000001 <= c <= 1.000001 for c in cos)
+
+
+# ----------------------------------------------------------- timeseries
+
+
+def test_ts_gapfill_spine_and_locf(spark):
+    rows = ts_gapfill_locf(spark, SF_DIR).collect()
+    types = {r.event_type for r in rows}
+    buckets = sorted({r.bucket for r in rows})
+    # complete rectangular spine: every type × every hour in [lo, hi]
+    n_hours = int((buckets[-1] - buckets[0]).total_seconds() // 3600) + 1
+    assert len(buckets) == n_hours
+    assert len(rows) == len(types) * n_hours
+    for t in types:
+        seq = sorted((r for r in rows if r.event_type == t), key=lambda r: r.bucket)
+        last_seen = None
+        for r in seq:
+            if r.n_events == 0:
+                # gap row: LOCF carries the previous observed average
+                assert r.avg_value_locf == last_seen
+            else:
+                assert r.avg_value_locf is not None
+                last_seen = r.avg_value_locf
+
+
+def test_rolling_revenue_range_frame(spark):
+    rows = rolling_revenue_7d(spark, SF_DIR).collect()
+    by_day = {r.order_day: r for r in rows}
+    days = sorted(by_day)
+    for d in days:
+        # RANGE frame: sum of day_revenue over calendar days in
+        # (d - ROLL_DAYS, d] — gaps shorten the frame
+        want = sum(
+            by_day[e].day_revenue
+            for e in days
+            if 0 <= (d - e).total_seconds() < ROLL_DAYS * 86400
+        )
+        assert getattr(by_day[d], f"rolling_{ROLL_DAYS}d") == pytest.approx(
+            want, abs=0.01
+        )
+    first = by_day[days[0]]
+    assert getattr(first, f"rolling_{ROLL_DAYS}d") == pytest.approx(
+        first.day_revenue, abs=0.005
+    )
+
+
+def test_event_transitions_normalized(spark):
+    rows = event_transitions(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user contributes (count - 1) transitions
+    assert sum(r.n for r in rows) == n_events - n_users
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for f_type, grp in by_from.items():
+        assert sum(r.p for r in grp) == pytest.approx(1.0, abs=0.01)
+        tot = sum(r.n for r in grp)
+        for r in grp:
+            assert r.p == pytest.approx(r.n / tot, abs=1e-4)
+
+
+# ----------------------------------------------------------- data audit
+
+
+def test_key_skew_audit_shares(spark):
+    rows = sorted(key_skew_audit(spark, SF_DIR).collect(), key=lambda r: r.rank)
+    assert len(rows) <= SKEW_TOP
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # cumulative share is monotone and consistent with per-key shares
+    cum = 0.0
+    for r in rows:
+        cum += r.share
+        assert r.cum_share == pytest.approx(cum, abs=1e-4)
+    assert rows[-1].cum_share <= 1.0 + 1e-9
+
+
+def test_column_profile_invariants(spark):
+    rows = {r.col_name: r for r in column_profile(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    assert set(rows) == {"doc_id", "lang", "n_chars", "source", "text"}
+    for r in rows.values():
+        assert r.n_rows == n
+        assert r.n_null == 0  # fixture has no nulls
+        assert r.min_len <= r.max_len
+        assert r.min_len <= r.avg_len <= r.max_len
+    assert rows["doc_id"].n_distinct == n  # primary key
+    assert rows["lang"].n_distinct <= 10
+
+
+def test_fuzzy_name_match_blocking(spark):
+    rows = fuzzy_name_match(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert r.dist <= FUZZY_MAX_DIST
+        # blocked: both names share the second token
+        assert r.name_a.split(" ")[1] == r.name_b.split(" ")[1]
+        assert r.n_a >= 1 and r.n_b >= 1
+        # sanity: reported distance is a real edit distance (symmetric,
+        # ≥ 1 for distinct names)
+        assert r.dist >= 1
+
+
+# ----------------------------------------------------------- plan shapes
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_tranche2_plans_no_cartesian(spark):
+    for fn in (
+        hybrid_rrf_search,
+        filtered_vector_search,
+        ts_gapfill_locf,
+        rolling_revenue_7d,
+        event_transitions,
+        key_skew_audit,
+        column_profile,
+        fuzzy_name_match,
+    ):
+        plan = _formatted_plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+        # BroadcastNestedLoopJoin is allowed ONLY with a broadcast side
+        # that is constant-bounded: the probe set (queries × corpus with
+        # a != predicate) or a 1-row scalar attach (bounds/total on a
+        # folded constant key).  Both are corpus-size-independent on the
+        # broadcast side; a data×data nested loop would show up as a
+        # CartesianProduct (asserted absent) because neither data side
+        # fits the broadcast threshold at scale.
+
+
+def test_fuzzy_match_blocked_join_is_equi(spark):
+    """The record-linkage candidate join must be an equi (hash) join on
+    the blocking key — a nested-loop over names would be n² at scale."""
+    plan = _formatted_plan(fuzzy_name_match(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

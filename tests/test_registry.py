@@ -59,6 +59,16 @@ NEW_QUEUED_R8 = {
     "retention_cohorts",
     "dedup_containment",
     "neardup_lookup_served",
+    # late-r7 tranche 2: hybrid retrieval / filtered ANN, time-series
+    # gap-fill + rolling + transitions, and the data-audit family
+    "hybrid_rrf_search",
+    "filtered_vector_search",
+    "ts_gapfill_locf",
+    "rolling_revenue_7d",
+    "event_transitions",
+    "key_skew_audit",
+    "column_profile",
+    "fuzzy_name_match",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,
