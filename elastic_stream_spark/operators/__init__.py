@@ -192,6 +192,9 @@ GATE_ORDER = [
     "key_skew_audit",
     "column_profile",
     "fuzzy_name_match",
+    "daily_anomaly_zscore",
+    "rfm_segments",
+    "winsorized_event_stats",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

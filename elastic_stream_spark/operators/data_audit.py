@@ -171,10 +171,57 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type value statistics: the p05/p95 winsorized
+    mean (values clipped into the percentile band before averaging)
+    plus how many rows were clipped on each side — the outlier-resistant
+    aggregate a metrics pipeline publishes when raw means are distorted
+    by heavy tails.
+
+    Plan: pass 1 computes the two exact percentiles per type (the
+    oracle-checkable baseline; the 100 TB form swaps in
+    ``approx_percentile`` — same contract as
+    relational_ext.price_quantiles_by_flag); the |types|-row band table
+    broadcasts back onto the events scan for the clip + aggregate pass.
+    Two scans, shuffles only on the tiny type key."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bands = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bands), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "v"
+        ),
+        (F.col("value") < F.col("lo")).cast("long").alias("below"),
+        (F.col("value") > F.col("hi")).cast("long").alias("above"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("lo"), 4).alias("p05"),
+            F.round(F.min("hi"), 4).alias("p95"),
+            F.round(F.avg("v"), 4).alias("winsorized_mean"),
+            F.sum("below").alias("n_clipped_low"),
+            F.sum("above").alias("n_clipped_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "key_skew_audit": key_skew_audit,
     "column_profile": column_profile,
     "fuzzy_name_match": fuzzy_name_match,
+    "winsorized_event_stats": winsorized_event_stats,
 }
 
 _PROFILE_LONG_SQL = " UNION ALL ".join(
@@ -229,5 +276,29 @@ ORACLES = {
           ON a.blk = b.blk AND a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
         ORDER BY name_a, name_b
+    """,
+    "winsorized_event_stats": f"""
+        WITH bands AS (
+          SELECT event_type,
+                 quantile_cont(value, {WINSOR_LO}) AS lo,
+                 quantile_cont(value, {WINSOR_HI}) AS hi
+          FROM events GROUP BY event_type
+        ), clipped AS (
+          SELECT e.event_type, b.lo, b.hi,
+                 least(greatest(e.value, b.lo), b.hi) AS v,
+                 CAST(e.value < b.lo AS BIGINT) AS below,
+                 CAST(e.value > b.hi AS BIGINT) AS above
+          FROM events e JOIN bands b USING (event_type)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(lo), 4) AS p05,
+               round(min(hi), 4) AS p95,
+               round(avg(v), 4) AS winsorized_mean,
+               CAST(sum(below) AS BIGINT) AS n_clipped_low,
+               CAST(sum(above) AS BIGINT) AS n_clipped_high
+        FROM clipped
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }

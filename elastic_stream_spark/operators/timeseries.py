@@ -150,10 +150,110 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_FLAG = 2.0  # |z| threshold marking a day anomalous
+
+
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the daily event series: per
+    (event_type, day) counts z-scored against that type's own
+    daily-count distribution, flagged at ``|z| ≥ Z_FLAG`` — the ops
+    alert behind traffic-drop / error-spike detection.
+
+    Determinism note: mean/variance are derived from EXACT integer
+    sums (Σn, Σn² over days are BIGINT arithmetic — no float
+    accumulation order), so both engines compute bit-identical doubles
+    from identical integers; z is rounded 4 dp.
+
+    Plan: one map-side-combinable (type, day) count, one |types|-row
+    stats rollup joined back broadcast — two shuffles total, both on
+    small keys."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_days")) / (
+        F.col("n_days") - 1
+    )
+    z = F.round((F.col("n_events") - mean) / F.sqrt(var), 4)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            z.alias("z"),
+            (F.abs(z) >= Z_FLAG).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+RFM_BUCKETS = 4
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order, vs the global max order date), Frequency (order count) and
+    Monetary (total spend) quartiled with NTILE, rolled up to segment
+    cells with customer count and average spend — the classic
+    behavioral-segmentation operator.
+
+    Determinism note: NTILE runs over CENT-ROUNDED monetary (exact tie
+    semantics in both engines) with a custkey tie-break, so bucket
+    boundaries cannot flip on float-sum noise.
+
+    Plan: one per-customer aggregation of orders; the three NTILE
+    windows run over the CUSTOMER-dimension-sized result (never raw
+    orders); final rollup is |buckets|³ cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd")).withColumn(
+        "k", F.lit(1)
+    )
+    cust = (
+        per_cust.withColumn("k", F.lit(1))
+        .join(F.broadcast(maxd), "k")
+        .withColumn("recency", F.datediff("maxd", "last_order"))
+    )
+    # constant non-foldable key: windows run over the customer dim
+    # (rationale at sources/envelope.py stream_dim)
+    const = F.pmod(F.col("o_custkey"), F.lit(1))
+    w_r = Window.partitionBy(const).orderBy("recency", "o_custkey")
+    w_f = Window.partitionBy(const).orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.partitionBy(const).orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(RFM_BUCKETS).over(w_r).cast("long").alias("r_quartile"),
+        F.ntile(RFM_BUCKETS).over(w_f).cast("long").alias("f_quartile"),
+        F.ntile(RFM_BUCKETS).over(w_m).cast("long").alias("m_quartile"),
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
 QUERIES = {
     "ts_gapfill_locf": ts_gapfill_locf,
     "rolling_revenue_7d": rolling_revenue_7d,
     "event_transitions": event_transitions,
+    "daily_anomaly_zscore": daily_anomaly_zscore,
+    "rfm_segments": rfm_segments,
 }
 
 ORACLES = {
@@ -217,5 +317,57 @@ ORACLES = {
                      / sum(n) OVER (PARTITION BY from_type), 4) AS p
         FROM trans
         ORDER BY from_type, to_type
+    """,
+    "daily_anomaly_zscore": f"""
+        WITH {EVENTS_NORM_SQL}, daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events_n GROUP BY event_type, day
+        ), stats AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(n_events) AS BIGINT) AS s1,
+                 CAST(sum(n_events * n_events) AS BIGINT) AS s2
+          FROM daily GROUP BY event_type
+        ), z AS (
+          SELECT d.event_type, d.day, d.n_events,
+                 round((d.n_events - s1 / n_days)
+                       / sqrt((s2 - s1 * s1 / n_days) / (n_days - 1)),
+                       4) AS z
+          FROM daily d JOIN stats s USING (event_type)
+        )
+        SELECT event_type, day, n_events, z,
+               abs(z) >= {Z_FLAG} AS is_anomaly
+        FROM z
+        ORDER BY event_type, day
+    """,
+    "rfm_segments": f"""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 max(o_orderdate) AS last_order,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 round(sum(o_totalprice), 2) AS monetary
+          FROM orders GROUP BY o_custkey
+        ), maxd AS (
+          SELECT max(o_orderdate) AS maxd FROM orders
+        ), scored AS (
+          SELECT o_custkey, monetary,
+                 CAST(ntile({RFM_BUCKETS}) OVER (
+                   ORDER BY datediff('day', last_order, maxd), o_custkey
+                 ) AS BIGINT) AS r_quartile,
+                 CAST(ntile({RFM_BUCKETS}) OVER (
+                   ORDER BY frequency DESC, o_custkey
+                 ) AS BIGINT) AS f_quartile,
+                 CAST(ntile({RFM_BUCKETS}) OVER (
+                   ORDER BY monetary DESC, o_custkey
+                 ) AS BIGINT) AS m_quartile
+          FROM per_cust CROSS JOIN maxd
+        )
+        SELECT r_quartile, f_quartile, m_quartile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(avg(monetary), 4) AS avg_monetary
+        FROM scored
+        GROUP BY r_quartile, f_quartile, m_quartile
+        ORDER BY r_quartile, f_quartile, m_quartile
     """,
 }

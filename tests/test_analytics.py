@@ -17,9 +17,12 @@ import pytest
 from elastic_stream_spark.operators.data_audit import (
     FUZZY_MAX_DIST,
     SKEW_TOP,
+    WINSOR_HI,
+    WINSOR_LO,
     column_profile,
     fuzzy_name_match,
     key_skew_audit,
+    winsorized_event_stats,
 )
 from elastic_stream_spark.operators.retrieval_fusion import (
     FUSE_SEEDS,
@@ -31,8 +34,12 @@ from elastic_stream_spark.operators.retrieval_fusion import (
     hybrid_rrf_search,
 )
 from elastic_stream_spark.operators.timeseries import (
+    RFM_BUCKETS,
     ROLL_DAYS,
+    Z_FLAG,
+    daily_anomaly_zscore,
     event_transitions,
+    rfm_segments,
     rolling_revenue_7d,
     ts_gapfill_locf,
 )
@@ -153,6 +160,49 @@ def test_event_transitions_normalized(spark):
             assert r.p == pytest.approx(r.n / tot, abs=1e-4)
 
 
+def test_daily_anomaly_zscore_moments(spark):
+    rows = daily_anomaly_zscore(spark, SF_DIR).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+        assert r.is_anomaly == (abs(r.z) >= Z_FLAG)
+    for t, grp in by_type.items():
+        ns = [r.n_events for r in grp]
+        mean = sum(ns) / len(ns)
+        var = sum((x - mean) ** 2 for x in ns) / (len(ns) - 1)
+        for r in grp:
+            assert r.z == pytest.approx((r.n_events - mean) / math.sqrt(var), abs=1e-3)
+        # z-scores of a sample against its own moments: mean ≈ 0
+        assert sum(r.z for r in grp) == pytest.approx(0.0, abs=0.01)
+
+
+def test_rfm_segments_partition_counts(spark):
+    rows = rfm_segments(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust  # cells partition customers
+    for r in rows:
+        for q in (r.r_quartile, r.f_quartile, r.m_quartile):
+            assert 1 <= q <= RFM_BUCKETS
+        assert r.avg_monetary > 0
+    # each R quartile holds ~n/4 customers (ntile balance)
+    per_r: dict = {}
+    for r in rows:
+        per_r[r.r_quartile] = per_r.get(r.r_quartile, 0) + r.n_customers
+    assert set(per_r) == set(range(1, RFM_BUCKETS + 1))
+    assert max(per_r.values()) - min(per_r.values()) <= 1
+
+
+def test_winsorized_event_stats_bounds(spark):
+    rows = winsorized_event_stats(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.p05 <= r.winsorized_mean <= r.p95
+        # clip fractions bracket the percentile definition
+        assert r.n_clipped_low <= r.n * WINSOR_LO + 1
+        assert r.n_clipped_high <= r.n * (1 - WINSOR_HI) + 1
+        assert r.n_clipped_low >= 0 and r.n_clipped_high >= 0
+
+
 # ----------------------------------------------------------- data audit
 
 
@@ -215,6 +265,9 @@ def test_tranche2_plans_no_cartesian(spark):
         key_skew_audit,
         column_profile,
         fuzzy_name_match,
+        daily_anomaly_zscore,
+        rfm_segments,
+        winsorized_event_stats,
     ):
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__

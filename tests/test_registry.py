@@ -69,6 +69,9 @@ NEW_QUEUED_R8 = {
     "key_skew_audit",
     "column_profile",
     "fuzzy_name_match",
+    "daily_anomaly_zscore",
+    "rfm_segments",
+    "winsorized_event_stats",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,
