@@ -120,6 +120,22 @@ HEADLINE = [
     # round 7 late: persisted-LSH-index serving path — first sample pays
     # the one-time corpus index build, best-of measures the probe
     "neardup_lookup_served",
+    # round 7 tranche 2: hybrid RRF fusion (two-ranker truncated lists),
+    # pre-filter vector search, time-series gap-fill / RANGE rolling /
+    # transitions, and the data-audit family
+    "hybrid_rrf_search",
+    "filtered_vector_search",
+    "ts_gapfill_locf",
+    "rolling_revenue_7d",
+    "event_transitions",
+    "key_skew_audit",
+    "column_profile",
+    "fuzzy_name_match",
+    # round 7 tranche 3: integer-moment anomaly z-scores, NTILE RFM
+    # segmentation, winsorized robust means
+    "daily_anomaly_zscore",
+    "rfm_segments",
+    "winsorized_event_stats",
 ]
 
 APPEND_PER_STREAM = 2_000

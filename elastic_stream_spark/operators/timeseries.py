@@ -248,12 +248,41 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: each user's
+    purchase-value changes become versioned validity intervals
+    ``[valid_from, valid_to)`` with an open-ended current row — the
+    temporal-table / dimension-versioning operator every warehouse
+    keeps next to its fact tables (the reference stores the raw
+    record stream; this derives the queryable history from it).
+
+    Plan: ONE user-partitioned window pass (lead + row_number share the
+    same sort), no self-join — the classic anti-pattern here is
+    history-vs-history range join, which this shape replaces."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("version"),
+            F.round("value", 4).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
 QUERIES = {
     "ts_gapfill_locf": ts_gapfill_locf,
     "rolling_revenue_7d": rolling_revenue_7d,
     "event_transitions": event_transitions,
     "daily_anomaly_zscore": daily_anomaly_zscore,
     "rfm_segments": rfm_segments,
+    "scd2_user_history": scd2_user_history,
 }
 
 ORACLES = {
@@ -369,5 +398,18 @@ ORACLES = {
         FROM scored
         GROUP BY r_quartile, f_quartile, m_quartile
         ORDER BY r_quartile, f_quartile, m_quartile
+    """,
+    "scd2_user_history": f"""
+        WITH {EVENTS_NORM_SQL}
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               round(value, 4) AS value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM events_n
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, version
     """,
 }

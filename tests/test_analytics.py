@@ -41,6 +41,7 @@ from elastic_stream_spark.operators.timeseries import (
     event_transitions,
     rfm_segments,
     rolling_revenue_7d,
+    scd2_user_history,
     ts_gapfill_locf,
 )
 
@@ -193,6 +194,30 @@ def test_rfm_segments_partition_counts(spark):
     assert max(per_r.values()) - min(per_r.values()) <= 1
 
 
+def test_scd2_intervals_partition_time(spark):
+    """SCD-2 invariants: per user the validity intervals tile the time
+    axis — consecutive, non-overlapping, exactly one open current row —
+    and versions are dense from 1."""
+    rows = scd2_user_history(spark, SF_DIR).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_purch = ev.where("event_type = 'purchase'").count()
+    assert len(rows) == n_purch
+    for u, grp in by_user.items():
+        grp.sort(key=lambda r: r.version)
+        assert [r.version for r in grp] == list(range(1, len(grp) + 1))
+        currents = [r for r in grp if r.is_current]
+        assert len(currents) == 1 and currents[0] is grp[-1]
+        assert grp[-1].valid_to is None
+        for a, b in zip(grp, grp[1:]):
+            assert a.valid_to == b.valid_from  # tiling, no gaps/overlap
+            # <=: equal-timestamp purchases make a legitimate
+            # zero-length version (tie broken by event_id)
+            assert a.valid_from <= a.valid_to
+
+
 def test_winsorized_event_stats_bounds(spark):
     rows = winsorized_event_stats(spark, SF_DIR).collect()
     for r in rows:
@@ -268,6 +293,7 @@ def test_tranche2_plans_no_cartesian(spark):
         daily_anomaly_zscore,
         rfm_segments,
         winsorized_event_stats,
+        scd2_user_history,
     ):
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__

@@ -72,6 +72,7 @@ NEW_QUEUED_R8 = {
     "daily_anomaly_zscore",
     "rfm_segments",
     "winsorized_event_stats",
+    "scd2_user_history",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,

@@ -109,6 +109,19 @@ PROBE = [
     "retention_cohorts",
     "dedup_containment",
     "neardup_lookup_served",
+    # round 7 tranche 2/3: hybrid retrieval, filtered ANN, time-series,
+    # data audits, anomaly / segmentation / robust stats
+    "hybrid_rrf_search",
+    "filtered_vector_search",
+    "ts_gapfill_locf",
+    "rolling_revenue_7d",
+    "event_transitions",
+    "key_skew_audit",
+    "column_profile",
+    "fuzzy_name_match",
+    "daily_anomaly_zscore",
+    "rfm_segments",
+    "winsorized_event_stats",
 ]
 
 
