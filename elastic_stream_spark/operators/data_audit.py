@@ -193,13 +193,23 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
         F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
     )
+    # determinism: the mean is the UNROUNDED double of an exact-integer
+    # division — values are cent-precise and the interpolated p05/p95
+    # bounds are milli-precise, so milli-scaled clipped values sum as
+    # exact integers in both engines (round() on a division result is
+    # banned: ratios of small integers can land exactly on a decimal
+    # rounding tie where Spark's HALF_UP and DuckDB's binary rounding
+    # disagree — see operators/timeseries.py, determinism note)
     clipped = ev.join(F.broadcast(bands), "event_type").select(
         "event_type",
         "lo",
         "hi",
-        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
-            "v"
-        ),
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            * 1000
+        )
+        .cast("long")
+        .alias("v_milli"),
         (F.col("value") < F.col("lo")).cast("long").alias("below"),
         (F.col("value") > F.col("hi")).cast("long").alias("above"),
     )
@@ -209,7 +219,9 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.min("lo"), 4).alias("p05"),
             F.round(F.min("hi"), 4).alias("p95"),
-            F.round(F.avg("v"), 4).alias("winsorized_mean"),
+            (F.sum("v_milli") / (F.lit(1000) * F.count("*"))).alias(
+                "winsorized_mean"
+            ),
             F.sum("below").alias("n_clipped_low"),
             F.sum("above").alias("n_clipped_high"),
         )
@@ -285,7 +297,8 @@ ORACLES = {
           FROM events GROUP BY event_type
         ), clipped AS (
           SELECT e.event_type, b.lo, b.hi,
-                 least(greatest(e.value, b.lo), b.hi) AS v,
+                 CAST(round(least(greatest(e.value, b.lo), b.hi) * 1000)
+                      AS BIGINT) AS v_milli,
                  CAST(e.value < b.lo AS BIGINT) AS below,
                  CAST(e.value > b.hi AS BIGINT) AS above
           FROM events e JOIN bands b USING (event_type)
@@ -294,7 +307,8 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n,
                round(min(lo), 4) AS p05,
                round(min(hi), 4) AS p95,
-               round(avg(v), 4) AS winsorized_mean,
+               CAST(sum(v_milli) AS BIGINT)
+                 / (1000 * count(*)) AS winsorized_mean,
                CAST(sum(below) AS BIGINT) AS n_clipped_low,
                CAST(sum(above) AS BIGINT) AS n_clipped_high
         FROM clipped

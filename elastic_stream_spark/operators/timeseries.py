@@ -28,9 +28,17 @@ Scale notes (100 TB):
   shuffle, bounded per-user state); transition counts are one
   map-side-combinable aggregation over (from, to) pairs — |types|²
   output rows.
-- Cross-engine determinism: averages/probabilities are rounded (4 dp)
-  BEFORE any carry-forward or ranking so both engines propagate
-  identical doubles; counts stay integral end-to-end.
+- Cross-engine determinism: counts stay integral end-to-end, and every
+  published ratio is the UNROUNDED double of an exact-integer division
+  (cent/milli-scaled sums ÷ counts) — both engines divide identical
+  integers, so the doubles are bit-identical.  ``round()`` on a
+  division result is banned here: a ratio of small integers can land
+  EXACTLY on a decimal rounding tie (e.g. 123627/2400 = 51.51125),
+  where Spark (BigDecimal of the shortest string, HALF_UP) and DuckDB
+  (binary ×10^k then nearbyint) legitimately disagree — caught live by
+  the sf0.1 gate on the gap-fill average.  Rounding exact-decimal
+  VALUES (2-dp money, 3-dp interpolated bounds) stays safe because
+  they can never sit on a deeper-decimal tie.
 """
 
 from __future__ import annotations
@@ -57,9 +65,15 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "bucket", F.date_trunc("hour", "ts")
     )
+    # value is cent-precise in the fixture: sum exact integer cents,
+    # divide once — bit-identical doubles in both engines (module
+    # docstring, determinism note)
     hourly = ev.groupBy("event_type", "bucket").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (F.lit(100) * F.count("*"))
+        ).alias("avg_value"),
     )
     bounds = ev.agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
@@ -142,10 +156,9 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trans = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
     w_from = Window.partitionBy("from_type")
+    # unrounded exact-int division (module docstring, determinism note)
     return (
-        trans.withColumn(
-            "p", F.round(F.col("n") / F.sum("n").over(w_from), 4)
-        )
+        trans.withColumn("p", F.col("n") / F.sum("n").over(w_from))
         .orderBy("from_type", "to_type")
     )
 
@@ -238,11 +251,16 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(RFM_BUCKETS).over(w_f).cast("long").alias("f_quartile"),
         F.ntile(RFM_BUCKETS).over(w_m).cast("long").alias("m_quartile"),
     )
+    # cent-exact average: unrounded exact-int division (module
+    # docstring, determinism note)
     return (
         scored.groupBy("r_quartile", "f_quartile", "m_quartile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+            (
+                F.sum(F.round(F.col("monetary") * 100).cast("long"))
+                / (F.lit(100) * F.count("*"))
+            ).alias("avg_monetary"),
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )
@@ -289,7 +307,9 @@ ORACLES = {
     "ts_gapfill_locf": f"""
         WITH {EVENTS_NORM_SQL}, hourly AS (
           SELECT event_type, date_trunc('hour', ts) AS bucket,
-                 count(*) AS n, round(avg(value), 4) AS avg_value
+                 count(*) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   / (100 * count(*)) AS avg_value
           FROM events_n GROUP BY event_type, bucket
         ), bounds AS (
           SELECT min(date_trunc('hour', ts)) AS lo,
@@ -342,8 +362,8 @@ ORACLES = {
           GROUP BY from_type, to_type
         )
         SELECT from_type, to_type, n,
-               round(CAST(n AS DOUBLE)
-                     / sum(n) OVER (PARTITION BY from_type), 4) AS p
+               CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type) AS p
         FROM trans
         ORDER BY from_type, to_type
     """,
@@ -394,7 +414,8 @@ ORACLES = {
         )
         SELECT r_quartile, f_quartile, m_quartile,
                CAST(count(*) AS BIGINT) AS n_customers,
-               round(avg(monetary), 4) AS avg_monetary
+               CAST(sum(CAST(round(monetary * 100) AS BIGINT)) AS BIGINT)
+                 / (100 * count(*)) AS avg_monetary
         FROM scored
         GROUP BY r_quartile, f_quartile, m_quartile
         ORDER BY r_quartile, f_quartile, m_quartile
