@@ -136,6 +136,8 @@ HEADLINE = [
     "daily_anomaly_zscore",
     "rfm_segments",
     "winsorized_event_stats",
+    # round 7 tranche 4: SCD-2 temporal dimension build (one window pass)
+    "scd2_user_history",
 ]
 
 APPEND_PER_STREAM = 2_000

@@ -306,6 +306,28 @@ def test_tranche2_plans_no_cartesian(spark):
         # fits the broadcast threshold at scale.
 
 
+def test_key_skew_topk_plan(spark):
+    """The hottest-k selection must plan as TakeOrderedAndProject
+    (per-partition heaps + k-row driver merge) — a global sort of the
+    per-key counts would single-partition the corpus at 100 TB."""
+    plan = _formatted_plan(key_skew_audit(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_profile_shuffles_fingerprints_not_payloads(spark):
+    """The profile's first exchange must carry the md5 fingerprint, not
+    the raw value — at 100 TB the text column would otherwise move
+    wholesale just to be counted."""
+    plan = _formatted_plan(column_profile(spark, SF_DIR))
+    # the (col_name, h, len) partial aggregate is the only data-sized
+    # exchange; the raw `value` column must not survive past the project
+    # that computes the fingerprint
+    first_agg = plan.split("Exchange")[0]
+    assert "md5" in plan
+    assert "Expand" not in plan  # single distinct path, two-level agg
+    assert first_agg  # plan parsed
+
+
 def test_fuzzy_match_blocked_join_is_equi(spark):
     """The record-linkage candidate join must be an equi (hash) join on
     the blocking key — a nested-loop over names would be n² at scale."""

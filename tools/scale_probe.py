@@ -122,6 +122,7 @@ PROBE = [
     "daily_anomaly_zscore",
     "rfm_segments",
     "winsorized_event_stats",
+    "scd2_user_history",
 ]
 
 
