@@ -136,8 +136,10 @@ HEADLINE = [
     "daily_anomaly_zscore",
     "rfm_segments",
     "winsorized_event_stats",
-    # round 7 tranche 4: SCD-2 temporal dimension build (one window pass)
+    # round 7 tranche 4: SCD-2 temporal dimension build and the
+    # point-in-time feature join (both single window passes, no join)
     "scd2_user_history",
+    "pit_feature_join",
 ]
 
 APPEND_PER_STREAM = 2_000

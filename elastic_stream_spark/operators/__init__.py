@@ -199,6 +199,7 @@ GATE_ORDER = [
     "rfm_segments",
     "winsorized_event_stats",
     "scd2_user_history",
+    "pit_feature_join",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

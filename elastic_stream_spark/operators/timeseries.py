@@ -294,6 +294,57 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join: each click event gets the user's
+    last purchase value AND purchase count as of that click's timestamp
+    (inclusive) — the feature-store lookup that prevents label leakage
+    (training features must reflect only what was known at event time).
+
+    Plan: NO join at all — purchases and clicks union into one stream
+    and a single user-partitioned window pass (ignorenulls ``last`` +
+    running count) carries the feature forward; the classic
+    merge-as-of-via-union shape.  At 100 TB this is one shuffle on
+    user_id versus the per-event probe join a naive PIT lookup does.
+    Equal-timestamp ties resolve purchase-before-click via a kind
+    column in the sort key (inclusive as-of), identically in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.round("value", 4).alias("pvalue"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"), F.lit(None).cast("double").alias("pvalue")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last("pvalue", ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.count("pvalue").over(w).alias("purchases_before"),
+    )
+    return (
+        merged.where(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "last_purchase_value",
+            "purchases_before",
+        )
+        .orderBy("click_id")
+    )
+
+
 QUERIES = {
     "ts_gapfill_locf": ts_gapfill_locf,
     "rolling_revenue_7d": rolling_revenue_7d,
@@ -301,6 +352,7 @@ QUERIES = {
     "daily_anomaly_zscore": daily_anomaly_zscore,
     "rfm_segments": rfm_segments,
     "scd2_user_history": scd2_user_history,
+    "pit_feature_join": pit_feature_join,
 }
 
 ORACLES = {
@@ -432,5 +484,28 @@ ORACLES = {
         WHERE event_type = 'purchase'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, version
+    """,
+    "pit_feature_join": f"""
+        WITH {EVENTS_NORM_SQL}, merged AS (
+          SELECT user_id, ts, event_id, 0 AS kind,
+                 round(value, 4) AS pvalue
+          FROM events_n WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, event_id, 1 AS kind,
+                 CAST(NULL AS DOUBLE) AS pvalue
+          FROM events_n WHERE event_type = 'click'
+        ), carried AS (
+          SELECT user_id, ts, event_id, kind,
+                 last_value(pvalue IGNORE NULLS) OVER w
+                   AS last_purchase_value,
+                 CAST(count(pvalue) OVER w AS BIGINT) AS purchases_before
+          FROM merged
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id AS click_id, user_id, ts AS click_ts,
+               last_purchase_value, purchases_before
+        FROM carried WHERE kind = 1
+        ORDER BY click_id
     """,
 }

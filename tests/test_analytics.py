@@ -39,6 +39,7 @@ from elastic_stream_spark.operators.timeseries import (
     Z_FLAG,
     daily_anomaly_zscore,
     event_transitions,
+    pit_feature_join,
     rfm_segments,
     rolling_revenue_7d,
     scd2_user_history,
@@ -218,6 +219,31 @@ def test_scd2_intervals_partition_time(spark):
             assert a.valid_from <= a.valid_to
 
 
+def test_pit_feature_join_no_leakage(spark):
+    """Point-in-time correctness: the attached feature must equal the
+    user's last purchase AT OR BEFORE the click — recomputed naively
+    from the raw events — and never reflect a later purchase."""
+    rows = pit_feature_join(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    purch: dict = {}
+    for e in ev:
+        if e.event_type == "purchase":
+            purch.setdefault(e.user_id, []).append(e)
+    for ps in purch.values():
+        ps.sort(key=lambda e: (e.ts, e.event_id))
+    n_clicks = sum(1 for e in ev if e.event_type == "click")
+    assert len(rows) == n_clicks
+    for r in rows:
+        past = [p for p in purch.get(r.user_id, []) if p.ts <= r.click_ts]
+        assert r.purchases_before == len(past)
+        if past:
+            assert r.last_purchase_value == pytest.approx(
+                round(past[-1].value, 4), abs=1e-9
+            )
+        else:
+            assert r.last_purchase_value is None
+
+
 def test_winsorized_event_stats_bounds(spark):
     rows = winsorized_event_stats(spark, SF_DIR).collect()
     for r in rows:
@@ -294,6 +320,7 @@ def test_tranche2_plans_no_cartesian(spark):
         rfm_segments,
         winsorized_event_stats,
         scd2_user_history,
+        pit_feature_join,
     ):
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__

@@ -73,6 +73,7 @@ NEW_QUEUED_R8 = {
     "rfm_segments",
     "winsorized_event_stats",
     "scd2_user_history",
+    "pit_feature_join",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,

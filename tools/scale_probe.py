@@ -123,6 +123,7 @@ PROBE = [
     "rfm_segments",
     "winsorized_event_stats",
     "scd2_user_history",
+    "pit_feature_join",
 ]
 
 
