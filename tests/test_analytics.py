@@ -244,6 +244,51 @@ def test_pit_feature_join_no_leakage(spark):
             assert r.last_purchase_value is None
 
 
+def test_pit_and_scd2_edge_corpus(spark, workdir):
+    """Adversarial micro-fixture: equal-timestamp purchase+click (the
+    inclusive-as-of tie), a user with clicks but no purchases (NULL
+    feature, zero count), a user with purchases only (no output), and
+    a double purchase at the same instant (zero-length SCD-2 version)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # u1: purchase and click at the SAME instant → click sees it
+        (1, t0, 1, "purchase", 10.0, "{}"),
+        (2, t0, 1, "click", 0.0, "{}"),
+        # u2: click only → NULL feature, purchases_before = 0
+        (3, t0, 2, "click", 0.0, "{}"),
+        # u3: purchase only → no click row emitted
+        (4, t0, 3, "purchase", 7.0, "{}"),
+        # u4: two purchases at the same instant, then a click →
+        # zero-length first SCD version; click sees the later (by
+        # event_id) purchase value
+        (5, t0, 4, "purchase", 1.0, "{}"),
+        (6, t0, 4, "purchase", 2.0, "{}"),
+        (7, t0 + dt.timedelta(hours=1), 4, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{workdir}/events.parquet")
+
+    pit = {r.click_id: r for r in pit_feature_join(spark, workdir).collect()}
+    assert set(pit) == {2, 3, 7}
+    assert pit[2].last_purchase_value == 10.0 and pit[2].purchases_before == 1
+    assert pit[3].last_purchase_value is None and pit[3].purchases_before == 0
+    assert pit[7].last_purchase_value == 2.0 and pit[7].purchases_before == 2
+
+    scd = {}
+    for r in scd2_user_history(spark, workdir).collect():
+        scd.setdefault(r.user_id, []).append(r)
+    assert set(scd) == {1, 3, 4}
+    u4 = sorted(scd[4], key=lambda r: r.version)
+    assert [r.value for r in u4] == [1.0, 2.0]
+    assert u4[0].valid_from == u4[0].valid_to  # zero-length version
+    assert u4[1].is_current and u4[1].valid_to is None
+
+
 def test_winsorized_event_stats_bounds(spark):
     rows = winsorized_event_stats(spark, SF_DIR).collect()
     for r in rows:
