@@ -290,10 +290,12 @@ def main() -> None:
         fn = qs[name]
         samples: list[float] = []
         rows = 0
-        # best-of-2, escalating to best-of-3 when the first two runs
-        # spread past 2× (host hiccup): the third sample makes the
-        # reported best trustworthy without cross-referencing SCALE.md
-        while len(samples) < 3:
+        # best-of-2, escalating up to best-of-5 while the spread stays
+        # past 2× (host hiccup): on a stall-free host this costs
+        # nothing (two samples, done); on a stalling host the extra
+        # samples recover the engine's true cost, and the recorded
+        # spread + raw samples keep the contention self-evident
+        while len(samples) < 5:
             # release prior queries' localCheckpoint RDDs: the Python-side
             # DataFrame refs must be GC'd before Spark's ContextCleaner can
             # drop the materialized blocks from the block manager —
