@@ -140,6 +140,9 @@ HEADLINE = [
     # point-in-time feature join (both single window passes, no join)
     "scd2_user_history",
     "pit_feature_join",
+    # round 7 tranche 4: JSONL source round-trip audit (first sample
+    # pays the one-time export; best-of measures the splittable read)
+    "jsonl_roundtrip_audit",
 ]
 
 APPEND_PER_STREAM = 2_000

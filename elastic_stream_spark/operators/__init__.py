@@ -200,6 +200,7 @@ GATE_ORDER = [
     "winsorized_event_stats",
     "scd2_user_history",
     "pit_feature_join",
+    "jsonl_roundtrip_audit",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_ann_ivf",

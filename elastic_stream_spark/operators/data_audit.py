@@ -229,11 +229,63 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one JSONL export per (application, corpus) — the ingest fixture the
+# round-trip audit reads; same memo discipline as dedup's LSH index
+_JSONL_CACHE: dict[tuple, str] = {}
+
+JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _documents_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _JSONL_CACHE:
+        d = tempfile.mkdtemp(prefix="esspark-jsonl-")
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").json(d)
+        _JSONL_CACHE[key] = d
+    return _JSONL_CACHE[key]
+
+
+def jsonl_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-ingest audit for the JSONL source path: documents are
+    exported once to JSON-lines (the interchange format most text
+    pipelines ingest), read back with an EXPLICIT schema (no inference
+    scan — at 100 TB schema inference is a second full read), and
+    fingerprinted per (source, lang); the DuckDB oracle computes the
+    same fingerprints from the original parquet, so any encode/decode
+    mangling (unicode escapes, embedded quotes/newlines, integer
+    widening) breaks the hash.
+
+    Plan: JSONL is line-splittable, so the read parallelizes like
+    parquet minus column pruning; one map-side-combinable aggregation.
+    The md5-distinct fingerprint shuffles 32-hex strings, never text
+    (the column_profile discipline)."""
+    docs = spark.read.schema(JSONL_SCHEMA).json(
+        _documents_jsonl_dir(spark, sf_dir)
+    )
+    g = docs.groupBy("source", "lang", F.md5("text").alias("h")).agg(
+        F.count("*").alias("c"), F.sum("n_chars").alias("chars")
+    )
+    return (
+        g.groupBy("source", "lang")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count("*").alias("n_distinct_text"),
+            F.sum("chars").alias("sum_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 QUERIES = {
     "key_skew_audit": key_skew_audit,
     "column_profile": column_profile,
     "fuzzy_name_match": fuzzy_name_match,
     "winsorized_event_stats": winsorized_event_stats,
+    "jsonl_roundtrip_audit": jsonl_roundtrip_audit,
 }
 
 _PROFILE_LONG_SQL = " UNION ALL ".join(
@@ -314,5 +366,21 @@ ORACLES = {
         FROM clipped
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    # oracle reads the ORIGINAL parquet — equality proves the JSONL
+    # export/read cycle was byte-lossless
+    "jsonl_roundtrip_audit": """
+        WITH g AS (
+          SELECT source, lang, md5(text) AS h,
+                 count(*) AS c,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY source, lang, h
+        )
+        SELECT source, lang,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct_text,
+               CAST(sum(chars) AS BIGINT) AS sum_chars
+        FROM g GROUP BY source, lang
+        ORDER BY source, lang
     """,
 }

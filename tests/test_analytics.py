@@ -329,6 +329,31 @@ def test_column_profile_invariants(spark):
     assert rows["lang"].n_distinct <= 10
 
 
+def test_jsonl_roundtrip_totals_and_schema(spark):
+    """The JSONL ingest audit must account for every document exactly
+    once, and the explicit-schema read must not grow an inference or
+    corrupt-record column."""
+    from elastic_stream_spark.operators.data_audit import (
+        JSONL_SCHEMA,
+        _documents_jsonl_dir,
+        jsonl_roundtrip_audit,
+    )
+
+    out = jsonl_roundtrip_audit(spark, SF_DIR)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.sum_chars for r in rows) == (
+        docs.agg({"n_chars": "sum"}).collect()[0][0]
+    )
+    back = spark.read.schema(JSONL_SCHEMA).json(
+        _documents_jsonl_dir(spark, SF_DIR)
+    )
+    assert [f.name for f in back.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+
+
 def test_fuzzy_name_match_blocking(spark):
     rows = fuzzy_name_match(spark, SF_DIR).collect()
     for r in rows:

@@ -74,6 +74,7 @@ NEW_QUEUED_R8 = {
     "winsorized_event_stats",
     "scd2_user_history",
     "pit_feature_join",
+    "jsonl_roundtrip_audit",
 }
 
 # Never driver-checked before r7: the six r6-late corpus-prep queries,

@@ -124,6 +124,7 @@ PROBE = [
     "winsorized_event_stats",
     "scd2_user_history",
     "pit_feature_join",
+    "jsonl_roundtrip_audit",
 ]
 
 
