@@ -155,20 +155,24 @@ GATE_ORDER = [
     # (dedup_ngram_jaccard / dedup_embedding_lsh were displaced from the
     # window by the two never-checked r7 additions — both r6-green, so
     # the displacement is policy-clean.)
-    # --- NEW_QUEUED_R8: the 29 r7-late additions — tranche 1 (quota
+    # --- NEW_QUEUED_R8: the 32 r7-late additions — tranche 1 (quota
     # cap, JL projection, split/shard + quality tiers, int8 audit,
     # substring scrub, temperature mix, BM25, PMI, funnel, stream-join
     # replay, split-leakage audit, norm outliers, near-dup lookup
     # inline+served, windowed distinct, retention cohorts, containment
     # dedup), tranche 2 (hybrid RRF fusion, filtered vector search,
     # gap-fill LOCF, RANGE rolling, event transitions, key-skew audit,
-    # column profile, fuzzy linkage) and tranche 3 (anomaly z-scores,
-    # RFM segments, winsorized stats) landed after the 50-row window
-    # was already fully claimed by never-checked/changed queries; each
-    # carries strict full-gate evidence this round
-    # (CORRECTNESS_FULL_r07*.json, both sf) and tests/test_registry.py
-    # pins their rotation into the r8 window — the same
-    # queue-then-rotate path the six r6-late corpus-prep queries took.
+    # column profile, fuzzy linkage), tranche 3 (anomaly z-scores,
+    # RFM segments, winsorized stats) and tranche 4 (SCD-2 history,
+    # point-in-time feature join, JSONL round-trip audit) landed after
+    # the 50-row window was already fully claimed by
+    # never-checked/changed queries; each carries strict full-gate
+    # evidence this round (CORRECTNESS_FULL_r07*.json, both sf — all
+    # 124 hash-green) and tests/test_registry.py pins their rotation
+    # into the r8 window — the same queue-then-rotate path the six
+    # r6-late corpus-prep queries took.  With 32 queued, the r8 window
+    # fills from this block head-first (changed/new-in-r8 queries still
+    # preempt); the remainder rides the alternation one more round.
     "source_cap_sample",
     "emb_random_project",
     "corpus_split_shards",
