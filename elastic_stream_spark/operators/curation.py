@@ -162,7 +162,7 @@ def pipeline_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_total"),
             F.sum("kept").alias("n_kept"),
-            F.round(F.sum("kept") / F.count("*"), 4).alias("kept_frac"),
+            (F.sum("kept") / F.count("*")).alias("kept_frac"),
         )
         .orderBy("source")
     )
@@ -305,10 +305,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.select(
             "doc_id",
             "n_tokens",
-            F.round((F.col("n2") - F.col("d2")) / F.col("n2"), 6).alias(
-                "dup_2gram_frac"
-            ),
-            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_tok_frac"),
+            ((F.col("n2") - F.col("d2")) / F.col("n2")).alias("dup_2gram_frac"),
+            (F.col("top_c") / F.col("n_tokens")).alias("top_tok_frac"),
         )
         .withColumn(
             "flagged",
@@ -496,7 +494,7 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("n_total"), 6).alias("p_raw"),
+            (F.col("n_tokens") / F.col("n_total")).alias("p_raw"),
             F.round(F.col("na") / F.col("sum_na"), 6).alias("weight"),
             F.round(
                 (F.col("na") / F.col("sum_na"))
@@ -601,7 +599,7 @@ ORACLES = {
           FROM documents
         )
         SELECT source, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
-               round(sum(kept) * 1.0 / count(*), 4) AS kept_frac
+               sum(kept) * 1.0 / count(*) AS kept_frac
         FROM gated GROUP BY source ORDER BY source
     """,
     "text_pii_redact": f"""
@@ -643,8 +641,8 @@ ORACLES = {
           SELECT doc_id, max(c) AS top_c FROM tok_counts GROUP BY doc_id
         ), fr AS (
           SELECT s.doc_id, s.n_tokens,
-                 round((s.n2 - s.d2) * 1.0 / s.n2, 6) AS dup_2gram_frac,
-                 round(t.top_c * 1.0 / s.n_tokens, 6) AS top_tok_frac
+                 (s.n2 - s.d2) * 1.0 / s.n2 AS dup_2gram_frac,
+                 t.top_c * 1.0 / s.n_tokens AS top_tok_frac
           FROM stats s JOIN top t ON s.doc_id = t.doc_id
         )
         SELECT doc_id, n_tokens, dup_2gram_frac, top_tok_frac,
@@ -741,7 +739,7 @@ ORACLES = {
           FROM per
         )
         SELECT source, n_tokens,
-               round(n_tokens * 1.0 / n_total, 6) AS p_raw,
+               n_tokens * 1.0 / n_total AS p_raw,
                round(pow(n_tokens, {MIX_ALPHA}) / sum_na, 6) AS weight,
                round((pow(n_tokens, {MIX_ALPHA}) / sum_na)
                      / (n_tokens * 1.0 / n_total), 4) AS boost

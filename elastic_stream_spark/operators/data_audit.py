@@ -69,10 +69,12 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_suppkey",
             "n_rows",
-            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
-            F.round(F.sum("n_rows").over(wsum) / F.col("total"), 6).alias(
-                "cum_share"
-            ),
+            # determinism: UNROUNDED exact-integer divisions — BIGINT/BIGINT
+            # is one correctly-rounded IEEE op, bit-identical across engines;
+            # round() on such ratios can land on a decimal tie where Spark
+            # HALF_UP and DuckDB nearbyint disagree (timeseries.py note)
+            (F.col("n_rows") / F.col("total")).alias("share"),
+            (F.sum("n_rows").over(wsum) / F.col("total")).alias("cum_share"),
             F.row_number().over(wrank).cast("long").alias("rank"),
         )
         .orderBy("rank")
@@ -127,9 +129,8 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.min("len").cast("long").alias("min_len"),
             F.max("len").cast("long").alias("max_len"),
-            F.round(F.sum(F.col("len") * F.col("c")) / F.sum(nn), 4).alias(
-                "avg_len"
-            ),
+            # determinism: unrounded exact-integer division (see key_skew_audit)
+            (F.sum(F.col("len") * F.col("c")) / F.sum(nn)).alias("avg_len"),
         )
         .orderBy("col_name")
     )
@@ -188,38 +189,45 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational_ext.price_quantiles_by_flag); the |types|-row band table
     broadcasts back onto the events scan for the clip + aggregate pass.
     Two scans, shuffles only on the tiny type key."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    bands = ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
-        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
-    )
-    # determinism: the mean is the UNROUNDED double of an exact-integer
-    # division — values are cent-precise and the interpolated p05/p95
-    # bounds are milli-precise, so milli-scaled clipped values sum as
-    # exact integers in both engines (round() on a division result is
-    # banned: ratios of small integers can land exactly on a decimal
-    # rounding tie where Spark's HALF_UP and DuckDB's binary rounding
-    # disagree — see operators/timeseries.py, determinism note)
-    clipped = ev.join(F.broadcast(bands), "event_type").select(
+    # determinism (r7 ADVICE): everything runs on an EXACT integer grid.
+    # ``value`` is cent-precise, so round(value*100) is never near a .5
+    # tie; the interpolated percentile of integer cents at a 0.05-multiple
+    # fraction is a multiple of 0.05 cents (± float eps ≪ 0.5 milli-cent),
+    # so round(*1000) snaps both engines to the SAME milli-cent integer
+    # bound.  Clipping, the clip counters and the mean numerator are then
+    # pure BIGINT arithmetic; each published double is ONE division of
+    # exact integers — bit-identical across engines, no round() anywhere
+    # on a ratio (timeseries.py determinism note).
+    evc = load_table(spark, sf_dir, "events").select(
         "event_type",
-        "lo",
-        "hi",
-        F.round(
-            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
-            * 1000
-        )
+        F.round(F.col("value") * 100).cast("long").alias("v_cent"),
+    )
+    bands = evc.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(v_cent, {WINSOR_LO})") * 1000)
         .cast("long")
-        .alias("v_milli"),
-        (F.col("value") < F.col("lo")).cast("long").alias("below"),
-        (F.col("value") > F.col("hi")).cast("long").alias("above"),
+        .alias("lo_mc"),
+        F.round(F.expr(f"percentile(v_cent, {WINSOR_HI})") * 1000)
+        .cast("long")
+        .alias("hi_mc"),
+    )
+    v_mc_raw = F.col("v_cent") * 1000
+    clipped = evc.join(F.broadcast(bands), "event_type").select(
+        "event_type",
+        "lo_mc",
+        "hi_mc",
+        F.least(F.greatest(v_mc_raw, F.col("lo_mc")), F.col("hi_mc")).alias(
+            "v_mc"
+        ),
+        (v_mc_raw < F.col("lo_mc")).cast("long").alias("below"),
+        (v_mc_raw > F.col("hi_mc")).cast("long").alias("above"),
     )
     return (
         clipped.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("lo"), 4).alias("p05"),
-            F.round(F.min("hi"), 4).alias("p95"),
-            (F.sum("v_milli") / (F.lit(1000) * F.count("*"))).alias(
+            (F.min("lo_mc") / F.lit(100000)).alias("p05"),
+            (F.min("hi_mc") / F.lit(100000)).alias("p95"),
+            (F.sum("v_mc") / (F.lit(100000) * F.count("*"))).alias(
                 "winsorized_mean"
             ),
             F.sum("below").alias("n_clipped_low"),
@@ -304,11 +312,11 @@ ORACLES = {
           SELECT * FROM c ORDER BY n_rows DESC, l_suppkey LIMIT {SKEW_TOP}
         )
         SELECT l_suppkey, n_rows,
-               round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
-               round(CAST(sum(n_rows) OVER (
+               CAST(n_rows AS DOUBLE) / total AS share,
+               CAST(sum(n_rows) OVER (
                        ORDER BY n_rows DESC, l_suppkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS DOUBLE) / total, 6) AS cum_share,
+                     ) AS DOUBLE) / total AS cum_share,
                CAST(row_number() OVER (ORDER BY n_rows DESC, l_suppkey)
                     AS BIGINT) AS rank
         FROM top CROSS JOIN t
@@ -322,8 +330,7 @@ ORACLES = {
                CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
                CAST(min(length(value)) AS BIGINT) AS min_len,
                CAST(max(length(value)) AS BIGINT) AS max_len,
-               round(CAST(sum(length(value)) AS DOUBLE) / count(value), 4)
-                 AS avg_len
+               CAST(sum(length(value)) AS DOUBLE) / count(value) AS avg_len
         FROM long GROUP BY col_name
         ORDER BY col_name
     """,
@@ -342,25 +349,30 @@ ORACLES = {
         ORDER BY name_a, name_b
     """,
     "winsorized_event_stats": f"""
-        WITH bands AS (
+        WITH c AS (
           SELECT event_type,
-                 quantile_cont(value, {WINSOR_LO}) AS lo,
-                 quantile_cont(value, {WINSOR_HI}) AS hi
-          FROM events GROUP BY event_type
+                 CAST(round(value * 100) AS BIGINT) AS v_cent
+          FROM events
+        ), bands AS (
+          SELECT event_type,
+                 CAST(round(quantile_cont(v_cent, {WINSOR_LO}) * 1000)
+                      AS BIGINT) AS lo_mc,
+                 CAST(round(quantile_cont(v_cent, {WINSOR_HI}) * 1000)
+                      AS BIGINT) AS hi_mc
+          FROM c GROUP BY event_type
         ), clipped AS (
-          SELECT e.event_type, b.lo, b.hi,
-                 CAST(round(least(greatest(e.value, b.lo), b.hi) * 1000)
-                      AS BIGINT) AS v_milli,
-                 CAST(e.value < b.lo AS BIGINT) AS below,
-                 CAST(e.value > b.hi AS BIGINT) AS above
-          FROM events e JOIN bands b USING (event_type)
+          SELECT c.event_type, b.lo_mc, b.hi_mc,
+                 least(greatest(c.v_cent * 1000, b.lo_mc), b.hi_mc) AS v_mc,
+                 CAST(c.v_cent * 1000 < b.lo_mc AS BIGINT) AS below,
+                 CAST(c.v_cent * 1000 > b.hi_mc AS BIGINT) AS above
+          FROM c JOIN bands b USING (event_type)
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
-               round(min(lo), 4) AS p05,
-               round(min(hi), 4) AS p95,
-               CAST(sum(v_milli) AS BIGINT)
-                 / (1000 * count(*)) AS winsorized_mean,
+               min(lo_mc) / 100000 AS p05,
+               min(hi_mc) / 100000 AS p95,
+               CAST(sum(v_mc) AS BIGINT)
+                 / (100000 * count(*)) AS winsorized_mean,
                CAST(sum(below) AS BIGINT) AS n_clipped_low,
                CAST(sum(above) AS BIGINT) AS n_clipped_high
         FROM clipped

@@ -98,7 +98,11 @@ def _verify_jaccard(sh: DataFrame, candidates: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("common") / union_sz, 6).alias("jaccard"),
+            # determinism: UNROUNDED exact-integer division — bit-identical
+            # IEEE doubles in Spark and DuckDB; round() on an int/int ratio
+            # can land exactly on a decimal tie where the engines' rounding
+            # modes disagree (see operators/timeseries.py determinism note)
+            (F.col("common") / union_sz).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -207,7 +211,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(inner_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
                 "outer_doc"
             ),
-            F.round(F.col("common") / n_min, 6).alias("containment"),
+            (F.col("common") / n_min).alias("containment"),
         )
         .orderBy("inner_doc", "outer_doc")
     )
@@ -390,7 +394,7 @@ def neardup_lookup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_a").alias("batch_doc"),
             F.col("doc_b").alias("corpus_doc"),
-            F.round(F.col("common") / union_sz, 6).alias("jaccard"),
+            (F.col("common") / union_sz).alias("jaccard"),
         )
         .orderBy("batch_doc", "corpus_doc")
     )
@@ -533,8 +537,8 @@ def substring_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("chars_dup"), F.lit(0))
             .cast("bigint")
             .alias("chars_duplicated"),
-            F.round(
-                F.coalesce(F.sum("chars_dup"), F.lit(0)) / F.sum("n_chars"), 6
+            (
+                F.coalesce(F.sum("chars_dup"), F.lit(0)) / F.sum("n_chars")
             ).alias("frac_duplicated"),
         )
         .orderBy("source")
@@ -647,7 +651,7 @@ def _ngram_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("common") / union_sz, 6).alias("jaccard"),
+            (F.col("common") / union_sz).alias("jaccard"),
         )
     )
 
@@ -882,7 +886,7 @@ _SHINGLES_SQL = f"""
     GROUP BY doc_a, doc_b
   ), verified AS (
     SELECT doc_a, doc_b,
-           round(common * 1.0 / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+           common * 1.0 / (sa.n_shingles + sb.n_shingles - common) AS jaccard
     FROM pairs
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
@@ -920,7 +924,7 @@ CAPPED_PAIRS_SQL = f"""
       GROUP BY doc_a, doc_b
     ), vpairs AS (
       SELECT doc_a, doc_b,
-             round(common * 1.0 / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+             common * 1.0 / (sa.n_shingles + sb.n_shingles - common) AS jaccard
       FROM cpairs
       JOIN sizes sa ON doc_a = sa.doc_id
       JOIN sizes sb ON doc_b = sb.doc_id
@@ -998,7 +1002,7 @@ ORACLES = {
                     AS BIGINT) AS n_docs_affected,
                CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
                CAST(coalesce(sum(p.chars_dup), 0) AS BIGINT) AS chars_duplicated,
-               round(coalesce(sum(p.chars_dup), 0) * 1.0 / sum(d.n_chars), 6)
+               coalesce(sum(p.chars_dup), 0) * 1.0 / sum(d.n_chars)
                  AS frac_duplicated
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
         GROUP BY d.source ORDER BY d.source
@@ -1033,7 +1037,7 @@ ORACLES = {
                CASE WHEN sa.n_shingles < sb.n_shingles
                       OR (sa.n_shingles = sb.n_shingles AND doc_a < doc_b)
                     THEN doc_b ELSE doc_a END AS outer_doc,
-               round(common * 1.0 / least(sa.n_shingles, sb.n_shingles), 6)
+               common * 1.0 / least(sa.n_shingles, sb.n_shingles)
                  AS containment
         FROM cpairs
         JOIN sizes sa ON doc_a = sa.doc_id
@@ -1063,8 +1067,8 @@ ORACLES = {
           GROUP BY batch_doc, corpus_doc
         )
         SELECT batch_doc, corpus_doc,
-               round(common * 1.0 /
-                     (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+               common * 1.0 /
+                     (sa.n_shingles + sb.n_shingles - common) AS jaccard
         FROM pairs
         JOIN sizes sa ON batch_doc = sa.doc_id
         JOIN sizes sb ON corpus_doc = sb.doc_id

@@ -32,7 +32,13 @@ from pyspark.sql.window import Window
 from elastic_stream_spark.functions.textfns import bow_fingerprint
 from elastic_stream_spark.operators.curation import EVAL_MOD as CUR_EVAL_MOD
 from elastic_stream_spark.operators.curation import NGRAM_N as CUR_NGRAM_N
-from elastic_stream_spark.operators.curation import REP_DUP2_MAX, REP_TOPTOK_MAX
+from elastic_stream_spark.operators.curation import (
+    PACK_BUDGET as CUR_PACK_BUDGET,
+    REP_DUP2_MAX,
+    REP_TOPTOK_MAX,
+    SPLIT_TEST_HEX as CUR_SPLIT_TEST_HEX,
+    SPLIT_VAL_HEX as CUR_SPLIT_VAL_HEX,
+)
 from elastic_stream_spark.operators.dedup import CAPPED_PAIRS_SQL, ngram_pair_set
 from elastic_stream_spark.operators.text import QUALITY_SQL, quality_score_col
 from elastic_stream_spark.sources.envelope import load_table_balanced
@@ -262,10 +268,94 @@ def pipeline_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# manifest-fingerprint term modulus: md5-derived 60-bit doc terms are
+# folded mod a prime so the per-cell SUM stays < 2^63 up to ~9e9 docs
+# per (split, shard) cell in BOTH engines (Spark sums BIGINT with
+# wraparound, DuckDB in HUGEINT — the mod keeps them in the common
+# exact range).  Order-insensitive, O(1) reducer state.
+FP_TERM_MOD = 1_000_000_007
+
+
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED nightly curation pipeline, end to end: per-document
+    verdict (quality ≥ 0.5, not eval-holdout, not exact/near duplicate,
+    not eval-contaminated, not repetitive — exactly
+    ``pipeline_curation_verdict``'s ``keep``) → deterministic hash
+    split/shard assignment (``corpus_split_shards``'s md5 gates) →
+    greedy in-order 512-token sequence packing within each (split,
+    shard) (``pipeline_pack_sequences``'s window) → the final TRAINING
+    MANIFEST: one row per (split, shard) with doc/token/sequence counts
+    and an order-insensitive content fingerprint (Σ md5-term mod p over
+    member doc_ids).  Two runs agree iff they selected exactly the same
+    documents into the same shards — the regression gate a production
+    pipeline publishes after every nightly build.
+
+    Plan: the verdict reuses the session CC fixpoint (_CC_CACHE) and
+    key-partitioned left joins; split/shard is a pure projection; the
+    packing window partitions by (split, shard) so no shard's docs
+    leave their partition; the manifest is one map-side-combinable
+    aggregate over ~|splits × shards| groups with O(1) state (no
+    collect_list — the fingerprint is a modular sum).  Every stage is
+    the already-verified single-stage operator's plan; what this gate
+    adds is the cross-stage dataflow (shared scans, memo reuse,
+    persist boundaries) a real 100 TB nightly run exercises."""
+    kept = (
+        pipeline_curation_verdict(spark, sf_dir)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    docs = load_table_balanced(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens")
+    )
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    prefix = F.substring(h, 1, 4)
+    split = (
+        F.when(prefix < CUR_SPLIT_VAL_HEX, F.lit("val"))
+        .when(prefix < CUR_SPLIT_TEST_HEX, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    assigned = kept.join(docs, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        split.alias("split"),
+        F.substring(h, 5, 1).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # PACK_BUDGET is a power of two, so cumsum/512 is EXACT in doubles —
+    # floor is bit-deterministic in both engines (see pack_sequences)
+    binned = assigned.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / CUR_PACK_BUDGET
+        ).cast("long"),
+    )
+    fp_term = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        % FP_TERM_MOD
+    )
+    return (
+        binned.groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.max("bin") + 1).cast("bigint").alias("n_sequences"),
+            F.sum(fp_term).cast("bigint").alias("manifest_fp"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "pipeline_keep_list": pipeline_keep_list,
     "pipeline_curation_verdict": pipeline_curation_verdict,
+    "pipeline_end_to_end": pipeline_end_to_end,
 }
 
 # Recursive min-label fixpoint over the same verified pair set the Spark
@@ -287,44 +377,11 @@ _CC_SQL = f"""
     )
 """
 
-ORACLES = {
-    "dedup_clusters": f"""
-        WITH RECURSIVE {_CC_SQL}
-        SELECT doc_id, cluster_id,
-               count(*) OVER (PARTITION BY cluster_id) AS n_docs,
-               doc_id = cluster_id AS is_representative
-        FROM comp
-        ORDER BY cluster_id, doc_id
-    """,
-    "pipeline_keep_list": f"""
-        WITH RECURSIVE {_CC_SQL},
-        {QUALITY_SQL},
-        fp AS (
-          SELECT doc_id,
-                 md5(array_to_string(list_sort(list_distinct(
-                       string_split(lower(text), ' '))), ' ')) AS fp
-          FROM documents
-        ),
-        flagged AS (
-          SELECT f.doc_id,
-                 q.q,
-                 f.doc_id <> min(f.doc_id) OVER (PARTITION BY f.fp) AS exact_dup,
-                 c.cluster_id IS NOT NULL AND f.doc_id <> c.cluster_id AS near_dup
-          FROM fp f
-          JOIN q_per_doc q ON f.doc_id = q.doc_id
-          LEFT JOIN comp c ON f.doc_id = c.doc_id
-        )
-        SELECT doc_id, q, exact_dup, near_dup,
-               q >= 0.5 AND NOT exact_dup AND NOT near_dup AS keep
-        FROM flagged
-        ORDER BY doc_id
-    """,
-    # full verdict: CC fixpoint + quality + fingerprints + 5-gram eval
-    # decontamination + repetition flags, assembled exactly like the Spark
-    # plan (r-prefixed CTEs avoid collisions with the pair-set fragment,
-    # which already defines `toks`)
-    "pipeline_curation_verdict": f"""
-        WITH RECURSIVE {_CC_SQL},
+# Shared CTE chain: the COMPLETE per-document verdict (quality, eval
+# flag, exact/near dup, contamination, repetition) — reused by the
+# verdict oracle and by pipeline_end_to_end (same `keep` semantics).
+_VERDICT_CTE_SQL = f"""
+{_CC_SQL},
         {QUALITY_SQL},
         fp AS (
           SELECT doc_id,
@@ -365,8 +422,8 @@ ORACLES = {
         rtop AS (SELECT doc_id, max(c) AS top_c FROM rtok GROUP BY doc_id),
         rflag AS (
           SELECT s.doc_id,
-                 (round((s.n2 - s.d2) * 1.0 / s.n2, 6) > {REP_DUP2_MAX}
-                  OR round(t.top_c * 1.0 / s.n_tokens, 6) > {REP_TOPTOK_MAX})
+                 ((s.n2 - s.d2) * 1.0 / s.n2 > {REP_DUP2_MAX}
+                  OR t.top_c * 1.0 / s.n_tokens > {REP_TOPTOK_MAX})
                    AS repetitive
           FROM rstats s JOIN rtop t ON s.doc_id = t.doc_id
         ),
@@ -383,10 +440,91 @@ ORACLES = {
           LEFT JOIN decon d ON f.doc_id = d.doc_id
           LEFT JOIN rflag r ON f.doc_id = r.doc_id
         )
+"""
+
+ORACLES = {
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_CC_SQL}
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+               doc_id = cluster_id AS is_representative
+        FROM comp
+        ORDER BY cluster_id, doc_id
+    """,
+    "pipeline_keep_list": f"""
+        WITH RECURSIVE {_CC_SQL},
+        {QUALITY_SQL},
+        fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(text), ' '))), ' ')) AS fp
+          FROM documents
+        ),
+        flagged AS (
+          SELECT f.doc_id,
+                 q.q,
+                 f.doc_id <> min(f.doc_id) OVER (PARTITION BY f.fp) AS exact_dup,
+                 c.cluster_id IS NOT NULL AND f.doc_id <> c.cluster_id AS near_dup
+          FROM fp f
+          JOIN q_per_doc q ON f.doc_id = q.doc_id
+          LEFT JOIN comp c ON f.doc_id = c.doc_id
+        )
+        SELECT doc_id, q, exact_dup, near_dup,
+               q >= 0.5 AND NOT exact_dup AND NOT near_dup AS keep
+        FROM flagged
+        ORDER BY doc_id
+    """,
+    # full verdict: CC fixpoint + quality + fingerprints + 5-gram eval
+    # decontamination + repetition flags, assembled exactly like the Spark
+    # plan (r-prefixed CTEs avoid collisions with the pair-set fragment,
+    # which already defines `toks`)
+    "pipeline_curation_verdict": f"""
+        WITH RECURSIVE {_VERDICT_CTE_SQL}
         SELECT doc_id, q, is_eval, exact_dup, near_dup, contaminated,
                repetitive,
                NOT is_eval AND q >= 0.5 AND NOT exact_dup AND NOT near_dup
                  AND NOT contaminated AND NOT repetitive AS keep
         FROM verdict ORDER BY doc_id
+    """,
+    # same verdict CTE → keep filter → hash split/shard → 512-token
+    # packing window → manifest rollup (mirrors pipeline_end_to_end
+    # stage for stage; fingerprint = Σ (md5-60-bit mod p))
+    "pipeline_end_to_end": f"""
+        WITH RECURSIVE {_VERDICT_CTE_SQL},
+        kept AS (
+          SELECT v.doc_id,
+                 len(string_split(lower(d.text), ' ')) AS n_tokens,
+                 md5('split:' || CAST(v.doc_id AS VARCHAR)) AS h
+          FROM verdict v JOIN documents d USING (doc_id)
+          WHERE NOT v.is_eval AND v.q >= 0.5 AND NOT v.exact_dup
+            AND NOT v.near_dup AND NOT v.contaminated AND NOT v.repetitive
+        ),
+        assigned AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN substr(h, 1, 4) < '{CUR_SPLIT_VAL_HEX}' THEN 'val'
+                      WHEN substr(h, 1, 4) < '{CUR_SPLIT_TEST_HEX}' THEN 'test'
+                      ELSE 'train'
+                 END AS split,
+                 substr(h, 5, 1) AS shard
+          FROM kept
+        ),
+        binned AS (
+          SELECT split, shard, doc_id, n_tokens,
+                 CAST(floor(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY split, shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) / {CUR_PACK_BUDGET}) AS BIGINT) AS bin
+          FROM assigned
+        )
+        SELECT split, shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(max(bin) + 1 AS BIGINT) AS n_sequences,
+               CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        ::UBIGINT::BIGINT % {FP_TERM_MOD}) AS BIGINT)
+                 AS manifest_fp
+        FROM binned
+        GROUP BY split, shard
+        ORDER BY split, shard
     """,
 }

@@ -104,15 +104,20 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
-    gap = (us - F.lag(us).over(w)) / 1e6  # exact µs diff → seconds
+    gap_us = us - F.lag(us).over(w)  # exact integer µs diff
+    # determinism: aggregate EXACT integer µs (BIGINT sum — no float
+    # accumulation order), then divide once — avg = (Σµs / n) is an
+    # exact-integer division (bit-identical across engines) and the
+    # single /1e6 is one correctly-rounded IEEE op in both; round() on
+    # such ratios is banned (timeseries.py determinism note)
     return (
-        ev.withColumn("gap_s", gap)
-        .where(F.col("gap_s").isNotNull())
+        ev.withColumn("gap_us", gap_us)
+        .where(F.col("gap_us").isNotNull())
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_gaps"),
-            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
-            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+            ((F.sum("gap_us") / F.count("*")) / F.lit(1e6)).alias("avg_gap_s"),
+            (F.max("gap_us") / F.lit(1e6)).alias("max_gap_s"),
         )
         .orderBy("event_type")
     )
@@ -178,9 +183,11 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = stage(ev, "purchase", s2, "t2", "t3")
 
     def lag_s(a: str, b: str):
-        return F.round(
-            F.avg((F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))) / 1e6), 4
-        )
+        # determinism: exact integer-µs sum, one exact-int division, one
+        # final /1e6 — bit-identical across engines (no round(), no
+        # float-sum ordering; see event_gaps_lag)
+        d = F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))
+        return (F.sum(d) / F.count("*")) / F.lit(1e6)
 
     r1 = s1.agg(F.count("*").alias("users")).select(
         F.lit(1).alias("stage"),
@@ -355,15 +362,15 @@ ORACLES = {
     "event_gaps_lag": f"""
         WITH {EVENTS_NORM_SQL}
         SELECT event_type, count(*) AS n_gaps,
-               round(avg(gap_s), 4) AS avg_gap_s,
-               round(max(gap_s), 4) AS max_gap_s
+               (sum(gap_us) / count(*)) / 1e6 AS avg_gap_s,
+               max(gap_us) / 1e6 AS max_gap_s
         FROM (
           SELECT event_type,
-                 (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                                  ORDER BY ts, event_id)) / 1e6 AS gap_s
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS gap_us
           FROM events_n
         )
-        WHERE gap_s IS NOT NULL
+        WHERE gap_us IS NOT NULL
         GROUP BY event_type
         ORDER BY event_type
     """,
@@ -399,11 +406,11 @@ ORACLES = {
         FROM s1
         UNION ALL
         SELECT 2, 'click', count(*),
-               round(avg((epoch_us(t2) - epoch_us(t1)) / 1e6), 4)
+               (sum(epoch_us(t2) - epoch_us(t1)) / count(*)) / 1e6
         FROM s2
         UNION ALL
         SELECT 3, 'purchase', count(*),
-               round(avg((epoch_us(t3) - epoch_us(t2)) / 1e6), 4)
+               (sum(epoch_us(t3) - epoch_us(t2)) / count(*)) / 1e6
         FROM s3
         ORDER BY stage
     """,

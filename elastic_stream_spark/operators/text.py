@@ -47,7 +47,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_distinct"), 4).alias("avg_distinct"),
+            # determinism: avg over INTs is Σint/n — an exact-integer
+            # division, bit-identical unrounded in both engines; round()
+            # on it can land on a decimal tie (timeseries.py note)
+            F.avg("n_distinct").alias("avg_distinct"),
             F.sum("n_pieces").alias("total_pieces"),
             F.sum("n_chars").alias("total_chars"),
         )
@@ -173,7 +176,7 @@ ORACLES = {
         )
         SELECT source, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               round(avg(n_distinct), 4) AS avg_distinct,
+               avg(n_distinct) AS avg_distinct,
                CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM per_doc GROUP BY source ORDER BY source

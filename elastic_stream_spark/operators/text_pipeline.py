@@ -119,13 +119,12 @@ def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k", F.lit(1))
         .join(F.broadcast(total), "k")
         .withColumn(
+            # determinism: UNROUNDED exact-integer division — one
+            # correctly-rounded IEEE op on identical BIGINT products in
+            # both engines (round() on int ratios can hit a decimal tie;
+            # see operators/timeseries.py determinism note)
             "lift",
-            F.round(
-                (F.col("c_st") * F.col("n"))
-                / (F.col("n_s") * F.col("c_t"))
-                .cast("double"),
-                6,
-            ),
+            (F.col("c_st") * F.col("n")) / (F.col("n_s") * F.col("c_t")),
         )
     )
     w = Window.partitionBy("source").orderBy(F.desc("lift"), "token")
@@ -243,7 +242,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("k").cast("int").alias("k"),
             F.col("vocab_size").cast("long").alias("vocab_size"),
-            F.round(F.col("covered") / F.col("n"), 6).alias("coverage"),
+            (F.col("covered") / F.col("n")).alias("coverage"),
         )
         .orderBy("k")
     )
@@ -359,10 +358,8 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "shared_shingles",
-            F.round(
-                F.col("shared_shingles")
-                / F.least(F.col("na.n"), F.col("nb.n")).cast("double"),
-                6,
+            (
+                F.col("shared_shingles") / F.least(F.col("na.n"), F.col("nb.n"))
             ).alias("containment"),
         )
         .orderBy("source_a", "source_b")
@@ -401,7 +398,7 @@ ORACLES = {
           GROUP BY source_a, source_b
         )
         SELECT source_a, source_b, shared_shingles,
-               round(shared_shingles * 1.0 / least(na.n, nb.n), 6) AS containment
+               shared_shingles * 1.0 / least(na.n, nb.n) AS containment
         FROM pairs
         JOIN sizes na ON source_a = na.source
         JOIN sizes nb ON source_b = nb.source
@@ -442,9 +439,8 @@ ORACLES = {
         total AS (SELECT sum(c_t) AS n FROM per_token),
         scored AS (
           SELECT st.source, st.token, st.c_st,
-                 round((st.c_st * total.n)
-                       / CAST(per_source.n_s * per_token.c_t AS DOUBLE),
-                       6) AS lift
+                 (st.c_st * total.n)
+                   / CAST(per_source.n_s * per_token.c_t AS DOUBLE) AS lift
           FROM st
           JOIN per_source ON st.source = per_source.source
           JOIN per_token ON st.token = per_token.token
@@ -515,7 +511,7 @@ ORACLES = {
         ks AS (SELECT unnest([{", ".join(str(k) for k in VOCAB_KS)}]) AS k)
         SELECT CAST(ks.k AS INT) AS k,
                count(*) AS vocab_size,
-               round(sum(r.c_t) * 1.0 / max(total.n), 6) AS coverage
+               sum(r.c_t) * 1.0 / max(total.n) AS coverage
         FROM ranked r JOIN ks ON r.rk <= ks.k CROSS JOIN total
         GROUP BY ks.k
         ORDER BY k

@@ -175,7 +175,13 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism note: mean/variance are derived from EXACT integer
     sums (Σn, Σn² over days are BIGINT arithmetic — no float
     accumulation order), so both engines compute bit-identical doubles
-    from identical integers; z is rounded 4 dp.
+    from identical integers; z is published UNROUNDED (every step —
+    subtract, divide, sqrt, divide — is one correctly-rounded IEEE op
+    on identical inputs, so the doubles match bit-for-bit; round()
+    could tie on a decimal boundary).  Degenerate types (a single
+    observed day, or zero variance) publish NULL z / NULL is_anomaly
+    in BOTH engines — without the guard Spark yields NULL on x/0 while
+    DuckDB yields inf/nan (r7 ADVICE).
 
     Plan: one map-side-combinable (type, day) count, one |types|-row
     stats rollup joined back broadcast — two shuffles total, both on
@@ -193,7 +199,8 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_days")) / (
         F.col("n_days") - 1
     )
-    z = F.round((F.col("n_events") - mean) / F.sqrt(var), 4)
+    ok = (F.col("n_days") > 1) & (var > 0)
+    z = F.when(ok, (F.col("n_events") - mean) / F.sqrt(var))
     return (
         daily.join(F.broadcast(stats), "event_type")
         .select(
@@ -201,7 +208,7 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "n_events",
             z.alias("z"),
-            (F.abs(z) >= Z_FLAG).alias("is_anomaly"),
+            F.when(ok, F.abs(z) >= Z_FLAG).alias("is_anomaly"),
         )
         .orderBy("event_type", "day")
     )
@@ -432,9 +439,11 @@ ORACLES = {
           FROM daily GROUP BY event_type
         ), z AS (
           SELECT d.event_type, d.day, d.n_events,
-                 round((d.n_events - s1 / n_days)
-                       / sqrt((s2 - s1 * s1 / n_days) / (n_days - 1)),
-                       4) AS z
+                 CASE WHEN n_days > 1
+                       AND (s2 - s1 * s1 / n_days) / (n_days - 1) > 0
+                      THEN (d.n_events - s1 / n_days)
+                           / sqrt((s2 - s1 * s1 / n_days) / (n_days - 1))
+                 END AS z
           FROM daily d JOIN stats s USING (event_type)
         )
         SELECT event_type, day, n_events, z,

@@ -416,13 +416,19 @@ def test_column_profile_shuffles_fingerprints_not_payloads(spark):
     the raw value — at 100 TB the text column would otherwise move
     wholesale just to be counted."""
     plan = _formatted_plan(column_profile(spark, SF_DIR))
-    # the (col_name, h, len) partial aggregate is the only data-sized
-    # exchange; the raw `value` column must not survive past the project
-    # that computes the fingerprint
-    first_agg = plan.split("Exchange")[0]
-    assert "md5" in plan
     assert "Expand" not in plan  # single distinct path, two-level agg
-    assert first_agg  # plan parsed
+    # the fingerprint projection must exist at all...
+    assert "md5(" in plan
+    # ...and every AGGREGATE exchange (hashpartitioning — the only
+    # data-sized shuffles; the leading round-robin balance exchange of
+    # the raw scan is load_table_balanced's fixture leveler, not part of
+    # the profile plan) must carry only (col_name, h, len, counts):
+    # neither the exploded kv struct nor the raw text payload may ride.
+    blocks = [b for b in plan.split("\n\n") if "hashpartitioning" in b]
+    assert blocks, "plan has no hash-partitioned exchange"
+    for b in blocks:
+        input_line = next(l for l in b.splitlines() if l.startswith("Input"))
+        assert "kv#" not in input_line and "text#" not in input_line, b
 
 
 def test_fuzzy_match_blocked_join_is_equi(spark):

@@ -321,10 +321,10 @@ def test_source_overlap_against_local_recompute(spark):
         for b in sources[i + 1 :]:
             shared = len(by_source[a] & by_source[b])
             if shared:
-                cont = round(shared / min(len(by_source[a]), len(by_source[b])), 6)
+                cont = shared / min(len(by_source[a]), len(by_source[b]))
                 expected[(a, b)] = (shared, cont)
     got = {
-        (r.source_a, r.source_b): (r.shared_shingles, round(r.containment, 6))
+        (r.source_a, r.source_b): (r.shared_shingles, r.containment)
         for r in source_ngram_overlap(spark, SF_DIR).collect()
     }
     assert got == expected

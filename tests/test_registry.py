@@ -1,12 +1,13 @@
 """Gate-registry invariants: the driver records correctness rows for the
 first 50 registry entries only, so the order is load-bearing.
 
-Round-7 policy (operators/__init__.py GATE_ORDER): the registry (108
-queries) exceeds the 50-row window, so the schedule ALTERNATES — a query
-may sit beyond the window only if it was hash-green in the immediately
-preceding driver window; changed / never-checked queries always occupy a
-slot.  Every query is additionally re-verified each round by the
-committed strict full-registry self-check at both sf."""
+Round-8 policy (operators/__init__.py GATE_ORDER): the registry (125
+queries) is ~2.5 windows, so the schedule ALTERNATES over ~3 rounds — a
+query may sit beyond the window only if it was hash-green in a prior
+driver window (r6 or r7); changed / never-checked queries always occupy
+a slot, and the remaining slots go to the stalest driver rows.  Every
+query is additionally re-verified each round by the committed strict
+full-registry self-check at both sf."""
 
 from __future__ import annotations
 
@@ -15,32 +16,50 @@ import os
 
 from elastic_stream_spark.operators import GATE_ORDER, all_oracles, all_queries
 
-# Changed in round 7 — each needs a fresh driver row, so each must sit
-# inside the window: q21 swapped its double-countDistinct profile for a
-# pair-level pre-aggregation (Expand removed); the KV store was sharded
-# (kv_range_scan reads through the new manifest layout); ivf_pq_topk was
-# refactored for the build/serve split (sim_ann_ivf_pq shares the path).
-CHANGED_R7 = {
-    "q21_waiting_supplier",
-    "kv_range_scan",
-    "sim_ann_ivf_pq",
+# New in round 8 — never driver-checked, so it must sit inside the
+# window until it accumulates a green round: the composed end-to-end
+# curation pipeline (verdict -> split/shard -> pack -> manifest).
+NEW_R8 = {
+    "pipeline_end_to_end",
 }
 
-# New in round 7 — never driver-checked, so each must sit inside the
-# window until it accumulates a green round.
-NEW_R7 = {
-    "sim_ann_ivf_pq_served",
-    "dedup_substring",
-    "dedup_incremental",
+# Changed in round 8 — the rounding-tie sweep (r7 VERDICT item 2 +
+# ADVICE): published ratios of integers moved from round(a/b, k) to the
+# UNROUNDED exact-integer division with oracles updated in lockstep;
+# winsorized_event_stats was reworked onto an exact milli-cent integer
+# grid; daily_anomaly_zscore gained the degenerate-case (n_days <= 1 or
+# var = 0) NULL guard; pipeline_curation_verdict's oracle repetition
+# flag dropped its rounds to match the unrounded Spark side.  Each needs
+# a fresh driver row, so each must sit inside the window.
+CHANGED_R8 = {
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "neardup_lookup",
+    "neardup_lookup_served",
+    "substring_scrub_stats",
+    "event_gaps_lag",
+    "event_funnel",
+    "key_skew_audit",
+    "column_profile",
+    "winsorized_event_stats",
+    "daily_anomaly_zscore",
+    "source_distinctive_tokens",
+    "vocab_coverage",
     "source_ngram_overlap",
+    "text_token_stats",
+    "pipeline_sample_mix",
+    "text_repetition",
+    "mix_temperature_weights",
+    "pipeline_curation_verdict",
 }
 
-# r7-late additions that landed after the 50-row window was already
-# fully claimed by never-checked/changed queries: queued immediately
-# below the boundary on strict full-gate evidence
-# (CORRECTNESS_FULL_r07*.json), promised a window slot in r8 — the same
-# queue-then-rotate path QUEUED_FROM_R6 took.
-NEW_QUEUED_R8 = {
+# The r7-late additions (NEW_QUEUED_R8 in the r7 tree): never
+# driver-checked, queued below the then-full r7 window on strict
+# full-gate evidence (CORRECTNESS_FULL_r07*.json, 124/124 both sf) with
+# a promised r8 window slot.  Ten of them are ALSO in CHANGED_R8 (the
+# rounding sweep touched them); the other 22 rotate in unchanged.
+QUEUED_R8 = {
     "source_cap_sample",
     "emb_random_project",
     "corpus_split_shards",
@@ -59,8 +78,6 @@ NEW_QUEUED_R8 = {
     "retention_cohorts",
     "dedup_containment",
     "neardup_lookup_served",
-    # late-r7 tranche 2: hybrid retrieval / filtered ANN, time-series
-    # gap-fill + rolling + transitions, and the data-audit family
     "hybrid_rrf_search",
     "filtered_vector_search",
     "ts_gapfill_locf",
@@ -75,31 +92,6 @@ NEW_QUEUED_R8 = {
     "scd2_user_history",
     "pit_feature_join",
     "jsonl_roundtrip_audit",
-}
-
-# Never driver-checked before r7: the six r6-late corpus-prep queries,
-# queued from r6 beyond the then-full window on strict full-gate
-# evidence (the promised NEW_QUEUED_R7 rotation — r6 VERDICT item 1).
-QUEUED_FROM_R6 = {
-    "chunk_dedup",
-    "text_unigram_logprob",
-    "vocab_coverage",
-    "ngram_counts",
-    "tfidf_topk_per_doc",
-    "emb_covariance",
-}
-
-# First (and only) driver rows in r6 — kept inside the window for a
-# second consecutive green round before they start alternating.
-# (sim_ann_ivf was displaced beyond the boundary by the three r7
-# additions — policy-clean since it is r6-green, and its IVF machinery
-# keeps in-window coverage via sim_ann_ivf_pq / sim_ann_ivf_pq_served.)
-SINGLE_GREEN_R6 = {
-    "q9_product_type_profit",
-    "q12_priority_by_lateness",
-    "q16_supplier_variety",
-    "dedup_semantic",
-    "stream_heavy_hitters_replay",
 }
 
 
@@ -123,43 +115,40 @@ def test_registry_matches_gate_order():
 def test_changed_and_new_queries_inside_window():
     names = list(all_queries())
     window = set(names[:50])
-    assert CHANGED_R7 <= window
-    assert NEW_R7 <= window
-    assert QUEUED_FROM_R6 <= window
-    assert SINGLE_GREEN_R6 <= window
-
-
-def test_stale_queries_rotated_into_window():
-    """Alternation: every query whose last driver row is r5 (it sat out
-    the r6 window) must be back inside the r7 window — no query's driver
-    row is ever more than two rounds old."""
-    names = list(all_queries())
-    window = set(names[:50])
-    r5 = _greens("CORRECTNESS_r05.json")
-    r6 = set(_load("CORRECTNESS_r06.json"))
-    stale = (r5 - r6) & set(names)
-    missing = stale - window
-    assert not missing, f"r5-stale queries left beyond the window: {missing}"
-
-
-def test_beyond_window_queries_were_green_last_round():
-    """A query may sit beyond the window only if it was hash-green in
-    the immediately preceding driver window — the freshest row a
-    rotated-out query can have."""
-    names = list(all_queries())
-    beyond = names[50:]
-    r6_green = _greens("CORRECTNESS_r06.json")
-    stragglers = [n for n in beyond if n not in r6_green and n not in NEW_QUEUED_R8]
-    assert not stragglers, (
-        f"beyond-window queries without an r6-green driver row: {stragglers}"
+    assert NEW_R8 <= window
+    assert CHANGED_R8 <= window
+    assert QUEUED_R8 <= window, (
+        "the r7-late additions were promised an r8 window slot "
+        f"(r7 VERDICT item 1); missing: {QUEUED_R8 - window}"
     )
 
 
-def test_queued_r8_sit_at_window_boundary():
-    """The r7-late additions must head the beyond-window region (so the
-    r8 rotation is a pure block swap) until they earn a driver row."""
+def test_window_fills_remaining_slots_with_stalest_rows():
+    """Alternation: after new/changed/queued claim their slots, every
+    remaining window slot goes to a query whose last driver row is r6
+    (it sat out the r7 window) — never to an r7-green query while an
+    r6-row query waits."""
     names = list(all_queries())
-    assert set(names[50 : 50 + len(NEW_QUEUED_R8)]) == NEW_QUEUED_R8
+    window = names[:50]
+    r7 = set(_load("CORRECTNESS_r07.json"))
+    fillers = [
+        n for n in window if n not in NEW_R8 | CHANGED_R8 | QUEUED_R8
+    ]
+    in_r7 = [n for n in fillers if n in r7]
+    assert not in_r7, f"window fillers that already have fresh r7 rows: {in_r7}"
+
+
+def test_beyond_window_queries_were_green_in_a_prior_window():
+    """A query may sit beyond the window only if it carries a hash-green
+    row from a prior driver window (r6 or r7 — at 125 queries the
+    alternation cycle is ~3 rounds)."""
+    names = list(all_queries())
+    beyond = names[50:]
+    green = _greens("CORRECTNESS_r06.json") | _greens("CORRECTNESS_r07.json")
+    stragglers = [n for n in beyond if n not in green]
+    assert not stragglers, (
+        f"beyond-window queries without a prior green driver row: {stragglers}"
+    )
 
 
 def test_every_query_has_an_oracle():
