@@ -102,6 +102,101 @@ def main() -> None:
         "recall_at_5": recall(approx_c, exact_c),
     }
 
+    # --- served IVF-PQ: post-append staleness probe (r7 VERDICT item 8).
+    # Build the persisted index, then ivf_pq_append a batch of CLOSER
+    # twins (eps = PQT_EPS/2 — higher cosine than every build-time twin,
+    # so the appended vectors DISPLACE originals from the exact top-5).
+    # A stale index (append not visible to the serving scan) would
+    # score 0 on the displaced slots and recall would drop by exactly
+    # the displaced fraction; recall at the build-time contract proves
+    # the appended cells are read, not assumed.
+    import tempfile
+
+    from elastic_stream_spark.functions.vectorfns import unit
+    from elastic_stream_spark.operators.similarity import (
+        PQT_EPS,
+        PQT_EPS_STEP,
+        _twin_pq_books,
+        ivf_pq_append,
+        ivf_pq_build,
+        ivf_pq_load,
+        ivf_pq_topk,
+        pq_twin_corpus,
+    )
+
+    tw_corpus = pq_twin_corpus(spark, sf_dir).select("vec_id", "u")
+    idx = tempfile.mkdtemp(prefix="esspark-ivfpq-appendprobe-")
+    ivf_pq_build(
+        spark, tw_corpus, planted_centroids(spark, sf_dir),
+        _twin_pq_books(spark, sf_dir), idx,
+    )
+    APPEND_TWINS = 2
+    APPEND_ID_BASE = 3_000_000
+    aq = tw_corpus.where(F.col("vec_id") < N_QUERIES).select(
+        "vec_id",
+        "u",
+        F.explode(F.array([F.lit(i) for i in range(APPEND_TWINS)])).alias("j"),
+    )
+    kcol = ((F.col("vec_id") * APPEND_TWINS + F.col("j")) % F.size("u")).cast("int")
+    eps = F.lit(PQT_EPS / 2) + F.col("j").cast("double") * F.lit(PQT_EPS_STEP / 2)
+    bumped = F.transform(
+        F.col("u"), lambda x, i: x + F.when(i == kcol, eps).otherwise(F.lit(0.0))
+    )
+    # two-step select: same lateral-alias trap as pq_twin_corpus
+    batch = (
+        aq.select("vec_id", "j", unit(bumped).alias("u"))
+        .select(
+            (F.col("vec_id") * APPEND_TWINS + F.col("j") + APPEND_ID_BASE).alias(
+                "vec_id"
+            ),
+            "u",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_appended = batch.count()
+    ivf_pq_append(spark, batch, idx)
+
+    full = tw_corpus.unionByName(batch)
+    tq = tw_corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    fb = full.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
+    exact_pa_rows = (
+        fb.join(F.broadcast(tq), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qu"), F.col("nu")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    )
+    exact_pa = topk_map(exact_pa_rows)
+    displaced = sum(
+        1 for r in exact_pa_rows if r.neighbor_id >= APPEND_ID_BASE
+    ) / max(len(exact_pa_rows), 1)
+    import os as _os
+
+    cents_pa, books_pa = ivf_pq_load(idx)
+    codes_pa = spark.read.parquet(_os.path.join(idx, "codes")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "code"
+    )
+    approx_pa = topk_map(
+        ivf_pq_topk(
+            full, tq, cents_pa, IVF_CLUSTERED_NPROBE, books_pa, codes=codes_pa
+        ).collect()
+    )
+    out["ivf_pq_post_append"] = {
+        "appended_vectors": n_appended,
+        "exact_top5_displaced_by_append": round(displaced, 3),
+        "recall_at_5": recall(approx_pa, exact_pa),
+        "contract": (
+            ">= build-time recall; a stale index would lose the displaced "
+            "fraction outright"
+        ),
+    }
+
     line = json.dumps(out)
     print(line)
     for a in sys.argv[1:]:

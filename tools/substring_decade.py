@@ -41,6 +41,53 @@ FACTORS = [16, 160]  # 80k and 800k docs (base = 5k docs) — one decade
 RUNS = 2
 
 
+def build_tag_amp_dir(spark, base_sf_dir: str, factor: int, root: str) -> str:
+    """CONSTANT-DENSITY amplification for CHAR grams (r7 VERDICT item 3):
+    every token of replica k is PREFIXED with a fixed-width replica tag
+    (``{k:03d}``), so any 30-char window containing a complete tag can
+    only match windows of the SAME replica — cross-replica collisions
+    (the suffix-sharing artifact of scale_probe.build_amp_dir that made
+    hit density rise with the factor) are eliminated up to the rare
+    window spanning two 27+-char tokens.  Each replica keeps the base
+    corpus's intra-duplication exactly, so duplicated-position counts
+    grow ≈ ×factor and the decade isolates TIME scaling at constant
+    density.  (The probe still counts actual cardinalities and grades
+    time against measured work, so residual tag-suffix collisions are
+    accounted, not assumed away.)"""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(root, f"tagamp{factor}x")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        os.symlink(f"{base_sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
+    n = docs.count()
+    tag = F.lpad(F.col("k").cast("string"), 3, "0")
+    amp = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k"),
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ).select(
+        (F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+        F.array_join(
+            F.transform(F.split("text", " "), lambda w: F.concat(tag, w)),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    amp.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
 def main() -> None:
     from elastic_stream_spark.functions.materialize import (
         unpersist_materialized,
@@ -52,6 +99,7 @@ def main() -> None:
     from elastic_stream_spark.session import get_spark
     from tools.scale_probe import build_amp_dir
 
+    constant_density = "--constant-density" in sys.argv
     spark = get_spark("substring-decade")
     amp_root = tempfile.mkdtemp(
         prefix="esspark-substr-",
@@ -59,9 +107,10 @@ def main() -> None:
     )
     results: dict[int, dict[str, float]] = {}
     rows: dict[int, dict[str, int]] = {}
+    builder = build_tag_amp_dir if constant_density else build_amp_dir
     try:
         for f in FACTORS:
-            d = build_amp_dir(spark, BASE_SF, f, amp_root)
+            d = builder(spark, BASE_SF, f, amp_root)
             spark.read.parquet(f"{d}/documents.parquet").count()  # warm
             stage1_best = stage2_best = None
             for _ in range(RUNS):
@@ -104,27 +153,51 @@ def main() -> None:
             )
             spark.catalog.clearCache()
             unpersist_materialized(spark)
-            shutil.rmtree(os.path.join(amp_root, f"amp{f}x"), ignore_errors=True)
+            shutil.rmtree(d, ignore_errors=True)
     finally:
         shutil.rmtree(amp_root, ignore_errors=True)
-    write_section(results, rows)
+    write_section(results, rows, constant_density)
     spark.stop()
 
 
 def write_section(
-    results: dict[int, dict[str, float]], rows: dict[int, dict[str, int]]
+    results: dict[int, dict[str, float]],
+    rows: dict[int, dict[str, int]],
+    constant_density: bool = False,
 ) -> None:
     span_counts = {f: rows[f]["spans"] for f in FACTORS}
 
     f1, f2 = FACTORS
     step = math.log10(f2 / f1)
     lines = [
-        "### Substring-dedup decade: 80k → 800k docs (r7 measurement)",
+        (
+            "### Substring-dedup decade at CONSTANT dup density: 80k → 800k"
+            " docs (r8 measurement)"
+            if constant_density
+            else "### Substring-dedup decade: 80k → 800k docs (r7 measurement)"
+        ),
         "",
         "`dedup_substring` stages measured separately"
         f" (best-of-{RUNS}, tmpfs scratch), one decade of corpus growth;",
         "slope = log10(t_800k/t_80k) — linear ⇒ +1.0.  The output span set",
-        f" grows ~linearly ({span_counts[f1]:,} → {span_counts[f2]:,}),",
+        f" grows ~linearly ({span_counts[f1]:,} → {span_counts[f2]:,}).",
+    ]
+    if constant_density:
+        lines += [
+            "This run amplifies with PER-REPLICA TOKEN TAGS",
+            "(build_tag_amp_dir): every token of replica k carries a",
+            "fixed-width `{k:03d}` prefix, so 30-char windows match only",
+            "within their own replica and the duplicated-position density",
+            "stays CONSTANT across the decade (the growth column below is",
+            "the witness).  This is the controlled experiment the r7",
+            "variable-density decade could not give: if the r7 residual",
+            "(time slope exceeding work slope) was the single host's",
+            "execution-memory/page-cache ceiling, it should reappear here",
+            "at the same magnitude; if it was a density artifact, it",
+            "should vanish.",
+        ]
+    else:
+        lines += [
         "but the amplification is imperfect for CHAR grams: replica word",
         "suffixes share prefixes (`_r1` is a prefix of `_r15`), so 30-char",
         "windows ending mid-suffix collide ACROSS replicas and the",
@@ -150,6 +223,8 @@ def write_section(
         "75–309 s vs hashed agg+join 135–461 s across hot/cold reruns — the",
         "window wins on both bytes moved and wall time).  The tables below",
         "are the redesigned shape.",
+        ]
+    lines += [
         "",
         "**Work, counted exactly:** per-key state is O(1) (window running",
         "min/max) / O(doc) (islands sort), so the algorithm's work is",
@@ -206,7 +281,11 @@ def write_section(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE.extra.md",
     )
-    marker = "### Substring-dedup decade"
+    marker = (
+        "### Substring-dedup decade at CONSTANT dup density"
+        if constant_density
+        else "### Substring-dedup decade:"
+    )
     existing = ""
     if os.path.exists(extra):
         with open(extra) as fh:
