@@ -358,3 +358,46 @@ def test_bigram_pmi_take_ordered_plan(spark):
     plan = plan_of(bigram_pmi(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_end_to_end_manifest_invariants_and_plan(spark):
+    """The composed nightly-pipeline gate: (1) manifest counts must
+    reconcile exactly with the verdict's keep set (no docs lost or
+    duplicated across split/shard cells); (2) sequence counts must be
+    consistent with greedy 512-token packing; (3) the composite plan
+    must stay keyed — no cartesian/nested-loop join anywhere."""
+    from pyspark.sql import functions as F
+
+    from elastic_stream_spark.operators.curation import PACK_BUDGET
+    from elastic_stream_spark.operators.pipeline import (
+        pipeline_curation_verdict,
+        pipeline_end_to_end,
+    )
+
+    df = pipeline_end_to_end(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    rows = df.collect()
+    assert rows, "manifest is empty"
+    kept = (
+        pipeline_curation_verdict(spark, SF_DIR)
+        .where(F.col("keep"))
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == kept
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        assert len(r.shard) == 1
+        # greedy packing: bins hold < BUDGET cumulative tokens before
+        # each doc, so the bin count is bounded by the token mass
+        assert r.n_sequences >= 1
+        assert (r.n_sequences - 1) * PACK_BUDGET <= max(
+            r.total_tokens, PACK_BUDGET
+        )
+        assert r.manifest_fp >= 0
+    # fingerprints must distinguish cells (content-sensitive): all
+    # distinct on this fixture
+    fps = [r.manifest_fp for r in rows]
+    assert len(set(fps)) == len(fps)
