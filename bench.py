@@ -10,7 +10,11 @@ per-query medians/spreads/raw samples are written to BENCH_LOCAL.json:
 
 The query set spans the engine's surfaces: stream ops (fetch/window agg),
 relational (TPC-H-style), dedup (MinHash-LSH), similarity (top-k), text.
-Each timing includes full plan execution to a count action.
+Each timing forces FULL output evaluation (one hash per row over all
+columns — see _force_count): bare count() lets Catalyst prune per-row
+projections, under-measuring projection-heavy queries.  r8 re-baselines
+on this action; r7-and-earlier totals used count() and are not directly
+comparable for projection-heavy queries.
 
 Hygiene:
 - a warm-up pass (table scans + engine materialization) runs before any
@@ -173,6 +177,39 @@ WARM_MEMOS = [
     "jsonl_roundtrip_audit",
 ]
 
+def _force_count(df) -> int:
+    """Execute a query the way a CONSUMER pays for it: every output
+    column evaluated.  A bare ``count()`` lets Catalyst prune the final
+    projection (and collapse windows/left-joins that don't change
+    multiplicity), so a query whose cost lives in a per-row projection
+    times near-zero — text_repetition benched 0.88 s under count() while
+    the driver-visible cost was 9.7 s (r8 finding; the projection split
+    fix took the true cost to ~1 s, but the measurement hole had to go
+    too).  One hash per row over all columns forces evaluation while
+    adding only O(output rows) work; map-typed columns go through
+    to_json (hash() rejects MapType)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = [
+        F.to_json(F.col(f.name)) if has_map(f.dataType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.hash(*cols)).alias("h")
+    ).collect()[0]
+    return row["n"]
+
+
 APPEND_PER_STREAM = 2_000
 APPEND_STREAMS = (1, 10, 100)
 
@@ -305,7 +342,7 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     get_engine(spark, sf_dir)
     for name in WARM_MEMOS:
-        qs[name](spark, sf_dir).count()
+        _force_count(qs[name](spark, sf_dir))
     print(f"# warmup: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     # best-of-2 per query: this host's storage stalls intermittently
@@ -344,7 +381,7 @@ def main() -> None:
             spark.catalog.clearCache()
             unpersist_materialized(spark)
             t0 = time.time()
-            rows = fn(spark, sf_dir).count()
+            rows = _force_count(fn(spark, sf_dir))
             samples.append(time.time() - t0)
             if len(samples) >= 2 and max(samples) / min(samples) <= 2.0:
                 break
@@ -432,6 +469,7 @@ def main() -> None:
     )
     summary = {
         "metric": "headline_query_wall_time",
+        "action": "hash-force",
         "value": total,
         "unit": "sec",
         "sf": payload["sf"],
