@@ -154,6 +154,11 @@ HEADLINE = [
     # round 8: the composed nightly pipeline (verdict -> split/shard ->
     # pack -> manifest) — the cross-stage dataflow gate
     "pipeline_end_to_end",
+    # round 8 late: cross-boundary packing spans, group-aware source
+    # split, survivorship merge over CC clusters
+    "pack_doc_spans",
+    "corpus_split_by_source",
+    "dedup_survivorship",
 ]
 
 # Session-memo builders, invoked ONCE (untimed) during warm-up: these

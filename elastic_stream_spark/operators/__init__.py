@@ -82,8 +82,13 @@ def _modules():
 # self-check covering every query at both sf every round.
 GATE_ORDER = [
     # ---------------- r8 window (first 50 = the driver's gate) ----------
-    # --- new in r8: the composed end-to-end curation pipeline gate ---
+    # --- new in r8: the composed end-to-end curation pipeline gate,
+    # cross-boundary packing spans, the group-aware (leakage-safe)
+    # source split, and the survivorship merge over CC clusters ---
     "pipeline_end_to_end",
+    "pack_doc_spans",
+    "corpus_split_by_source",
+    "dedup_survivorship",
     # --- changed in r8 (the rounding-tie sweep, VERDICT r7 item 2 +
     # ADVICE): every query whose published ratio of integers moved from
     # round(a/b, k) to the UNROUNDED exact-integer division (oracles in
@@ -142,15 +147,16 @@ GATE_ORDER = [
     "dedup_clusters",
     "pipeline_keep_list",
     "dedup_simhash",
-    "dedup_exact",
-    "asof_join_purchase_click",
-    "list_resources",
     # ---- 50-entry window boundary: every query below was hash-green
     # in a prior driver window (r6 or r7 — noted per block) and is
     # re-verified by the committed full-registry strict self-check at
     # both sf every round (CORRECTNESS_FULL_r08*.json);
     # tests/test_registry.py pins the policy.
-    # --- last driver row r6 (sat out r7; the r9 rotation pool) ---
+    # --- last driver row r6 (sat out r7; the r9 rotation pool — the
+    # three fillers displaced by the late-r8 additions lead it) ---
+    "dedup_exact",
+    "asof_join_purchase_click",
+    "list_resources",
     "sim_ann_ivf",
     "q1_pricing_summary",
     "q3_shipping_priority",

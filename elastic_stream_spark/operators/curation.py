@@ -62,6 +62,10 @@ SOURCE_CAP = 15  # max documents any one source may contribute
 # deterministic split thresholds on the first 16 bits of md5("split:"+id):
 # < 0x0ccc → val (~5%), < 0x1999 → test (~5% more), else train (~90%)
 SPLIT_VAL_HEX, SPLIT_TEST_HEX = "0ccc", "1999"
+# group-split gates are WIDER (~15%/15%): the fixture has only 20
+# sources, so 5% gates can strand val/test empty (a 1-row result gates
+# nothing); at 10^8 domains the same machinery runs at any fraction
+GSPLIT_VAL_HEX, GSPLIT_TEST_HEX = "2666", "4ccc"
 N_QUALITY_BUCKETS = 4  # curriculum tiers per source (quality quartiles)
 MIX_ALPHA = 0.3  # temperature exponent for source upsampling (mT5 / XLM-R)
 
@@ -513,6 +517,100 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-boundary sequence packing — the GPT-style training layout
+    where documents are concatenated per shard and CUT at fixed
+    ``PACK_BUDGET``-token sequence boundaries, so one document may span
+    several sequences and one sequence may hold several document
+    fragments.  Output: one row per (document × sequence it touches)
+    with the fragment's offset inside the document and its length — the
+    span manifest an attention-masking / position-id loader consumes
+    (``pipeline_pack_sequences`` is the whole-doc binning summary; this
+    is the exact fragment layout).
+
+    Plan: one running-sum window per shard key places every document at
+    its concatenation offset (same shuffle as pack_sequences); the
+    sequence range each document covers is a tiny integer
+    ``sequence()`` explode (≤ spans per doc, NOT per token — the
+    fan-out equals the output size); fragment arithmetic is pure
+    integer codegen.  PACK_BUDGET is a power of two, so offset/512
+    stays an exact double and floor is bit-deterministic across
+    engines (same argument as pack_sequences)."""
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs.withColumn(
+        "start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    first_seq = F.floor(F.col("start") / PACK_BUDGET).cast("long")
+    last_seq = F.floor(
+        (F.col("start") + F.col("n_tokens") - 1) / PACK_BUDGET
+    ).cast("long")
+    spans = placed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq"),
+    )
+    frag_start = F.greatest(F.col("seq") * PACK_BUDGET, F.col("start"))
+    frag_end = F.least(
+        (F.col("seq") + 1) * PACK_BUDGET, F.col("start") + F.col("n_tokens")
+    )
+    return (
+        spans.select(
+            "source",
+            F.col("seq").cast("long").alias("seq"),
+            "doc_id",
+            (frag_start - F.col("start")).cast("long").alias("doc_offset"),
+            (frag_end - frag_start).cast("long").alias("span_len"),
+        )
+        .orderBy("source", "seq", "doc_id")
+    )
+
+
+def corpus_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split: the gate hashes the SOURCE, so
+    every document of a source lands in the same split — the standard
+    leakage fix when near-duplicates cluster within a domain (a per-doc
+    hash split strands one copy of a boilerplate page in train and its
+    twin in test; ``split_leakage_check`` measures exactly that).  By
+    construction cross-split duplicate pairs can only come from
+    cross-SOURCE duplication, which the near-dup operators already
+    handle.  Output: per-split source/doc/token rollup.
+
+    Plan: pure projection (one md5 per row on the group key) + one
+    map-side-combinable groupBy; the group assignment needs NO
+    per-group shuffle because the hash is a function of the key —
+    at 10⁸ domains this is the same map-only shape."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("gsplit:"), F.col("source")))
+    prefix = F.substring(h, 1, 4)
+    split = (
+        F.when(prefix < GSPLIT_VAL_HEX, F.lit("val"))
+        .when(prefix < GSPLIT_TEST_HEX, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    return (
+        docs.select(
+            split.alias("split"), "source", F.size(toks).alias("n_tokens")
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "text_boilerplate": text_boilerplate,
@@ -525,6 +623,8 @@ QUERIES = {
     "split_leakage_check": split_leakage_check,
     "quality_buckets": quality_buckets,
     "mix_temperature_weights": mix_temperature_weights,
+    "pack_doc_spans": pack_doc_spans,
+    "corpus_split_by_source": corpus_split_by_source,
 }
 
 _NGRAMS_SQL = f"""
@@ -666,6 +766,54 @@ ORACLES = {
         )
         WHERE rk <= {SOURCE_CAP}
         ORDER BY source, rk
+    """,
+    "pack_doc_spans": f"""
+        WITH toks AS (
+          SELECT source, doc_id,
+                 len(string_split(lower(text), ' ')) AS n_tokens
+          FROM documents
+        ), placed AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS start
+          FROM toks
+        ), spans AS (
+          SELECT source, doc_id, n_tokens, start,
+                 unnest(generate_series(
+                   CAST(floor(start / {PACK_BUDGET}.0) AS BIGINT),
+                   CAST(floor((start + n_tokens - 1) / {PACK_BUDGET}.0) AS BIGINT)
+                 )) AS seq
+          FROM placed
+        )
+        SELECT source, CAST(seq AS BIGINT) AS seq, doc_id,
+               CAST(greatest(seq * {PACK_BUDGET}, start) - start AS BIGINT)
+                 AS doc_offset,
+               CAST(least((seq + 1) * {PACK_BUDGET}, start + n_tokens)
+                    - greatest(seq * {PACK_BUDGET}, start) AS BIGINT)
+                 AS span_len
+        FROM spans
+        ORDER BY source, seq, doc_id
+    """,
+    "corpus_split_by_source": f"""
+        WITH assigned AS (
+          SELECT CASE
+                   WHEN substr(md5('gsplit:' || source), 1, 4)
+                        < '{GSPLIT_VAL_HEX}' THEN 'val'
+                   WHEN substr(md5('gsplit:' || source), 1, 4)
+                        < '{GSPLIT_TEST_HEX}' THEN 'test'
+                   ELSE 'train'
+                 END AS split,
+                 source,
+                 len(string_split(lower(text), ' ')) AS n_tokens
+          FROM documents
+        )
+        SELECT split,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM assigned GROUP BY split ORDER BY split
     """,
     "corpus_split_shards": f"""
         WITH assigned AS (

@@ -351,11 +351,53 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (the MDM "golden record" step applied to
+    near-dup clusters): for every CC cluster the kept representative
+    (min doc_id) absorbs provenance from the members it replaces —
+    member count, the sorted distinct source list, language count and
+    total chars — so dropping duplicates loses no lineage.  This is the
+    operator that turns the cluster table from a drop-list into a
+    merge: a real pipeline keeps one copy of the boilerplate page but
+    must remember every domain that carried it (for mix weights and
+    takedown audits).
+
+    Plan: the memoized CC label table joins the corpus on doc_id (one
+    key-partitioned join), then ONE map-side-combinable groupBy per
+    cluster; the source list is per-cluster-sized (near-dup clusters
+    are shallow), never corpus-sized."""
+    comp = _cc_labels(spark, sf_dir)
+    docs = load_table_balanced(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.array_join(
+                F.sort_array(F.collect_set("source")), ","
+            ).alias("sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.col("cluster_id").alias("keep_doc_id"),
+            "n_members",
+            "sources",
+            "n_langs",
+            "total_chars",
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "pipeline_keep_list": pipeline_keep_list,
     "pipeline_curation_verdict": pipeline_curation_verdict,
     "pipeline_end_to_end": pipeline_end_to_end,
+    "dedup_survivorship": dedup_survivorship,
 }
 
 # Recursive min-label fixpoint over the same verified pair set the Spark
@@ -485,6 +527,24 @@ ORACLES = {
                NOT is_eval AND q >= 0.5 AND NOT exact_dup AND NOT near_dup
                  AND NOT contaminated AND NOT repetitive AS keep
         FROM verdict ORDER BY doc_id
+    """,
+    "dedup_survivorship": f"""
+        WITH RECURSIVE {_CC_SQL}
+        SELECT c.doc_id AS keep_doc_id, n_members, sources, n_langs,
+               total_chars
+        FROM (
+          SELECT cluster_id,
+                 count(*) AS n_members,
+                 array_to_string(list_sort(list(DISTINCT d.source)), ',')
+                   AS sources,
+                 CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+                 CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+          FROM comp JOIN documents d USING (doc_id)
+          GROUP BY cluster_id
+        ) s
+        JOIN (SELECT DISTINCT cluster_id AS doc_id FROM comp) c
+          ON s.cluster_id = c.doc_id
+        ORDER BY keep_doc_id
     """,
     # same verdict CTE → keep filter → hash split/shard → 512-token
     # packing window → manifest rollup (mirrors pipeline_end_to_end

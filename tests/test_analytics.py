@@ -438,3 +438,79 @@ def test_fuzzy_match_blocked_join_is_equi(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------ r8 additions
+
+
+def test_pack_doc_spans_tile_exactly(spark):
+    """Fragment spans must tile: per source, span lengths sum to the
+    shard's token total; per (source, seq), every sequence except the
+    shard's last is filled to exactly PACK_BUDGET; no fragment exceeds
+    the budget and offsets stay inside their document."""
+    from pyspark.sql import functions as F
+
+    from elastic_stream_spark.operators.curation import (
+        PACK_BUDGET,
+        pack_doc_spans,
+    )
+
+    rows = pack_doc_spans(spark, SF_DIR).collect()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "source",
+            F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    )
+    totals = {r.source: r.total for r in docs}
+    by_source: dict = {}
+    by_seq: dict = {}
+    for r in rows:
+        assert 1 <= r.span_len <= PACK_BUDGET
+        assert r.doc_offset >= 0
+        by_source[r.source] = by_source.get(r.source, 0) + r.span_len
+        by_seq[(r.source, r.seq)] = by_seq.get((r.source, r.seq), 0) + r.span_len
+    assert by_source == totals
+    last_seq = {s: max(k[1] for k in by_seq if k[0] == s) for s in by_source}
+    for (s, seq), filled in by_seq.items():
+        if seq < last_seq[s]:
+            assert filled == PACK_BUDGET, (s, seq, filled)
+        else:
+            assert filled <= PACK_BUDGET
+
+
+def test_corpus_split_by_source_is_group_disjoint(spark):
+    """Every source lands in exactly one split (the leakage-safe
+    property) and the rollup reconciles with the corpus."""
+    from elastic_stream_spark.operators.curation import corpus_split_by_source
+
+    rows = corpus_split_by_source(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert sum(r.n_sources for r in rows) == n_sources
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_dedup_survivorship_merges_cluster_provenance(spark):
+    """The survivor is its cluster's min doc_id; member counts and char
+    totals reconcile against the raw cluster table."""
+    from elastic_stream_spark.operators.pipeline import (
+        dedup_clusters,
+        dedup_survivorship,
+    )
+
+    surv = {r.keep_doc_id: r for r in dedup_survivorship(spark, SF_DIR).collect()}
+    clusters = dedup_clusters(spark, SF_DIR).collect()
+    by_cluster: dict = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert set(surv) == set(by_cluster)
+    for cid, members in by_cluster.items():
+        assert surv[cid].n_members == len(members)
+        assert cid == min(members)
+        assert surv[cid].sources  # non-empty provenance

@@ -21,6 +21,11 @@ from elastic_stream_spark.operators import GATE_ORDER, all_oracles, all_queries
 # curation pipeline (verdict -> split/shard -> pack -> manifest).
 NEW_R8 = {
     "pipeline_end_to_end",
+    # late-r8: cross-boundary packing spans, group-aware source split,
+    # survivorship merge
+    "pack_doc_spans",
+    "corpus_split_by_source",
+    "dedup_survivorship",
 }
 
 # Changed in round 8 — the rounding-tie sweep (r7 VERDICT item 2 +
