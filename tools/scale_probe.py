@@ -33,99 +33,15 @@ SFS = [
     ("/root/testdata/sf0.1", 0.1),
 ]
 
-PROBE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "top3_orders_per_customer",
-    "tumbling_window_counts",
-    "session_windows",
-    "asof_join_purchase_click",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "dedup_clusters",
-    "pipeline_keep_list",
-    "decontaminate_ngrams",
-    "pipeline_pack_sequences",
-    "pipeline_sample_mix",
-    "pipeline_curation_verdict",
-    "text_token_stats",
-    "text_pii_redact",
-    "text_repetition",
-    "sim_topk_bruteforce",
-    "sim_ann_ivf_clustered",
-    "sim_ann_ivf_pq",
-    "skew_salted_join_revenue",
-    "emb_label_centroids",
-    "mm_byte_features",
-    "mm_frame_sample",
-    # round 5: second TPC-H tranche + corpus-preparation pipeline
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
-    "doc_chunking",
-    "token_heavy_hitters",
-    "source_distinctive_tokens",
-    "q9_product_type_profit",
-    "q16_supplier_variety",
-    "q21_waiting_supplier",
-    # round 6
-    "dedup_semantic",
-    "stream_heavy_hitters_replay",
-    "sim_ann_ivf",
-    "chunk_dedup",
-    "text_unigram_logprob",
-    "vocab_coverage",
-    "ngram_counts",
-    "tfidf_topk_per_doc",
-    "emb_covariance",
-    # round 7
-    "dedup_substring",
-    "dedup_incremental",
-    "source_ngram_overlap",
-    "source_cap_sample",
-    "emb_random_project",
-    "corpus_split_shards",
-    "quality_buckets",
-    "emb_quantize_int8",
-    "substring_scrub_stats",
-    "mix_temperature_weights",
-    # round 7 late: retrieval, event analytics, split hygiene
-    "bm25_search",
-    "bigram_pmi",
-    "event_funnel",
-    "stream_join_replay",
-    "split_leakage_check",
-    "emb_norm_outliers",
-    "neardup_lookup",
-    "window_unique_users",
-    "retention_cohorts",
-    "dedup_containment",
-    "neardup_lookup_served",
-    # round 7 tranche 2/3: hybrid retrieval, filtered ANN, time-series,
-    # data audits, anomaly / segmentation / robust stats
-    "hybrid_rrf_search",
-    "filtered_vector_search",
-    "ts_gapfill_locf",
-    "rolling_revenue_7d",
-    "event_transitions",
-    "key_skew_audit",
-    "column_profile",
-    "fuzzy_name_match",
-    "daily_anomaly_zscore",
-    "rfm_segments",
-    "winsorized_event_stats",
-    "scd2_user_history",
-    "pit_feature_join",
-    "jsonl_roundtrip_audit",
-]
+# The sweep covers EVERY registry query (derived at runtime from the
+# gate registry — a static list drifted: r7's covered 85 of 124).
+def _probe_names():
+    from elastic_stream_spark.operators import GATE_ORDER
+
+    return list(GATE_ORDER)
+
+
+PROBE: list[str] = []  # filled in main() from the live registry
 
 
 # Documents-corpus amplification: replica k rewrites every word with a
@@ -211,6 +127,10 @@ def main() -> None:
 
     spark = get_spark("scale_probe")
     qs = all_queries()
+    PROBE[:] = _probe_names()
+    # time the way a consumer pays: count() lets Catalyst prune per-row
+    # projections (bench.py _force_count rationale) — same action here
+    from bench import _force_count
 
     # warm-up every sf dir (JVM, codegen, page cache) before any timing
     for sf_dir, _ in SFS:
@@ -224,7 +144,7 @@ def main() -> None:
             best = None
             for _ in range(3):  # best-of-3: host I/O stalls intermittently
                 t0 = time.time()
-                fn(spark, sf_dir).count()
+                _force_count(fn(spark, sf_dir))
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             results[name].append(round(best, 3))
@@ -234,7 +154,8 @@ def main() -> None:
         "# SCALE — measured scaling curves (wall time vs scale factor)",
         "",
         "Generated by `tools/scale_probe.py` on local[32]; best-of-3 per",
-        "point, warm caches.  `slope` = log10(t_sf0.1 / t_sf0.01) — the",
+        "point, warm caches, FULL output evaluation forced (bench.py",
+        "_force_count — count() alone lets Catalyst prune projections).  `slope` = log10(t_sf0.1 / t_sf0.01) — the",
         "data-dominated segment (100× total spread across the series).",
         "Slope ≈ 0: overhead-bound at fixture size.  Slope ≈ 1: linear in",
         "data — the shape that survives 100 TB.  Slope ≥ 1.5: super-linear,",
