@@ -146,19 +146,21 @@ GATE_ORDER = [
     "dedup_embedding_lsh",
     "dedup_clusters",
     "pipeline_keep_list",
-    "dedup_simhash",
+    # --- changed late-r8: avg_qty moved to the unrounded exact-int
+    # division (quantities are integer-valued; same tie class) ---
+    "q1_pricing_summary",
     # ---- 50-entry window boundary: every query below was hash-green
     # in a prior driver window (r6 or r7 — noted per block) and is
     # re-verified by the committed full-registry strict self-check at
     # both sf every round (CORRECTNESS_FULL_r08*.json);
     # tests/test_registry.py pins the policy.
     # --- last driver row r6 (sat out r7; the r9 rotation pool — the
-    # three fillers displaced by the late-r8 additions lead it) ---
+    # four fillers displaced by the late-r8 additions lead it) ---
+    "dedup_simhash",
     "dedup_exact",
     "asof_join_purchase_click",
     "list_resources",
     "sim_ann_ivf",
-    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q7_volume_shipping",

@@ -50,7 +50,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            # avg_qty: quantities are INTEGER-valued, so Σ is exact in
+            # doubles (order-independent) and avg is an exact-int
+            # division — published UNROUNDED (round() on such a ratio
+            # can land on a decimal tie; timeseries.py note).  price/
+            # disc are NON-integral doubles whose float sums differ in
+            # last bits between engines — there round(,4) is what
+            # ABSORBS the noise, so they stay rounded.
+            F.avg("l_quantity").alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -320,7 +327,7 @@ ORACLES = {
                round(sum(l_extendedprice), 4)                                     AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 4)                  AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)    AS sum_charge,
-               round(avg(l_quantity), 4)                                          AS avg_qty,
+               avg(l_quantity)                                                    AS avg_qty,
                round(avg(l_extendedprice), 4)                                     AS avg_price,
                round(avg(l_discount), 4)                                          AS avg_disc,
                count(*)                                                           AS count_order

@@ -57,6 +57,8 @@ CHANGED_R8 = {
     "text_repetition",
     "mix_temperature_weights",
     "pipeline_curation_verdict",
+    # late-r8: q1's avg_qty moved to the unrounded exact-int division
+    "q1_pricing_summary",
 }
 
 # The r7-late additions (NEW_QUEUED_R8 in the r7 tree): never
