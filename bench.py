@@ -159,6 +159,7 @@ HEADLINE = [
     "pack_doc_spans",
     "corpus_split_by_source",
     "dedup_survivorship",
+    "approx_quantile_audit",
 ]
 
 # Session-memo builders, invoked ONCE (untimed) during warm-up: these

@@ -89,6 +89,9 @@ GATE_ORDER = [
     "pack_doc_spans",
     "corpus_split_by_source",
     "dedup_survivorship",
+    # --- new late-r8: approx-percentile contract gate (the 100 TB
+    # sketch path asserted inside the exact ±1%-rank window) ---
+    "approx_quantile_audit",
     # --- changed in r8 (the rounding-tie sweep, VERDICT r7 item 2 +
     # ADVICE): every query whose published ratio of integers moved from
     # round(a/b, k) to the UNROUNDED exact-integer division (oracles in
@@ -145,7 +148,6 @@ GATE_ORDER = [
     # rotate back in with the remaining slots ---
     "dedup_embedding_lsh",
     "dedup_clusters",
-    "pipeline_keep_list",
     # --- changed late-r8: avg_qty moved to the unrounded exact-int
     # division (quantities are integer-valued; same tie class) ---
     "q1_pricing_summary",
@@ -155,7 +157,8 @@ GATE_ORDER = [
     # both sf every round (CORRECTNESS_FULL_r08*.json);
     # tests/test_registry.py pins the policy.
     # --- last driver row r6 (sat out r7; the r9 rotation pool — the
-    # four fillers displaced by the late-r8 additions lead it) ---
+    # five fillers displaced by the late-r8 additions lead it) ---
+    "pipeline_keep_list",
     "dedup_simhash",
     "dedup_exact",
     "asof_join_purchase_click",

@@ -288,12 +288,94 @@ def jsonl_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# approx-percentile audit: rank tolerance for the contract window and
+# the sketch accuracy (rank error 1/ACC << DELTA, so the booleans are
+# stable under any partition-merge order)
+QTILE_DELTA = 0.01
+QTILE_ACC = 10_000
+QTILE_PCTS = (0.5, 0.95)
+
+
+def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract gate for the APPROXIMATE percentile path: at 100 TB the
+    exact ``percentile`` (full sort per group) is replaced by
+    ``approx_percentile`` (mergeable sketch, one pass) — this query runs
+    BOTH per event type and asserts the sketch lands inside the exact
+    rank window [p−δ, p+δ] (δ = 1%, sketch rank error 1/10000 — two
+    orders of margin).  The published columns are the EXACT percentiles
+    (milli-cent integer grid — the winsorized discipline, so both
+    engines agree bit-for-bit) plus the pass/fail booleans; the oracle
+    recomputes the exact values and expects TRUE, so a sketch
+    regression (or a partition-merge-order drift past the window) turns
+    the hash gate red instead of silently shipping bad quantiles.
+
+    Plan: one groupBy computes the exact interpolated percentiles AND
+    the sketch in the same aggregate — one shuffle on the tiny type
+    key; the 100 TB form keeps only the sketch column."""
+    evc = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cent"),
+    )
+    lo_p, hi_p = QTILE_PCTS
+    exact_mc = {
+        p: F.round(F.expr(f"percentile(v_cent, {p})") * 1000).cast("long")
+        for p in QTILE_PCTS
+    }
+    band_mc = {
+        p: (
+            F.round(F.expr(f"percentile(v_cent, {max(p - QTILE_DELTA, 0.0)})") * 1000)
+            .cast("long"),
+            F.round(F.expr(f"percentile(v_cent, {min(p + QTILE_DELTA, 1.0)})") * 1000)
+            .cast("long"),
+        )
+        for p in QTILE_PCTS
+    }
+    approx_mc = {
+        p: (
+            F.expr(
+                f"approx_percentile(v_cent, {p}, {QTILE_ACC})"
+            ).cast("long")
+            * 1000
+        )
+        for p in QTILE_PCTS
+    }
+    agg = evc.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        exact_mc[lo_p].alias("p50_mc"),
+        exact_mc[hi_p].alias("p95_mc"),
+        band_mc[lo_p][0].alias("p50_lo_mc"),
+        band_mc[lo_p][1].alias("p50_hi_mc"),
+        band_mc[hi_p][0].alias("p95_lo_mc"),
+        band_mc[hi_p][1].alias("p95_hi_mc"),
+        approx_mc[lo_p].alias("a50_mc"),
+        approx_mc[hi_p].alias("a95_mc"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            (F.col("p50_mc") / F.lit(100000)).alias("p50_exact"),
+            (F.col("p95_mc") / F.lit(100000)).alias("p95_exact"),
+            (
+                (F.col("a50_mc") >= F.col("p50_lo_mc"))
+                & (F.col("a50_mc") <= F.col("p50_hi_mc"))
+            ).alias("p50_sketch_ok"),
+            (
+                (F.col("a95_mc") >= F.col("p95_lo_mc"))
+                & (F.col("a95_mc") <= F.col("p95_hi_mc"))
+            ).alias("p95_sketch_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "key_skew_audit": key_skew_audit,
     "column_profile": column_profile,
     "fuzzy_name_match": fuzzy_name_match,
     "winsorized_event_stats": winsorized_event_stats,
     "jsonl_roundtrip_audit": jsonl_roundtrip_audit,
+    "approx_quantile_audit": approx_quantile_audit,
 }
 
 _PROFILE_LONG_SQL = " UNION ALL ".join(
@@ -381,6 +463,25 @@ ORACLES = {
     """,
     # oracle reads the ORIGINAL parquet — equality proves the JSONL
     # export/read cycle was byte-lossless
+    # exact side recomputed on the same milli-cent grid; the booleans
+    # are the CONTRACT — the oracle expects TRUE, so a sketch landing
+    # outside the ±1%-rank window turns the hash gate red
+    "approx_quantile_audit": f"""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS v_cent
+          FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(quantile_cont(v_cent, {QTILE_PCTS[0]}) * 1000)
+                    AS BIGINT) / 100000 AS p50_exact,
+               CAST(round(quantile_cont(v_cent, {QTILE_PCTS[1]}) * 1000)
+                    AS BIGINT) / 100000 AS p95_exact,
+               TRUE AS p50_sketch_ok,
+               TRUE AS p95_sketch_ok
+        FROM c GROUP BY event_type ORDER BY event_type
+    """,
     "jsonl_roundtrip_audit": """
         WITH g AS (
           SELECT source, lang, md5(text) AS h,

@@ -514,3 +514,34 @@ def test_dedup_survivorship_merges_cluster_provenance(spark):
         assert surv[cid].n_members == len(members)
         assert cid == min(members)
         assert surv[cid].sources  # non-empty provenance
+
+
+def test_approx_quantile_audit_contract(spark):
+    """The sketch must sit inside the exact ±1%-rank window per type,
+    and the published exact percentiles must be ordered and reconcile
+    with a direct exact computation."""
+    from pyspark.sql import functions as F
+
+    from elastic_stream_spark.operators.data_audit import (
+        approx_quantile_audit,
+    )
+
+    rows = approx_quantile_audit(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert len(rows) == ev.select("event_type").distinct().count()
+    direct = {
+        r.event_type: (r.p50, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.p50_sketch_ok and r.p95_sketch_ok, r
+        assert r.p50_exact <= r.p95_exact
+        # milli-grid exact values track the raw-value percentiles
+        assert abs(r.p50_exact - direct[r.event_type][0]) < 0.01
+        assert abs(r.p95_exact - direct[r.event_type][1]) < 0.01
+        assert r.n > 0

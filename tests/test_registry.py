@@ -26,6 +26,7 @@ NEW_R8 = {
     "pack_doc_spans",
     "corpus_split_by_source",
     "dedup_survivorship",
+    "approx_quantile_audit",
 }
 
 # Changed in round 8 — the rounding-tie sweep (r7 VERDICT item 2 +
