@@ -72,11 +72,11 @@ def _modules():
 # nothing is ever dark, only riding on its last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r8 rotation — the registry (125 queries) is 2.5 windows, so the
+# r8 rotation — the registry (129 queries) is ~2.6 windows, so the
 # steady-state schedule is an ALTERNATION over ~3 rounds: changed /
-# never-checked queries preempt everything (this round: 1 new + 20
+# never-checked queries preempt everything (this round: 5 new + 21
 # rounding-sweep changes + the 22 remaining never-driver-checked r7-late
-# additions = 43 slots), and the remaining slots go to the queries with
+# additions = 48 slots), and the remaining slots go to the queries with
 # the STALEST driver rows (last green r6).  Every registry query keeps a
 # driver row ≤ 3 rounds old, with the committed strict full-registry
 # self-check covering every query at both sf every round.
