@@ -72,92 +72,30 @@ def _modules():
 # nothing is ever dark, only riding on its last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r8 rotation — the registry (129 queries) is ~2.6 windows, so the
+# r9 rotation — the registry (132 queries) is ~2.6 windows, so the
 # steady-state schedule is an ALTERNATION over ~3 rounds: changed /
-# never-checked queries preempt everything (this round: 5 new + 21
-# rounding-sweep changes + the 22 remaining never-driver-checked r7-late
-# additions = 48 slots), and the remaining slots go to the queries with
-# the STALEST driver rows (last green r6).  Every registry query keeps a
+# never-checked queries preempt everything (this round: 3 new + 3
+# changed = 6 slots), the 34 queries whose last driver row is r6 take
+# their policy-deadline slots (staleness must stay ≤ 3 rounds), and the
+# remaining 10 slots go to r7-row queries.  Every registry query keeps a
 # driver row ≤ 3 rounds old, with the committed strict full-registry
 # self-check covering every query at both sf every round.
 GATE_ORDER = [
-    # ---------------- r8 window (first 50 = the driver's gate) ----------
-    # --- new in r8: the composed end-to-end curation pipeline gate,
-    # cross-boundary packing spans, the group-aware (leakage-safe)
-    # source split, and the survivorship merge over CC clusters ---
+    # ---------------- r9 window (first 50 = the driver's gate) ----------
+    # --- new in r9: incremental CC absorption, the model-based quality
+    # scorer, and the streaming (incremental-nightly) pipeline replay ---
+    "cc_append",
+    "quality_model_score",
+    "stream_pipeline_replay",
+    # --- changed in r9: pipeline_end_to_end composed the group-aware
+    # (leakage-safe) source split (r8 VERDICT "what's wrong" #3);
+    # dedup_substring / substring_scrub_stats carry the redesigned
+    # bounded-working-set span extraction (r8 VERDICT next-round #2) ---
     "pipeline_end_to_end",
-    "pack_doc_spans",
-    "corpus_split_by_source",
-    "dedup_survivorship",
-    # --- new late-r8: approx-percentile contract gate (the 100 TB
-    # sketch path asserted inside the exact ±1%-rank window) ---
-    "approx_quantile_audit",
-    # --- changed in r8 (the rounding-tie sweep, VERDICT r7 item 2 +
-    # ADVICE): every query whose published ratio of integers moved from
-    # round(a/b, k) to the UNROUNDED exact-integer division (oracles in
-    # lockstep), plus the winsorized milli-grid rework, the zscore
-    # degenerate-case guard, and pipeline_curation_verdict whose oracle
-    # repetition flag dropped its rounds — each needs a fresh driver row
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_containment",
-    "neardup_lookup",
-    "neardup_lookup_served",
+    "dedup_substring",
     "substring_scrub_stats",
-    "event_gaps_lag",
-    "event_funnel",
-    "key_skew_audit",
-    "column_profile",
-    "winsorized_event_stats",
-    "daily_anomaly_zscore",
-    "source_distinctive_tokens",
-    "vocab_coverage",
-    "source_ngram_overlap",
-    "text_token_stats",
-    "pipeline_sample_mix",
-    "text_repetition",
-    "mix_temperature_weights",
-    "pipeline_curation_verdict",
-    # --- NEW_QUEUED_R8 rotation (VERDICT r7 item 1): the 22 r7-late
-    # additions not already claimed above as changed — never driver-
-    # checked; each carries strict full-gate evidence from
-    # CORRECTNESS_FULL_r07*.json (124/124 hash-green, both sf)
-    "source_cap_sample",
-    "emb_random_project",
-    "corpus_split_shards",
-    "quality_buckets",
-    "emb_quantize_int8",
-    "bm25_search",
-    "bigram_pmi",
-    "stream_join_replay",
-    "split_leakage_check",
-    "emb_norm_outliers",
-    "window_unique_users",
-    "retention_cohorts",
-    "hybrid_rrf_search",
-    "filtered_vector_search",
-    "ts_gapfill_locf",
-    "rolling_revenue_7d",
-    "event_transitions",
-    "fuzzy_name_match",
-    "rfm_segments",
-    "scd2_user_history",
-    "pit_feature_join",
-    "jsonl_roundtrip_audit",
-    # --- alternation: stalest driver rows (last green r6, sat out r7)
-    # rotate back in with the remaining slots ---
-    "dedup_embedding_lsh",
-    "dedup_clusters",
-    # --- changed late-r8: avg_qty moved to the unrounded exact-int
-    # division (quantities are integer-valued; same tie class) ---
-    "q1_pricing_summary",
-    # ---- 50-entry window boundary: every query below was hash-green
-    # in a prior driver window (r6 or r7 — noted per block) and is
-    # re-verified by the committed full-registry strict self-check at
-    # both sf every round (CORRECTNESS_FULL_r08*.json);
-    # tests/test_registry.py pins the policy.
-    # --- last driver row r6 (sat out r7; the r9 rotation pool — the
-    # five fillers displaced by the late-r8 additions lead it) ---
+    # --- the 34 r6-stale driver rows (r8 VERDICT next-round #1: r9 is
+    # the rotation policy's own ≤3-round deadline for them) ---
     "pipeline_keep_list",
     "dedup_simhash",
     "dedup_exact",
@@ -192,9 +130,8 @@ GATE_ORDER = [
     "doc_chunking",
     "token_heavy_hitters",
     "text_pii_redact",
-    # --- hash-green in the r7 driver window (freshest possible row
-    # for a rotated-out query; they ride the alternation) ---
-    "dedup_substring",
+    # --- alternation top-up: r7-row queries take the remaining slots
+    # (oldest-first by the r7 block's standing order) ---
     "dedup_incremental",
     "chunk_dedup",
     "text_unigram_logprob",
@@ -205,6 +142,12 @@ GATE_ORDER = [
     "q21_waiting_supplier",
     "kv_range_scan",
     "sim_ann_ivf_pq",
+    # ---- 50-entry window boundary: every query below was hash-green
+    # in a prior driver window (r7 or r8 — noted per block) and is
+    # re-verified by the committed full-registry strict self-check at
+    # both sf every round (CORRECTNESS_FULL_r09*.json);
+    # tests/test_registry.py pins the policy.
+    # --- last driver row r7 (sat out r8; the r10 rotation pool) ---
     "q9_product_type_profit",
     "q12_priority_by_lateness",
     "q16_supplier_variety",
@@ -239,6 +182,56 @@ GATE_ORDER = [
     "stream_dedup_events",
     "resource_latest_state",
     "offset_for_timestamp",
+    # --- hash-green in the r8 driver window (freshest rows; they ride
+    # the alternation and are due r11 at the latest) ---
+    "pack_doc_spans",
+    "corpus_split_by_source",
+    "dedup_survivorship",
+    "approx_quantile_audit",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "neardup_lookup",
+    "neardup_lookup_served",
+    "event_gaps_lag",
+    "event_funnel",
+    "key_skew_audit",
+    "column_profile",
+    "winsorized_event_stats",
+    "daily_anomaly_zscore",
+    "source_distinctive_tokens",
+    "vocab_coverage",
+    "source_ngram_overlap",
+    "text_token_stats",
+    "pipeline_sample_mix",
+    "text_repetition",
+    "mix_temperature_weights",
+    "pipeline_curation_verdict",
+    "source_cap_sample",
+    "emb_random_project",
+    "corpus_split_shards",
+    "quality_buckets",
+    "emb_quantize_int8",
+    "bm25_search",
+    "bigram_pmi",
+    "stream_join_replay",
+    "split_leakage_check",
+    "emb_norm_outliers",
+    "window_unique_users",
+    "retention_cohorts",
+    "hybrid_rrf_search",
+    "filtered_vector_search",
+    "ts_gapfill_locf",
+    "rolling_revenue_7d",
+    "event_transitions",
+    "fuzzy_name_match",
+    "rfm_segments",
+    "scd2_user_history",
+    "pit_feature_join",
+    "jsonl_roundtrip_audit",
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "q1_pricing_summary",
 ]
 
 

@@ -281,7 +281,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw tokens.  The per-doc array expressions are computed in their OWN
     projection BELOW the explode: an expression sharing a select with a
     generator lands in the Project ABOVE Generate and is re-evaluated
-    once per exploded row — measured 150× amplification (9.7 s → 2.3 s
+    once per exploded row — measured 150× amplification (9.7 s → ~1.0 s
     at sf0.1 when split).  Fractions are UNROUNDED exact-integer
     divisions (bit-identical across engines; timeseries.py note)."""
     docs = _docs(spark, sf_dir)

@@ -415,14 +415,16 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram TEXT never leaves that map stage: each gram is folded to a 128-bit
     key (two independent ``xxhash64`` lanes) before the persist, so the
     index rows are four fixed-width integers (~32 B vs ~60 B with a 30-char
-    string).  The duplicated-gram test is then ONE shuffle: a window over
-    the hash key computing ``min(doc_id) != max(doc_id)`` (running
-    aggregates, O(1) state per key; fixed-width radix-sortable keys) —
-    replacing the previous aggregate + self-join shape that shuffled the
-    gram-sized table three times and went I/O-bound a decade up
-    (SCALE.extra.md: +1.46 at a 32-wide shuffle, +1.31 at 256 — measured,
-    then redesigned).  The islands window partitions by doc_id, so per-key
-    state is bounded by a single document's length.  A 128-bit collision
+    string).  The duplicated-gram test and span merge are the
+    bounded-working-set shape of ``_substring_spans`` (r8 redesign — see
+    its docstring): a map-side-combinable ``groupBy(h1, h2)`` min/max dup
+    verdict (hash aggregate, never a sort), a doc-clustering-preserving
+    verdict join-back, and a ``SUBSTR_BUCKET``-wide island pre-fold so
+    the per-doc merge shuffles interval rows instead of raw positions —
+    no stage lands the whole index in one sorted shuffle wave
+    (SCALE.extra.md records the measured history: string agg+self-join
+    +1.46 → hashed one-window +1.10..+1.38 host-floor-bound → this
+    shape).  A 128-bit collision
     could only merge two gram groups (false span): P ≈ n²/2¹²⁹ — ~3e-13
     even at 10¹³ corpus grams.  The DuckDB oracle keeps grouping by the
     gram text itself (oracle clarity; identical output)."""
@@ -457,27 +459,93 @@ def _substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_BUCKET = 64  # island pre-fold width (positions per bucket)
+
+
 def _substring_spans(grams: DataFrame) -> DataFrame:
-    """Duplicated-span extraction over a (doc_id, i, h1, h2) index: ONE
-    gram-hash-partitioned window marks positions whose gram occurs in
-    ≥ 2 distinct docs (``min(doc_id) != max(doc_id)`` — running
-    aggregates, exactly the SUBSTR_MIN_DOCS = 2 distinct-docs test),
-    then a per-doc gaps-and-islands merge."""
+    """Duplicated-span extraction over a (doc_id, i, h1, h2) index with a
+    BOUNDED working set (r8 redesign — the prior shape funnelled the
+    whole index through ONE hash-partitioned window shuffle, which
+    measured super-linear at a 160× duplication decade because the
+    single wave crossed the host's sort-spill floor; SCALE.extra.md):
+
+    1. **dup verdicts via partial aggregation** — ``groupBy(h1, h2)``
+       computing ``min/max(doc_id)`` (exactly the SUBSTR_MIN_DOCS = 2
+       distinct-docs test).  Unlike a window, a hash aggregate combines
+       map-side and never sorts: the shuffle carries one fixed-width row
+       per distinct gram key per map partition, and the reducer state is
+       O(1) per key.
+    2. **verdicts join back** — the dup-key table is ∝ DISTINCT
+       duplicated grams, which collapses with duplication density (at
+       160× it is ~1/160 of the duplicated positions): Catalyst/AQE
+       broadcasts it at realistic sizes, so the position table never
+       re-shuffles and KEEPS the materialized index's doc clustering;
+       past broadcast size the equi-join still hash-partitions without
+       sorting either side.
+    3. **island pre-fold** — duplicated positions fold to
+       ``SUBSTR_BUCKET``-wide per-doc buckets (min/max/count — map-side
+       combinable, and doc clustering from step 2 makes the combine
+       collapse ~BUCKET× on dense runs) BEFORE the per-doc merge, so the
+       global islands shuffle moves interval rows, not raw positions.
+       A bucket whose count equals its extent is one solid interval;
+       the rare non-solid buckets re-join their own positions (semi
+       join, candidate set ∝ gap-straddling buckets) and run the
+       classic row_number gaps-and-islands on that small subset only.
+    4. **interval-union merge** — one per-doc window over bucket
+       intervals (∝ positions / BUCKET), abutting/overlapping intervals
+       merge via the running-max rule.
+
+    Exactness: every duplicated position lands in exactly one bucket;
+    solid buckets reproduce their positions as [mn, mx], non-solid
+    buckets are re-derived from the raw positions, and the
+    adjacency-merge (start > prev_end + 1 opens an island) reconstructs
+    exactly the maximal consecutive-position islands the one-window
+    formulation produced.  A 128-bit collision could only merge two gram
+    groups (false span): P ≈ n²/2¹²⁹ (module docstring)."""
     assert SUBSTR_MIN_DOCS == 2, "min/max dup test encodes exactly 2"
-    wg = Window.partitionBy("h1", "h2")
-    hits = (
-        grams.withColumn("mn", F.min("doc_id").over(wg))
-        .withColumn("mx", F.max("doc_id").over(wg))
+    dup_keys = (
+        grams.groupBy("h1", "h2")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
         .where(F.col("mn") != F.col("mx"))
-        .select("doc_id", "i")
+        .select("h1", "h2")
     )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    runs = hits.withColumn("grp", F.col("i") - F.row_number().over(w))
+    hits = grams.join(dup_keys, ["h1", "h2"], "leftsemi").select(
+        "doc_id", "i", (F.col("i") - F.pmod("i", F.lit(SUBSTR_BUCKET))).alias("bkt")
+    )
+    folded = hits.groupBy("doc_id", "bkt").agg(
+        F.min("i").alias("mn"),
+        F.max("i").alias("mx"),
+        F.count("*").alias("cnt"),
+    )
+    solid = folded.where(F.col("cnt") == F.col("mx") - F.col("mn") + 1).select(
+        "doc_id", F.col("mn").alias("iv_start"), F.col("mx").alias("iv_end")
+    )
+    gappy_keys = folded.where(F.col("cnt") != F.col("mx") - F.col("mn") + 1).select(
+        "doc_id", "bkt"
+    )
+    gappy_hits = hits.join(gappy_keys, ["doc_id", "bkt"], "leftsemi")
+    wrn = Window.partitionBy("doc_id", "bkt").orderBy("i")
+    gappy_iv = (
+        gappy_hits.withColumn("grp", F.col("i") - F.row_number().over(wrn))
+        .groupBy("doc_id", "bkt", "grp")
+        .agg(F.min("i").alias("iv_start"), F.max("i").alias("iv_end"))
+        .select("doc_id", "iv_start", "iv_end")
+    )
+    ivs = solid.unionByName(gappy_iv)
+    w = Window.partitionBy("doc_id").orderBy("iv_start")
+    prev_end = F.max("iv_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opened = ivs.withColumn(
+        "new_island",
+        F.when(F.col("iv_start") > F.coalesce(prev_end, F.lit(-2)) + 1, 1).otherwise(0),
+    )
+    grouped = opened.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
     return (
-        runs.groupBy("doc_id", "grp")
+        grouped.groupBy("doc_id", "island")
         .agg(
-            F.min("i").alias("span_start"),
-            (F.max("i") + F.lit(SUBSTR_K)).alias("span_end"),
+            F.min("iv_start").alias("span_start"),
+            (F.max("iv_end") + F.lit(SUBSTR_K)).alias("span_end"),
         )
         .select(
             "doc_id",

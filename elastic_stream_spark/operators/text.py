@@ -117,6 +117,74 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- model-based quality scorer (CCNet/fastText-style) -----------------
+# A fixed-weight hashed-feature LINEAR classifier: every token hashes
+# into one of QM_BUCKETS feature buckets, the document logit is the sum
+# of the bucket weights, and the verdict thresholds the MEAN logit.
+# This is the shape of fastText's quality filter (hashed bag-of-words ×
+# dense weight row) with the trained weights replaced by a frozen
+# deterministic vector — the serving plan is identical; training happens
+# offline and ships as constants exactly like this.
+QM_BUCKETS = 64  # 65536 % 64 == 0 → the 4-hex-digit hash is uniform mod B
+# frozen "trained" weight row (integers so every sum is exact in both
+# engines; random.Random(20260815).randint(-8, 8) × 64)
+QM_WEIGHTS = [
+    -6, -8, 8, 6, 1, -6, 7, 0, -7, -6, 5, -7, -4, 8, -5, 4,
+    -4, 5, -8, -7, 2, 1, 0, -8, -2, 2, -7, 4, 6, 1, 7, -8,
+    6, 8, 6, -7, -6, 7, 4, 5, -1, -5, -2, 7, -8, 5, 5, 7,
+    2, -2, 4, -8, 2, 2, -6, -4, -7, 3, -7, 4, -8, 8, 4, -8,
+]
+# verdict: mean logit ≥ QM_THRESH_NUM / QM_THRESH_DEN (integer-exact
+# comparison — logit_sum · DEN ≥ NUM · n_tokens; sigmoid is monotone, so
+# thresholding the logit IS thresholding the probability: σ(0.25) ≈ 0.56)
+QM_THRESH_NUM, QM_THRESH_DEN = 1, 4
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring as a PURE COLUMN expression — the
+    curation stage heuristics can't cover (CCNet: a classifier scores
+    every document; docs.quality filtering in every LLM data pipeline).
+
+    Per doc: token → md5-hash → bucket (mod ``QM_BUCKETS``), logit_sum =
+    Σ ``QM_WEIGHTS[bucket]`` via ``aggregate(transform(...))`` — a
+    higher-order fold INSIDE the row, so the whole operator is one
+    map-only projection + the output sort: zero joins, zero aggregation
+    shuffles, zero Python.  At 100 TB this is the ideal operator shape —
+    embarrassingly parallel, scan-bound, whole-stage-codegen'd.
+
+    Determinism: weights and logits are INTEGERS (sums exact in any
+    order); ``score`` is the unrounded exact-integer division
+    logit_sum/n_tokens (bit-identical IEEE doubles in Spark and DuckDB —
+    see the timeseries.py determinism note); the keep verdict is a pure
+    integer cross-multiplication, so no float ever decides anything."""
+    d = _docs(spark, sf_dir)
+    t = tokens("text")
+    warr = F.array(*[F.lit(w) for w in QM_WEIGHTS])
+    bucket = lambda tok: (  # noqa: E731 — column lambda, used twice
+        F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("int") % QM_BUCKETS
+    )
+    logit = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc + F.element_at(warr, bucket(tok) + 1),
+    )
+    scored = d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        logit.alias("logit_sum"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logit_sum",
+        (F.col("logit_sum") / F.col("n_tokens")).alias("score"),
+        (
+            F.col("logit_sum") * QM_THRESH_DEN
+            >= F.lit(QM_THRESH_NUM) * F.col("n_tokens")
+        ).alias("keep_model"),
+    ).orderBy("doc_id")
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID: EN stopword ratio ≥ 4% → 'en', else
     'other'; per-source prediction counts.  (The fixture corpus is a
@@ -158,9 +226,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
+    "quality_model_score": quality_model_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
 }
+
+_QM_W_SQL = "[" + ", ".join(str(w) for w in QM_WEIGHTS) + "]"
 
 _STOP_SQL = "('" + "', '".join(STOPWORDS_EN) + "')"
 
@@ -203,6 +274,23 @@ ORACLES = {
         SELECT lang, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
                CAST(sum(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
         FROM scored GROUP BY lang ORDER BY lang
+    """,
+    "quality_model_score": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), logits AS (
+          SELECT doc_id, len(t) AS n_tokens,
+                 CAST(list_sum(list_transform(t,
+                     tok -> ({_QM_W_SQL})[
+                       (('0x' || substr(md5(tok), 1, 4))::INT % {QM_BUCKETS}) + 1
+                     ])) AS BIGINT) AS logit_sum
+          FROM toks
+        )
+        SELECT doc_id, n_tokens, logit_sum,
+               logit_sum * 1.0 / n_tokens AS score,
+               logit_sum * {QM_THRESH_DEN} >= {QM_THRESH_NUM} * n_tokens
+                 AS keep_model
+        FROM logits ORDER BY doc_id
     """,
     "text_langid": f"""
         WITH per_doc AS (

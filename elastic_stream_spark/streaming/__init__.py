@@ -5,6 +5,7 @@ from elastic_stream_spark.streaming.source import (
 )
 from elastic_stream_spark.streaming.datasource import StreamLogDataSource
 from elastic_stream_spark.streaming.sink import ExactlyOnceAppendSink
+from elastic_stream_spark.streaming.pipeline import IncrementalCurationPipeline
 from elastic_stream_spark.streaming.stateful import (
     stream_offset_tracker,
     streaming_heavy_hitters,
@@ -25,6 +26,7 @@ __all__ = [
     "read_records_stream",
     "poll_fetch",
     "ExactlyOnceAppendSink",
+    "IncrementalCurationPipeline",
     "StreamLogDataSource",
     "stream_offset_tracker",
     "streaming_heavy_hitters",

@@ -1,0 +1,185 @@
+"""Incremental (streaming) curation pipeline — the nightly dataflow.
+
+The batch gate ``operators/pipeline.py::pipeline_end_to_end`` certifies
+the FULL-CORPUS rebuild; a real 100 TB pipeline runs the INCREMENTAL
+form instead: documents arrive on a stream, every micro-batch dedups
+against the standing corpus fingerprints plus everything admitted before
+it, scores quality, appends exactly one manifest row, and registers its
+own fingerprints so the NEXT batch sees them.  This module is that
+``foreachBatch`` stage as a reusable component:
+
+- **dedup state** = a standing fingerprint store (a parquet directory —
+  at scale a bucketed table): corpus fps seeded once, each batch appends
+  its distinct new fps after its verdicts are computed.  Duplicate fps
+  in the store are harmless (the membership join reads it through
+  ``distinct()``), which makes the fp append idempotent under microbatch
+  replay without a second marker protocol.
+- **exactly-once manifest** = ``ExactlyOnceAppendSink``'s two-phase
+  batchId marker (sink.py): a replayed micro-batch returns before
+  touching the data, so manifests never double.
+- **equivalence contract** = the registered batch query
+  ``operators/pipeline.py::stream_pipeline_replay`` computes the same
+  verdicts with ONE arrival-ordered window; the streaming execution must
+  reproduce its rows exactly (asserted in tests/test_streaming.py) —
+  the same batch-replay-equivalence pattern as ``stream_join_replay``
+  and ``stream_heavy_hitters_replay``.
+
+Reference parity: the reference's streaming surface is append → FETCH
+with offset admission (SURVEY.md §2.8); this composes that transport
+with the curation operators into the multi-stage stateful dataflow a
+training-data service actually serves.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from elastic_stream_spark.kv import KVStore
+from elastic_stream_spark.log import StreamLog
+from elastic_stream_spark.streaming.sink import ExactlyOnceAppendSink
+
+
+class IncrementalCurationPipeline:
+    """``foreachBatch`` callable: record envelope (payload = document
+    text, properties carrying doc_id / batch_id) → incremental exact-dup
+    + quality verdict → exactly-once manifest append.
+
+    Batch contract: manifests are keyed by the LOGICAL batch_id carried
+    in the records (event-derived, replay-stable); exactly-once is keyed
+    by Spark's microbatch id (the sink marker), so a crashed/replayed
+    trigger re-lands the SAME logical rows once.
+    """
+
+    def __init__(
+        self,
+        log: StreamLog,
+        kv: KVStore,
+        manifest_stream_id: int,
+        standing_fps_dir: str,
+        fp_term_mod: int,
+    ):
+        self.log = log
+        self.kv = kv
+        self.standing_fps_dir = standing_fps_dir
+        self.fp_term_mod = fp_term_mod
+        self.sink = ExactlyOnceAppendSink(
+            log, kv, manifest_stream_id, "incremental_curation"
+        )
+
+    def seed_corpus(self, corpus_docs: DataFrame) -> None:
+        """Register the standing corpus's fingerprints (run once — in
+        production this is the output of the last full rebuild)."""
+        from elastic_stream_spark.functions.textfns import bow_fingerprint
+
+        corpus_docs.select(bow_fingerprint("text").alias("fp")).distinct().write.mode(
+            "overwrite"
+        ).parquet(self.standing_fps_dir)
+
+    def _verdicts(self, batch_df: DataFrame) -> DataFrame:
+        from elastic_stream_spark.functions.textfns import bow_fingerprint
+        from elastic_stream_spark.operators.text import quality_score_col
+
+        docs = batch_df.select(
+            F.col("properties")["doc_id"].cast("long").alias("doc_id"),
+            F.col("properties")["batch_id"].cast("long").alias("batch_id"),
+            F.decode("payload", "UTF-8").alias("text"),
+        )
+        scored = docs.select(
+            "doc_id",
+            "batch_id",
+            bow_fingerprint("text").alias("fp"),
+            quality_score_col().alias("q"),
+            F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        )
+        standing = (
+            self.log.spark.read.parquet(self.standing_fps_dir)
+            .select("fp")
+            .distinct()
+            .withColumn("in_standing", F.lit(True))
+        )
+        w = Window.partitionBy("fp").orderBy("batch_id", "doc_id")
+        return (
+            scored.join(standing, "fp", "left")
+            .withColumn("arrival_rn", F.row_number().over(w))
+            .withColumn(
+                "is_dup",
+                F.coalesce("in_standing", F.lit(False)) | (F.col("arrival_rn") > 1),
+            )
+            .withColumn("keep", ~F.col("is_dup") & (F.col("q") >= 0.5))
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # pin the micro-batch: truncating the streaming-source lineage
+        # keeps the verdict plan (window + join + two consumers) a plain
+        # batch plan — Spark 4's optimizer re-resolution over a
+        # foreachBatch source rejects it otherwise (PLAN_VALIDATION_
+        # FAILED_RULE_IN_BATCH), and the two downstream actions (manifest
+        # sink, fp append) would each re-read the source anyway
+        batch_df = batch_df.localCheckpoint(eager=True)
+        flagged = self._verdicts(batch_df)
+        fp_term = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            )
+            .cast("decimal(20,0)")
+            .cast("long")
+            % self.fp_term_mod
+        )
+        manifest = (
+            flagged.groupBy("batch_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+                .cast("bigint")
+                .alias("kept_tokens"),
+                F.sum(F.when(F.col("keep"), fp_term).otherwise(0))
+                .cast("bigint")
+                .alias("manifest_fp"),
+            )
+        )
+        envelope = manifest.select(
+            F.timestamp_millis(F.col("batch_id")).alias("ts"),
+            F.create_map(
+                F.lit("batch_id"), F.col("batch_id").cast("string")
+            ).alias("properties"),
+            F.encode(
+                F.to_json(
+                    F.struct(
+                        "batch_id",
+                        "n_docs",
+                        "n_dups",
+                        "n_kept",
+                        "kept_tokens",
+                        "manifest_fp",
+                    )
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+        # manifest FIRST (two-phase marker makes it exactly-once; it also
+        # forces the verdict evaluation against the PRE-update fp store),
+        # then register this batch's fps for the next batch — the fp
+        # append is idempotent under replay because membership reads the
+        # store through distinct() and the sink short-circuits a
+        # committed batch before any recompute could see the new fps.
+        self.sink(envelope, batch_id)
+        flagged.select("fp").distinct().write.mode("append").parquet(
+            self.standing_fps_dir
+        )
+
+    def manifests(self) -> list[dict]:
+        """Fetch + decode every manifest row appended so far (test/audit
+        helper; production consumers fetch the stream directly)."""
+        rows = self.log.fetch(self.sink.stream_id, 0, 1 << 40).collect()
+        return sorted(
+            (json.loads(bytes(r.payload).decode()) for r in rows),
+            key=lambda d: d["batch_id"],
+        )

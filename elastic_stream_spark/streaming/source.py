@@ -77,7 +77,15 @@ def read_stream(
     are invisible to the listing (directory-level pruning, ≙ the
     reference's per-stream fetch addressing one range server).  The
     offset predicate drops already-consumed prefixes via row-group
-    stats."""
+    stats.
+
+    Live-tail caveat: a subscription that must START before the first
+    append should use the ``stream_log`` data source instead
+    (datasource.py) — Spark 4.1's FileStreamSource fails microbatch
+    planning (PLAN_VALIDATION_FAILED in PushDownPredicates over the
+    late-appearing ``range_index`` partition column) when the first
+    files land only after the query starts; with data present at start,
+    both availableNow and processingTime subscriptions are fine."""
     from pyspark.sql import types as T
 
     stream_dir = f"{log.records_root}/stream_id={stream_id}"

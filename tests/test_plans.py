@@ -426,3 +426,25 @@ def test_repetition_stats_computed_below_the_explode(spark):
     # Generate appear AFTER it in the text; none of them may recompute
     # the gram stats
     assert "array_distinct" not in plan[gen_pos + len(gen_block):]
+
+
+def test_substring_span_stage_is_bounded_working_set(spark):
+    """The r8 span-extraction redesign (SCALE.extra.md): the duplicated-
+    gram verdict must be a partial-aggregable HashAggregate over the hash
+    key — never a Window over the gram-scale table (a window hash-
+    partitions AND sorts the whole index in one wave, which measured
+    super-linear at the 160× duplication decade).  Windows may only
+    appear downstream, partitioned by doc — the bucket-interval merge and
+    the rare gappy-bucket islands."""
+    import re
+
+    from elastic_stream_spark.operators.dedup import dedup_substring
+
+    plan = dedup_substring(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # dup verdict: hash aggregate keyed by the gram hash with min/max state
+    assert re.search(r"HashAggregate\(keys=\[h1#\d+L, h2#\d+L\]", plan), plan[:3000]
+    # no window partitions by the gram hash key anywhere
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "h1#" not in line and "h2#" not in line, line
+    assert "CartesianProduct" not in plan

@@ -1127,3 +1127,93 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, log):
         if r.c_user is not None:
             assert r.c_user == r.p_user
             assert (r.c_ts - r.p_ts).total_seconds() == 30.0
+
+
+def test_stream_pipeline_streaming_equals_replay(spark, log, workdir):
+    """The streaming (incremental-nightly) curation pipeline: documents
+    appended to a stream-log topic per micro-batch → readStream →
+    IncrementalCurationPipeline foreachBatch (incremental dedup against
+    a fingerprint store that grows batch-by-batch + quality verdict) →
+    exactly-once manifest append.  The fetched manifests must equal the
+    registered batch replay (stream_pipeline_replay) row for row, and a
+    replayed micro-batch must not double its manifest."""
+    from elastic_stream_spark.operators.pipeline import (
+        CC_APPEND_MOD,
+        FP_TERM_MOD,
+        SPR_BATCHES,
+        stream_pipeline_replay,
+    )
+    from elastic_stream_spark.streaming import IncrementalCurationPipeline
+
+    kv = KVStore(workdir + "/kv_pipe")
+    src = log.catalog.create_stream().stream_id
+    dst = log.catalog.create_stream().stream_id
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mod = CC_APPEND_MOD
+    corpus = docs.where(F.col("doc_id") % mod != mod - 1)
+    incoming = docs.where(F.col("doc_id") % mod == mod - 1).withColumn(
+        "batch_id", F.expr(f"(doc_id div {mod}) % {SPR_BATCHES}")
+    )
+
+    pipe = IncrementalCurationPipeline(
+        log, kv, dst, workdir + "/standing_fps", FP_TERM_MOD
+    )
+    pipe.seed_corpus(corpus)
+
+    def _envelope(b):
+        return incoming.where(F.col("batch_id") == b).select(
+            F.timestamp_millis(F.col("doc_id")).alias("ts"),
+            F.create_map(
+                F.lit("doc_id"), F.col("doc_id").cast("string"),
+                F.lit("batch_id"), F.col("batch_id").cast("string"),
+            ).alias("properties"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+
+    from elastic_stream_spark.streaming import StreamLogDataSource
+
+    spark.dataSource.register(StreamLogDataSource)
+    sdf = (
+        spark.readStream.format("stream_log")
+        .option("root", log.catalog.root)
+        .option("streamId", src)
+        .load()
+    )
+    q = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(pipe)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        # arrival order is the contract: each batch is fully admitted and
+        # processed before the next is appended (confirm-offset admission
+        # keeps a half-appended batch invisible to the reader)
+        for b in range(SPR_BATCHES):
+            log.append(src, _envelope(b))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = pipe.manifests()
+    exp = [r.asDict() for r in stream_pipeline_replay(spark, SF_DIR).collect()]
+    assert got == exp
+
+    # exactly-once under microbatch replay: re-fire the LAST batch's
+    # records through the pipeline with its already-committed Spark
+    # batch id — the sink's marker short-circuits before any write
+    n_manifests = len(log.fetch(dst, 0, 1 << 40).collect())
+    last_records = log.fetch(src, 0, 1 << 40).where(
+        F.col("properties")["batch_id"] == str(SPR_BATCHES - 1)
+    )
+    from elastic_stream_spark.kv import prefix_end
+
+    pfx = b"__sink__/incremental_curation/"
+    committed = [
+        int(k.decode().rsplit("/", 1)[1])
+        for k, _, _ in kv.range(pfx, prefix_end(pfx))[0]
+    ]
+    pipe(last_records, max(committed))
+    assert len(log.fetch(dst, 0, 1 << 40).collect()) == n_manifests
+    assert pipe.manifests() == exp
