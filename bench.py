@@ -169,6 +169,15 @@ HEADLINE = [
     "cc_append",
     "quality_model_score",
     "stream_pipeline_replay",
+    # round 9 batch 2: soft-dedup reweighting (fp agg + join-back), the
+    # largest-remainder epoch allocator, corpus-vs-batch token drift,
+    # scorer calibration cross-tab, and the nightly manifest diff (two
+    # keep-lists full-outer-joined; CC memos warmed like cc_append's)
+    "dedup_soft_weights",
+    "epoch_schedule",
+    "corpus_drift_audit",
+    "quality_calibration_audit",
+    "manifest_diff",
 ]
 
 # Session-memo builders, invoked ONCE (untimed) during warm-up: these

@@ -72,14 +72,15 @@ def _modules():
 # nothing is ever dark, only riding on its last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r9 rotation — the registry (132 queries) is ~2.6 windows, so the
+# r9 rotation — the registry (137 queries) is ~2.7 windows, so the
 # steady-state schedule is an ALTERNATION over ~3 rounds: changed /
-# never-checked queries preempt everything (this round: 3 new + 3
-# changed = 6 slots), the 34 queries whose last driver row is r6 take
+# never-checked queries preempt everything (this round: 8 new + 3
+# changed = 11 slots), the 34 queries whose last driver row is r6 take
 # their policy-deadline slots (staleness must stay ≤ 3 rounds), and the
-# remaining 10 slots go to r7-row queries.  Every registry query keeps a
-# driver row ≤ 3 rounds old, with the committed strict full-registry
-# self-check covering every query at both sf every round.
+# remaining 5 slots go to r7-row queries (the displaced five moved to
+# the r10 pool).  Every registry query keeps a driver row ≤ 3 rounds
+# old, with the committed strict full-registry self-check covering
+# every query at both sf every round.
 GATE_ORDER = [
     # ---------------- r9 window (first 50 = the driver's gate) ----------
     # --- new in r9: incremental CC absorption, the model-based quality
@@ -87,6 +88,11 @@ GATE_ORDER = [
     "cc_append",
     "quality_model_score",
     "stream_pipeline_replay",
+    "dedup_soft_weights",
+    "epoch_schedule",
+    "corpus_drift_audit",
+    "quality_calibration_audit",
+    "manifest_diff",
     # --- changed in r9: pipeline_end_to_end composed the group-aware
     # (leakage-safe) source split (r8 VERDICT "what's wrong" #3);
     # dedup_substring / substring_scrub_stats carry the redesigned
@@ -137,17 +143,19 @@ GATE_ORDER = [
     "text_unigram_logprob",
     "ngram_counts",
     "tfidf_topk_per_doc",
-    "emb_covariance",
-    "sim_ann_ivf_pq_served",
-    "q21_waiting_supplier",
-    "kv_range_scan",
-    "sim_ann_ivf_pq",
     # ---- 50-entry window boundary: every query below was hash-green
     # in a prior driver window (r7 or r8 — noted per block) and is
     # re-verified by the committed full-registry strict self-check at
     # both sf every round (CORRECTNESS_FULL_r09*.json);
     # tests/test_registry.py pins the policy.
-    # --- last driver row r7 (sat out r8; the r10 rotation pool) ---
+    # --- last driver row r7 (sat out r8; the r10 rotation pool — the
+    # first five were displaced from the r9 top-up block by the five
+    # new r9 queries, which preempt per policy) ---
+    "emb_covariance",
+    "sim_ann_ivf_pq_served",
+    "q21_waiting_supplier",
+    "kv_range_scan",
+    "sim_ann_ivf_pq",
     "q9_product_type_profit",
     "q12_priority_by_lateness",
     "q16_supplier_variety",

@@ -611,6 +611,69 @@ def corpus_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_BUDGET = 100_000  # documents sampled per training epoch
+
+
+def epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch sample allocation: split an integer epoch budget of
+    ``EPOCH_BUDGET`` document samples across sources proportionally to
+    TOKEN mass, with the fractional residue resolved by the
+    largest-remainder (Hamilton) method — the allocation step that turns
+    a mixing-weight table (``mix_temperature_weights``) into the integer
+    per-source sample counts a data loader actually draws, with
+    Σ alloc == budget exactly (no source over- or under-drawn by
+    rounding).
+
+    Determinism: allocation is PURE INTEGER arithmetic — base share is
+    ``(budget · n_s) div N`` and the remainder rank orders
+    ``(budget · n_s) mod N`` (exact bigints; ties broken by source), so
+    no float ever decides a sample count and the oracle matches
+    bit-for-bit.  (The temperature variant would rank pow()-smoothed
+    remainders — transcendental floors at integer boundaries are not
+    engine-portable, so the published-weights path keeps raw token
+    mass; temperature enters upstream via mix_temperature_weights.)
+
+    Plan: one map-side-combinable token-sum per source, a 1-row global
+    total broadcast back, and the remainder rank over the PER-SOURCE
+    table (rows = |sources|, never corpus-sized).  At 10⁸ web domains
+    the rank becomes the same ``orderBy().limit(leftover)`` TakeOrdered
+    top-k as key_skew_audit (leftover < |sources|); at fixture/source
+    cardinality the window is a 3-row sort."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    per = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(toks).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("n_total"))
+    per = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"({EPOCH_BUDGET} * n_tokens) div n_total").alias("base_alloc"),
+        F.expr(f"({EPOCH_BUDGET} * n_tokens) % n_total").alias("rem"),
+    )
+    leftover = per.agg(
+        (F.lit(EPOCH_BUDGET) - F.sum("base_alloc")).alias("leftover")
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        per.crossJoin(F.broadcast(leftover))
+        .withColumn("rem_rank", F.row_number().over(wr).cast("bigint"))
+        .select(
+            "source",
+            "n_tokens",
+            "base_alloc",
+            "rem_rank",
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "text_boilerplate": text_boilerplate,
@@ -625,6 +688,7 @@ QUERIES = {
     "mix_temperature_weights": mix_temperature_weights,
     "pack_doc_spans": pack_doc_spans,
     "corpus_split_by_source": corpus_split_by_source,
+    "epoch_schedule": epoch_schedule,
 }
 
 _NGRAMS_SQL = f"""
@@ -653,6 +717,35 @@ _DIRTY_SQL = """
 """
 
 ORACLES = {
+    "epoch_schedule": f"""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM per
+        ), alloc AS (
+          SELECT source, n_tokens,
+                 CAST(({EPOCH_BUDGET} * n_tokens) // n_total AS BIGINT)
+                   AS base_alloc,
+                 CAST(({EPOCH_BUDGET} * n_tokens) % n_total AS BIGINT) AS rem
+          FROM per, tot
+        ), lo AS (
+          SELECT CAST({EPOCH_BUDGET} - sum(base_alloc) AS BIGINT) AS leftover
+          FROM alloc
+        ), ranked AS (
+          SELECT source, n_tokens, base_alloc, rem,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rem_rank
+          FROM alloc
+        )
+        SELECT source, n_tokens, base_alloc,
+               CAST(rem_rank AS BIGINT) AS rem_rank,
+               CAST(base_alloc
+                    + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc
+        FROM ranked, lo ORDER BY source
+    """,
     "text_boilerplate": f"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

@@ -369,6 +369,137 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_MOD = 4  # docs with doc_id % 4 == 3 play the incoming batch
+DRIFT_TOP = 20  # most-drifted tokens reported
+
+
+def corpus_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between the standing corpus and an
+    arriving batch (fixture split: ``doc_id % DRIFT_MOD == 3`` plays
+    today's crawl — the convention of dedup_incremental/cc_append):
+    per-token probability under each side, the ``DRIFT_TOP`` tokens with
+    the largest absolute probability shift, and each token's
+    contribution to the Jensen–Shannon divergence — the nightly check
+    that catches a crawler source going off-distribution BEFORE the
+    batch is admitted into a 100 TB corpus.
+
+    Plan: one exploded scan with a conditional-sum groupBy(token) (both
+    sides counted in ONE aggregate — no second scan, no join), a 1-row
+    totals broadcast, and a global top-k via ``orderBy().limit()`` →
+    TakeOrderedAndProject (per-partition heaps; the token table never
+    passes through a single-partition window).
+
+    Determinism: counts are integers; probabilities are single exact
+    IEEE divisions, so their differences and the sort order are
+    bit-identical across engines (ties broken by token); only the
+    ln-based JS contribution is transcendental and is rounded to 6
+    decimals per row (never aggregated) — the pow()/cosine convention
+    (mix_temperature_weights, similarity.py)."""
+    is_batch = F.col("doc_id") % DRIFT_MOD == DRIFT_MOD - 1
+    toks = load_table_balanced(spark, sf_dir, "documents").select(
+        is_batch.alias("is_batch"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(~F.col("is_batch"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_batch"),
+    )
+    tot = counts.agg(
+        F.sum("n_corpus").cast("bigint").alias("t_corpus"),
+        F.sum("n_batch").cast("bigint").alias("t_batch"),
+    )
+    p_c = F.col("n_corpus") / F.col("t_corpus")
+    p_b = F.col("n_batch") / F.col("t_batch")
+    m = (p_c + p_b) / 2
+    js = (
+        F.when(F.col("n_corpus") > 0, p_c * F.log(p_c / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("n_batch") > 0, p_b * F.log(p_b / m)).otherwise(F.lit(0.0))
+    ) / 2
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "n_corpus",
+            "n_batch",
+            p_c.alias("p_corpus"),
+            p_b.alias("p_batch"),
+            F.abs(p_c - p_b).alias("abs_drift"),
+            F.round(js, 6).alias("js_contrib"),
+        )
+        .orderBy(F.desc("abs_drift"), F.asc("token"))
+        .limit(DRIFT_TOP)
+    )
+
+
+def quality_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration cross-tab between the MODEL-based quality scorer
+    (text.quality_model_score — hashed-feature linear classifier) and
+    the HEURISTIC score (text.quality_score_col): per (model-score
+    band × heuristic score) cell, membership and how many the model
+    keeps — the agreement audit run before swapping a new quality
+    filter into the pipeline (does the model agree with the rules it
+    replaces, and where exactly do they diverge?).
+
+    Plan: both scores are pure map-only column expressions over ONE
+    corpus scan, then a single map-side-combinable groupBy over
+    |bands × heuristic levels| groups (≤ ~100 cells) — no joins, no
+    windows; the 100 TB cost is the scan it shares with scoring itself.
+
+    Determinism: the model band is ``floor`` of the exact-integer-
+    division mean logit (one IEEE divide + floor — bit-portable, the
+    pack_sequences argument); the heuristic score takes 4 discrete
+    literal-sum values, exact as group keys; all measures are integer
+    counts."""
+    from elastic_stream_spark.operators.text import (
+        QM_BUCKETS,
+        QM_THRESH_DEN,
+        QM_THRESH_NUM,
+        QM_WEIGHTS,
+        quality_score_col,
+    )
+
+    d = load_table_balanced(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    warr = F.array(*[F.lit(w) for w in QM_WEIGHTS])
+    bucket = lambda tok: (  # noqa: E731 — column lambda
+        F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("int") % QM_BUCKETS
+    )
+    logit = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc + F.element_at(warr, bucket(tok) + 1),
+    )
+    scored = d.select(
+        F.size(t).alias("n_tokens"),
+        logit.alias("logit_sum"),
+        quality_score_col().alias("q_heur"),
+    )
+    return (
+        scored.select(
+            F.floor(F.col("logit_sum") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("model_band"),
+            "q_heur",
+            (
+                F.col("logit_sum") * QM_THRESH_DEN
+                >= F.lit(QM_THRESH_NUM) * F.col("n_tokens")
+            ).alias("keep_model"),
+        )
+        .groupBy("model_band", "q_heur")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep_model"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep_model"),
+        )
+        .orderBy("model_band", "q_heur")
+    )
+
+
 QUERIES = {
     "key_skew_audit": key_skew_audit,
     "column_profile": column_profile,
@@ -376,6 +507,8 @@ QUERIES = {
     "winsorized_event_stats": winsorized_event_stats,
     "jsonl_roundtrip_audit": jsonl_roundtrip_audit,
     "approx_quantile_audit": approx_quantile_audit,
+    "corpus_drift_audit": corpus_drift_audit,
+    "quality_calibration_audit": quality_calibration_audit,
 }
 
 _PROFILE_LONG_SQL = " UNION ALL ".join(
@@ -466,6 +599,77 @@ ORACLES = {
     # exact side recomputed on the same milli-cent grid; the booleans
     # are the CONTRACT — the oracle expects TRUE, so a sketch landing
     # outside the ±1%-rank window turns the hash gate red
+    "corpus_drift_audit": f"""
+        WITH tok AS (
+          SELECT (doc_id % {DRIFT_MOD} = {DRIFT_MOD - 1}) AS is_batch,
+                 unnest(string_split(lower(text), ' ')) AS token
+          FROM documents
+        ), counts AS (
+          SELECT token,
+                 CAST(sum(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corpus,
+                 CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_batch
+          FROM tok GROUP BY token
+        ), tot AS (
+          SELECT CAST(sum(n_corpus) AS BIGINT) AS t_corpus,
+                 CAST(sum(n_batch) AS BIGINT) AS t_batch
+          FROM counts
+        ), scored AS (
+          SELECT token, n_corpus, n_batch,
+                 n_corpus / t_corpus AS p_corpus,
+                 n_batch / t_batch AS p_batch,
+                 abs(n_corpus / t_corpus - n_batch / t_batch) AS abs_drift,
+                 round((
+                   CASE WHEN n_corpus > 0
+                        THEN (n_corpus / t_corpus)
+                             * ln((n_corpus / t_corpus)
+                                  / ((n_corpus / t_corpus
+                                      + n_batch / t_batch) / 2))
+                        ELSE 0 END
+                 + CASE WHEN n_batch > 0
+                        THEN (n_batch / t_batch)
+                             * ln((n_batch / t_batch)
+                                  / ((n_corpus / t_corpus
+                                      + n_batch / t_batch) / 2))
+                        ELSE 0 END) / 2, 6) AS js_contrib
+          FROM counts CROSS JOIN tot
+        )
+        SELECT * FROM scored
+        ORDER BY abs_drift DESC, token LIMIT {DRIFT_TOP}
+    """,
+    "quality_calibration_audit": """
+        WITH toks AS (
+          SELECT doc_id, text, string_split(lower(text), ' ') AS t
+          FROM documents
+        ), scored AS (
+          SELECT len(t) AS n_tokens,
+                 CAST(list_sum(list_transform(t,
+                     tok -> (__QM_W__)[
+                       (('0x' || substr(md5(tok), 1, 4))::INT % __QM_B__) + 1
+                     ])) AS BIGINT) AS logit_sum,
+                 round(
+                   (CASE WHEN len(t) >= 30 THEN 0.4 ELSE 0.1 END)
+                 + (CASE WHEN len(list_filter(t, x -> x IN __STOP__))
+                           * 1.0 / len(t) >= 0.02
+                      AND len(list_filter(t, x -> x IN __STOP__))
+                           * 1.0 / len(t) <= 0.4
+                    THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN (length(text) - len(t) + 1) * 1.0 / len(t) >= 3
+                      AND (length(text) - len(t) + 1) * 1.0 / len(t) <= 8
+                    THEN 0.3 ELSE 0.0 END)
+                 , 4) AS q_heur
+          FROM toks
+        )
+        SELECT CAST(floor(logit_sum * 1.0 / n_tokens) AS BIGINT) AS model_band,
+               q_heur,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN logit_sum * __QM_TD__ >= __QM_TN__ * n_tokens
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_model
+        FROM scored
+        GROUP BY model_band, q_heur
+        ORDER BY model_band, q_heur
+    """,
     "approx_quantile_audit": f"""
         WITH c AS (
           SELECT event_type,
@@ -497,3 +701,22 @@ ORACLES = {
         ORDER BY source, lang
     """,
 }
+
+# the calibration oracle shares the frozen scorer constants with text.py
+# (single source of truth — a weight edit there must flow here)
+from elastic_stream_spark.operators.text import (  # noqa: E402
+    _QM_W_SQL,
+    _STOP_SQL,
+    QM_BUCKETS as _QM_B,
+    QM_THRESH_DEN as _QM_TD,
+    QM_THRESH_NUM as _QM_TN,
+)
+
+ORACLES["quality_calibration_audit"] = (
+    ORACLES["quality_calibration_audit"]
+    .replace("__QM_W__", _QM_W_SQL)
+    .replace("__QM_B__", str(_QM_B))
+    .replace("__QM_TD__", str(_QM_TD))
+    .replace("__QM_TN__", str(_QM_TN))
+    .replace("__STOP__", _STOP_SQL)
+)

@@ -154,6 +154,45 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication (SoftDeDup, He et al. 2024): instead of
+    DROPPING duplicate documents, every document is reweighted by the
+    inverse of its exact-dup group size, so each distinct content
+    contributes exactly one unit of training mass while the sampler
+    keeps seeing every copy — the reweighting alternative pipelines use
+    when hard dedup would discard rare-but-replicated content.
+
+    Output: one row per document with its dup-group size, its sampling
+    weight 1/n, and its effective token contribution n_tokens/n.
+
+    100 TB shape: ONE map-side-combinable groupBy on the content
+    fingerprint (O(1) reducer state) and ONE fp-partitioned equi-join
+    back — the exact plan of ``dedup_exact`` plus a join that reuses
+    the same hash partitioning, so AQE plans a single exchange per
+    side.  Determinism: group sizes are integers; ``weight`` and
+    ``eff_tokens`` are single IEEE divisions of exact integers —
+    bit-identical across engines, and no float is ever aggregated
+    (per-row only), so no addition-order hazard exists."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        bow_fingerprint("text").alias("fp"),
+    )
+    groups = docs.groupBy("fp").agg(F.count("*").alias("n_group"))
+    return (
+        docs.join(groups, "fp")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_group").cast("bigint").alias("n_group"),
+            (F.lit(1) / F.col("n_group")).alias("weight"),
+            (F.col("n_tokens") / F.col("n_group")).alias("eff_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 CONTAIN_NUM, CONTAIN_DEN = 9, 10  # containment threshold 0.9, exact ratio
 
 
@@ -416,15 +455,16 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (two independent ``xxhash64`` lanes) before the persist, so the
     index rows are four fixed-width integers (~32 B vs ~60 B with a 30-char
     string).  The duplicated-gram test and span merge are the
-    bounded-working-set shape of ``_substring_spans`` (r8 redesign — see
+    bounded-working-set shape of ``_substring_spans`` (r9 final — see
     its docstring): a map-side-combinable ``groupBy(h1, h2)`` min/max dup
     verdict (hash aggregate, never a sort), a doc-clustering-preserving
-    verdict join-back, and a ``SUBSTR_BUCKET``-wide island pre-fold so
+    verdict join-back, and a ``SUBSTR_BUCKET``-wide in-row island fold so
     the per-doc merge shuffles interval rows instead of raw positions —
     no stage lands the whole index in one sorted shuffle wave
     (SCALE.extra.md records the measured history: string agg+self-join
-    +1.46 → hashed one-window +1.10..+1.38 host-floor-bound → this
-    shape).  A 128-bit collision
+    +1.46 → hashed one-window +1.10..+1.38 on RAM-backed spill → the
+    disk-spill A/B/C that picked this shape, 196 s vs 212/537 at 160×).
+    A 128-bit collision
     could only merge two gram groups (false span): P ≈ n²/2¹²⁹ — ~3e-13
     even at 10¹³ corpus grams.  The DuckDB oracle keeps grouping by the
     gram text itself (oracle clarity; identical output)."""
@@ -464,10 +504,10 @@ SUBSTR_BUCKET = 64  # island pre-fold width (positions per bucket)
 
 def _substring_spans(grams: DataFrame) -> DataFrame:
     """Duplicated-span extraction over a (doc_id, i, h1, h2) index with a
-    BOUNDED working set (r8 redesign — the prior shape funnelled the
-    whole index through ONE hash-partitioned window shuffle, which
-    measured super-linear at a 160× duplication decade because the
-    single wave crossed the host's sort-spill floor; SCALE.extra.md):
+    BOUNDED working set (r9 final shape after a measured three-way A/B/C
+    at a 160× constant-density decade, one process each on disk-backed
+    spill — SCALE.extra.md: this shape 196 s, the r7/r8 one-window shape
+    212 s, the r8 solid/gappy two-pass shape 537 s):
 
     1. **dup verdicts via partial aggregation** — ``groupBy(h1, h2)``
        computing ``min/max(doc_id)`` (exactly the SUBSTR_MIN_DOCS = 2
@@ -482,26 +522,29 @@ def _substring_spans(grams: DataFrame) -> DataFrame:
        re-shuffles and KEEPS the materialized index's doc clustering;
        past broadcast size the equi-join still hash-partitions without
        sorting either side.
-    3. **island pre-fold** — duplicated positions fold to
-       ``SUBSTR_BUCKET``-wide per-doc buckets (min/max/count — map-side
-       combinable, and doc clustering from step 2 makes the combine
-       collapse ~BUCKET× on dense runs) BEFORE the per-doc merge, so the
-       global islands shuffle moves interval rows, not raw positions.
-       A bucket whose count equals its extent is one solid interval;
-       the rare non-solid buckets re-join their own positions (semi
-       join, candidate set ∝ gap-straddling buckets) and run the
-       classic row_number gaps-and-islands on that small subset only.
+    3. **bounded island fold** — duplicated positions collect into
+       ``SUBSTR_BUCKET``-wide per-doc buckets (per-key aggregate state
+       ≤ BUCKET ints — map-side combinable, never corpus-∝), and the
+       maximal consecutive runs INSIDE each bucket come from one
+       ``aggregate()`` higher-order fold over the sorted array — no
+       second pass over the positions, no row_number window, and the
+       downstream shuffle moves interval rows (∝ positions / BUCKET),
+       not raw positions.  (The r8 solid/gappy formulation re-derived
+       non-solid buckets by semi-joining ``hits`` against itself — a
+       second full evaluation of steps 1-2 that the A/B isolated as
+       the 2.7× overhead.)
     4. **interval-union merge** — one per-doc window over bucket
-       intervals (∝ positions / BUCKET), abutting/overlapping intervals
-       merge via the running-max rule.
+       intervals, abutting/overlapping intervals merge via the
+       running-max rule.
 
     Exactness: every duplicated position lands in exactly one bucket;
-    solid buckets reproduce their positions as [mn, mx], non-solid
-    buckets are re-derived from the raw positions, and the
-    adjacency-merge (start > prev_end + 1 opens an island) reconstructs
-    exactly the maximal consecutive-position islands the one-window
-    formulation produced.  A 128-bit collision could only merge two gram
-    groups (false span): P ≈ n²/2¹²⁹ (module docstring)."""
+    the in-bucket fold emits exactly the maximal consecutive runs of its
+    sorted positions, and the adjacency-merge (start > prev_end + 1
+    opens an island) reconstructs exactly the maximal
+    consecutive-position islands the one-window formulation produced
+    (asserted cross-variant in tools/span_ab.py).  A 128-bit collision
+    could only merge two gram groups (false span): P ≈ n²/2¹²⁹ (module
+    docstring)."""
     assert SUBSTR_MIN_DOCS == 2, "min/max dup test encodes exactly 2"
     dup_keys = (
         grams.groupBy("h1", "h2")
@@ -513,25 +556,32 @@ def _substring_spans(grams: DataFrame) -> DataFrame:
         "doc_id", "i", (F.col("i") - F.pmod("i", F.lit(SUBSTR_BUCKET))).alias("bkt")
     )
     folded = hits.groupBy("doc_id", "bkt").agg(
-        F.min("i").alias("mn"),
-        F.max("i").alias("mx"),
-        F.count("*").alias("cnt"),
+        F.sort_array(F.collect_list("i")).alias("pos")
     )
-    solid = folded.where(F.col("cnt") == F.col("mx") - F.col("mn") + 1).select(
-        "doc_id", F.col("mn").alias("iv_start"), F.col("mx").alias("iv_end")
+
+    def seg(s, e):
+        return F.struct(s.cast("long").alias("s"), e.cast("long").alias("e"))
+
+    islands = F.aggregate(
+        F.col("pos"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(seg(x, x))).otherwise(
+            F.when(
+                x > F.element_at(acc, -1)["e"] + 1,
+                F.concat(acc, F.array(seg(x, x))),
+            ).otherwise(
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(seg(F.element_at(acc, -1)["s"], x)),
+                )
+            )
+        ),
     )
-    gappy_keys = folded.where(F.col("cnt") != F.col("mx") - F.col("mn") + 1).select(
-        "doc_id", "bkt"
+    ivs = folded.select("doc_id", F.explode(islands).alias("iv")).select(
+        "doc_id",
+        F.col("iv.s").alias("iv_start"),
+        F.col("iv.e").alias("iv_end"),
     )
-    gappy_hits = hits.join(gappy_keys, ["doc_id", "bkt"], "leftsemi")
-    wrn = Window.partitionBy("doc_id", "bkt").orderBy("i")
-    gappy_iv = (
-        gappy_hits.withColumn("grp", F.col("i") - F.row_number().over(wrn))
-        .groupBy("doc_id", "bkt", "grp")
-        .agg(F.min("i").alias("iv_start"), F.max("i").alias("iv_end"))
-        .select("doc_id", "iv_start", "iv_end")
-    )
-    ivs = solid.unionByName(gappy_iv)
     w = Window.partitionBy("doc_id").orderBy("iv_start")
     prev_end = F.max("iv_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
     opened = ivs.withColumn(
@@ -904,6 +954,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
+    "dedup_soft_weights": dedup_soft_weights,
     "neardup_lookup": neardup_lookup,
     "neardup_lookup_served": neardup_lookup_served,
     "dedup_containment": dedup_containment,
@@ -1032,6 +1083,23 @@ ORACLES = {
         FROM fp i JOIN corpus c USING (fp)
         WHERE i.doc_id % {INCREMENTAL_MOD} = {INCREMENTAL_MOD - 1}
         ORDER BY incoming_doc_id
+    """,
+    "dedup_soft_weights": """
+        WITH fp AS (
+          SELECT doc_id, source,
+                 len(string_split(lower(text), ' ')) AS n_tokens,
+                 md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(text), ' '))), ' ')) AS fp
+          FROM documents
+        ), g AS (
+          SELECT fp, count(*) AS n_group FROM fp GROUP BY fp
+        )
+        SELECT f.doc_id, f.source,
+               CAST(g.n_group AS BIGINT) AS n_group,
+               1 / g.n_group AS weight,
+               f.n_tokens / g.n_group AS eff_tokens
+        FROM fp f JOIN g USING (fp)
+        ORDER BY f.doc_id
     """,
     "dedup_substring": f"""
         WITH {_SUBSTR_RUNS_SQL}

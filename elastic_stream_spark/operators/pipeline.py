@@ -455,6 +455,119 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly MANIFEST DIFF — the change report published alongside a
+    rebuilt corpus: which documents tonight's batch ADDED to the
+    training set, and which previously-published documents it REMOVED
+    (an arriving duplicate with a smaller doc_id steals the exact-dup
+    keeper role; a new near-dup edge can merge clusters and demote
+    yesterday's representative).  Snapshot A = the keep-list judged on
+    the standing corpus alone (docs with ``doc_id % CC_APPEND_MOD != 3``,
+    corpus-only dup graph); snapshot B = the keep-list judged on the
+    full corpus (``pipeline_keep_list`` semantics: quality ≥ 0.5, not
+    exact-dup keeper-displaced, not near-dup non-representative).
+    Output per source: membership counts, docs/tokens added and removed,
+    and each snapshot's order-insensitive modular content fingerprint
+    (``changed`` iff they differ) — the diff a downstream trainer reads
+    before deciding whether to invalidate a data cache.
+
+    Plan: ONE corpus scan computes (q, fp, n_tokens); each snapshot is
+    a fp-partitioned keeper window + a key-partitioned left join to its
+    CC label table (full labels from the session ``_CC_CACHE``, standing
+    labels from ``_CC_STANDING_CACHE`` — both memoized, shared with
+    cc_append); the diff itself is ONE doc_id-partitioned full outer
+    join and a map-side-combinable groupBy(source) with O(1) agg state
+    (modular-sum fingerprints, no collect_list).  Nothing is
+    corpus-collected; every stage is key-partitioned."""
+    mod = CC_APPEND_MOD
+    docs = load_table_balanced(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        quality_score_col().alias("q"),
+        bow_fingerprint("text").alias("fp"),
+    )
+
+    def kept(side_docs: DataFrame, comp: DataFrame) -> DataFrame:
+        w = Window.partitionBy("fp")
+        return (
+            side_docs.withColumn("fp_keep", F.min("doc_id").over(w))
+            .join(comp, "doc_id", "left")
+            .where(
+                (F.col("q") >= 0.5)
+                & (F.col("doc_id") == F.col("fp_keep"))
+                & (
+                    F.col("cluster_id").isNull()
+                    | (F.col("doc_id") == F.col("cluster_id"))
+                )
+            )
+            .select("doc_id", "source", "n_tokens")
+        )
+
+    pairs = ngram_pair_set(spark, sf_dir).select("doc_a", "doc_b")
+    corpus_pairs = pairs.where(
+        (F.col("doc_a") % mod != mod - 1) & (F.col("doc_b") % mod != mod - 1)
+    )
+    kept_a = kept(
+        docs.where(F.col("doc_id") % mod != mod - 1),
+        _cc_standing(spark, sf_dir, corpus_pairs),
+    )
+    kept_b = kept(docs, _cc_labels(spark, sf_dir))
+    a = kept_a.select(
+        "doc_id",
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_source"),
+        F.col("n_tokens").alias("a_tok"),
+    )
+    b = kept_b.select(
+        "doc_id",
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_source"),
+        F.col("n_tokens").alias("b_tok"),
+    )
+    j = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce("a_source", "b_source").alias("source"),
+        "doc_id",
+        "a_id",
+        "b_id",
+        "a_tok",
+        "b_tok",
+    )
+    term = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        % FP_TERM_MOD
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("a_id").alias("n_yesterday"),
+            F.count("b_id").alias("n_today"),
+            F.sum(F.when(F.col("a_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_added"),
+            F.sum(F.when(F.col("b_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("a_id").isNull(), F.col("b_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_added"),
+            F.sum(F.when(F.col("b_id").isNull(), F.col("a_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.sum(F.when(F.col("a_id").isNotNull(), term).otherwise(0))
+            .cast("bigint")
+            .alias("fp_yesterday"),
+            F.sum(F.when(F.col("b_id").isNotNull(), term).otherwise(0))
+            .cast("bigint")
+            .alias("fp_today"),
+        )
+        .withColumn("changed", F.col("fp_yesterday") != F.col("fp_today"))
+        .orderBy("source")
+    )
+
+
 SPR_BATCHES = 3  # the arriving docs replay as 3 ordered micro-batches
 
 
@@ -583,6 +696,7 @@ QUERIES = {
     "pipeline_end_to_end": pipeline_end_to_end,
     "stream_pipeline_replay": stream_pipeline_replay,
     "dedup_survivorship": dedup_survivorship,
+    "manifest_diff": manifest_diff,
 }
 
 # Recursive min-label fixpoint over the same verified pair set the Spark
@@ -688,6 +802,92 @@ ORACLES = {
                doc_id = cluster_id AS is_representative
         FROM comp
         ORDER BY cluster_id, doc_id
+    """,
+    # snapshot A's near-dup labels rerun the fixpoint over CORPUS-ONLY
+    # edges (cedges/cwalk/ccomp), mirroring _cc_standing; snapshot B
+    # reuses the full-corpus comp
+    "manifest_diff": f"""
+        WITH RECURSIVE {_CC_SQL},
+        cedges AS (
+          SELECT doc_a AS s, doc_b AS d FROM vpairs
+          WHERE doc_a % {CC_APPEND_MOD} != {CC_APPEND_MOD - 1}
+            AND doc_b % {CC_APPEND_MOD} != {CC_APPEND_MOD - 1}
+          UNION ALL
+          SELECT doc_b AS s, doc_a AS d FROM vpairs
+          WHERE doc_a % {CC_APPEND_MOD} != {CC_APPEND_MOD - 1}
+            AND doc_b % {CC_APPEND_MOD} != {CC_APPEND_MOD - 1}
+        ),
+        cwalk(node, lbl) AS (
+          SELECT DISTINCT s, s FROM cedges
+          UNION
+          SELECT e.d, w.lbl FROM cwalk w JOIN cedges e ON e.s = w.node
+        ),
+        ccomp AS (
+          SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM cwalk GROUP BY node
+        ),
+        {QUALITY_SQL},
+        base AS (
+          SELECT d.doc_id, d.source,
+                 len(string_split(lower(d.text), ' ')) AS n_tokens,
+                 md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(d.text), ' '))), ' ')) AS fp,
+                 q.q
+          FROM documents d JOIN q_per_doc q USING (doc_id)
+        ),
+        kept_b AS (
+          SELECT doc_id, source, n_tokens FROM (
+            SELECT b.doc_id, b.source, b.n_tokens, b.q, c.cluster_id,
+                   b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp)
+                     AS exact_dup
+            FROM base b LEFT JOIN comp c ON b.doc_id = c.doc_id
+          )
+          WHERE q >= 0.5 AND NOT exact_dup
+            AND NOT (cluster_id IS NOT NULL AND doc_id <> cluster_id)
+        ),
+        kept_a AS (
+          SELECT doc_id, source, n_tokens FROM (
+            SELECT b.doc_id, b.source, b.n_tokens, b.q, c.cluster_id,
+                   b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp)
+                     AS exact_dup
+            FROM base b LEFT JOIN ccomp c ON b.doc_id = c.doc_id
+            WHERE b.doc_id % {CC_APPEND_MOD} != {CC_APPEND_MOD - 1}
+          )
+          WHERE q >= 0.5 AND NOT exact_dup
+            AND NOT (cluster_id IS NOT NULL AND doc_id <> cluster_id)
+        ),
+        j AS (
+          SELECT coalesce(a.source, b.source) AS source,
+                 coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.n_tokens AS a_tok, b.n_tokens AS b_tok,
+                 ('0x' || substring(md5(CAST(coalesce(a.doc_id, b.doc_id)
+                     AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+                   % {FP_TERM_MOD} AS term
+          FROM kept_a a FULL OUTER JOIN kept_b b ON a.doc_id = b.doc_id
+        ),
+        agg AS (
+          SELECT source,
+                 CAST(count(a_id) AS BIGINT) AS n_yesterday,
+                 CAST(count(b_id) AS BIGINT) AS n_today,
+                 CAST(sum(CASE WHEN a_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_added,
+                 CAST(sum(CASE WHEN b_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_removed,
+                 CAST(sum(CASE WHEN a_id IS NULL THEN b_tok ELSE 0 END)
+                   AS BIGINT) AS tokens_added,
+                 CAST(sum(CASE WHEN b_id IS NULL THEN a_tok ELSE 0 END)
+                   AS BIGINT) AS tokens_removed,
+                 CAST(sum(CASE WHEN a_id IS NOT NULL THEN term ELSE 0 END)
+                   AS BIGINT) AS fp_yesterday,
+                 CAST(sum(CASE WHEN b_id IS NOT NULL THEN term ELSE 0 END)
+                   AS BIGINT) AS fp_today
+          FROM j GROUP BY source
+        )
+        SELECT source, n_yesterday, n_today, n_added, n_removed,
+               tokens_added, tokens_removed, fp_yesterday, fp_today,
+               fp_yesterday <> fp_today AS changed
+        FROM agg ORDER BY source
     """,
     "pipeline_keep_list": f"""
         WITH RECURSIVE {_CC_SQL},

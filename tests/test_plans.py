@@ -429,13 +429,13 @@ def test_repetition_stats_computed_below_the_explode(spark):
 
 
 def test_substring_span_stage_is_bounded_working_set(spark):
-    """The r8 span-extraction redesign (SCALE.extra.md): the duplicated-
-    gram verdict must be a partial-aggregable HashAggregate over the hash
-    key — never a Window over the gram-scale table (a window hash-
-    partitions AND sorts the whole index in one wave, which measured
-    super-linear at the 160× duplication decade).  Windows may only
-    appear downstream, partitioned by doc — the bucket-interval merge and
-    the rare gappy-bucket islands."""
+    """The r9 span-extraction shape (SCALE.extra.md A/B/C): the
+    duplicated-gram verdict must be a partial-aggregable HashAggregate
+    over the hash key — never a Window over the gram-scale table (a
+    window hash-partitions AND sorts the whole index in one wave).
+    Windows may only appear downstream, partitioned by doc — the
+    bucket-interval union merge (in-bucket islands come from the
+    higher-order fold inside the row, not a window)."""
     import re
 
     from elastic_stream_spark.operators.dedup import dedup_substring

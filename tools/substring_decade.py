@@ -100,7 +100,17 @@ def main() -> None:
     from tools.scale_probe import build_amp_dir
 
     constant_density = "--constant-density" in sys.argv
-    spark = get_spark("substring-decade")
+    # Spill scratch on DISK for this probe (overriding session.py's tmpfs
+    # default): the 160× leg shuffles tens of GB — on tmpfs that spill
+    # competes with the JVM heap for physical RAM (measured: the OS
+    # OOM-killer took the 64g-heap JVM at 67 GB RSS with 60 GB of
+    # /dev/shm spill alive).  A real cluster spills to node-local SSD;
+    # disk-backed spill is BOTH the realistic shape and the only one
+    # this single host can run at 160× without eating its own heap.
+    spill_dir = tempfile.mkdtemp(prefix="esspark-substr-spill-", dir="/var/tmp")
+    spark = get_spark(
+        "substring-decade", extra_conf={"spark.local.dir": spill_dir}
+    )
     amp_root = tempfile.mkdtemp(
         prefix="esspark-substr-",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
@@ -158,6 +168,7 @@ def main() -> None:
         shutil.rmtree(amp_root, ignore_errors=True)
     write_section(results, rows, constant_density)
     spark.stop()
+    shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 def write_section(
