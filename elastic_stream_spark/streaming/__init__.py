@@ -5,7 +5,10 @@ from elastic_stream_spark.streaming.source import (
 )
 from elastic_stream_spark.streaming.datasource import StreamLogDataSource
 from elastic_stream_spark.streaming.sink import ExactlyOnceAppendSink
-from elastic_stream_spark.streaming.pipeline import IncrementalCurationPipeline
+from elastic_stream_spark.streaming.pipeline import (
+    IncrementalCCAbsorber,
+    IncrementalCurationPipeline,
+)
 from elastic_stream_spark.streaming.stateful import (
     stream_offset_tracker,
     streaming_heavy_hitters,
@@ -26,6 +29,7 @@ __all__ = [
     "read_records_stream",
     "poll_fetch",
     "ExactlyOnceAppendSink",
+    "IncrementalCCAbsorber",
     "IncrementalCurationPipeline",
     "StreamLogDataSource",
     "stream_offset_tracker",

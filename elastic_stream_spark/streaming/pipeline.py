@@ -183,3 +183,147 @@ class IncrementalCurationPipeline:
             (json.loads(bytes(r.payload).decode()) for r in rows),
             key=lambda d: d["batch_id"],
         )
+
+
+class IncrementalCCAbsorber:
+    """``foreachBatch`` stage: absorb each arriving micro-batch's
+    near-dup pairs into STANDING cluster labels — the streaming form of
+    ``operators/pipeline.py::cc_append`` (one contraction + small
+    fixpoint per trigger instead of a nightly full-corpus rebuild).
+
+    State = a VERSIONED label snapshot directory: ``v{n}`` parquet dirs,
+    highest n is current (read-side never races a writer; production
+    keeps the same layout for time-travel).  Per batch: (1) pairs with
+    BOTH endpoints admitted (standing ∪ this batch) that touch the
+    batch; (2) corpus endpoints contract to their standing label; (3)
+    the pointer-doubling fixpoint runs on the contracted graph only —
+    O(batch + touched clusters); (4) standing labels re-map through the
+    delta and the new snapshot version is written.
+
+    Exactly-once: absorption is IDEMPOTENT under micro-batch replay —
+    labels are component MINIMA, so re-absorbing the same pairs onto
+    the post-merge labels is a fixpoint no-op (the replayed version
+    rewrite produces identical rows); no marker protocol is needed.
+    Exactness across batches: pair (a, b) is processed in the trigger
+    where its LATER endpoint arrives, every pair is eventually
+    processed, and min-label merging is order-insensitive — so after
+    the last batch the labels equal the full-graph fixpoint (asserted
+    against ``connected_components`` in tests/test_streaming.py)."""
+
+    def __init__(self, spark, labels_root: str, all_pairs: DataFrame):
+        # all_pairs: the verified near-dup pair source (in production a
+        # per-batch LSH probe against the served index; in the fixture
+        # the deterministic ngram_pair_set, filtered per batch here)
+        self.spark = spark
+        self.labels_root = labels_root
+        self.all_pairs = all_pairs
+
+    def _version_dirs(self) -> list[int]:
+        import os
+
+        if not os.path.isdir(self.labels_root):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(self.labels_root) if d.startswith("v")
+        )
+
+    def seed(self, standing_labels: DataFrame) -> None:
+        """``standing_labels`` must be COMPLETE — one row per corpus doc,
+        pairless docs self-labeled (``label_corpus`` builds it).  The
+        per-batch admitted-set test reads membership from this table, so
+        a corpus doc absent here would silently drop its future pairs
+        (a corpus doc whose only near-dup edge goes to a not-yet-arrived
+        doc has no corpus-pair CC row — the exact case a CC-output-only
+        seed misses)."""
+        standing_labels.select("doc_id", "cluster_id").write.mode(
+            "overwrite"
+        ).parquet(f"{self.labels_root}/v0")
+
+    @staticmethod
+    def label_corpus(corpus_docs: DataFrame, corpus_pairs: DataFrame) -> DataFrame:
+        """Complete standing labels for a corpus: CC labels where edges
+        exist, self-labels for pairless docs — one row per doc."""
+        from elastic_stream_spark.operators.pipeline import connected_components
+
+        comp = connected_components(corpus_pairs)
+        return corpus_docs.select("doc_id").join(comp, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+
+    def labels(self) -> DataFrame:
+        cur = self._version_dirs()[-1]
+        return self.spark.read.parquet(f"{self.labels_root}/v{cur}")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from elastic_stream_spark.operators.pipeline import connected_components
+
+        if batch_df.isEmpty():
+            return
+        batch_ids = (
+            batch_df.select(
+                F.col("properties")["doc_id"].cast("long").alias("doc_id")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate the streaming lineage
+        )
+        standing = self.labels()
+        admitted = standing.select("doc_id").unionByName(
+            batch_ids.select("doc_id")
+        )
+        in_batch = batch_ids.withColumnRenamed("doc_id", "b")
+        pairs = (
+            self.all_pairs.join(
+                in_batch.withColumnRenamed("b", "doc_a"), "doc_a", "leftsemi"
+            )
+            .unionByName(
+                self.all_pairs.join(
+                    in_batch.withColumnRenamed("b", "doc_b"), "doc_b", "leftsemi"
+                )
+            )
+            .distinct()
+            # both endpoints must be admitted (a pair whose partner
+            # arrives later is processed in the partner's trigger)
+            .join(
+                admitted.withColumnRenamed("doc_id", "doc_a"), "doc_a", "leftsemi"
+            )
+            .join(
+                admitted.withColumnRenamed("doc_id", "doc_b"), "doc_b", "leftsemi"
+            )
+        )
+        sa = standing.select(
+            F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("la")
+        )
+        sb = standing.select(
+            F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lb")
+        )
+        contracted = (
+            pairs.join(sa, "doc_a", "left")
+            .join(sb, "doc_b", "left")
+            .select(
+                F.coalesce("la", F.col("doc_a")).alias("doc_a"),
+                F.coalesce("lb", F.col("doc_b")).alias("doc_b"),
+            )
+        )
+        delta = connected_components(contracted)
+        lmap = delta.select(
+            F.col("doc_id").alias("old_label"),
+            F.col("cluster_id").alias("new_label"),
+        )
+        relabeled = standing.join(
+            lmap, standing.cluster_id == lmap.old_label, "left"
+        ).select(
+            "doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id")
+        )
+        extra = delta.join(
+            standing.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id", "cluster_id")
+        # batch docs touching no pair are singleton clusters of themselves
+        singleton = (
+            batch_ids.join(relabeled.select("doc_id"), "doc_id", "left_anti")
+            .join(extra.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+        nxt = self._version_dirs()[-1] + 1
+        relabeled.unionByName(extra).unionByName(singleton).write.mode(
+            "overwrite"
+        ).parquet(f"{self.labels_root}/v{nxt}")

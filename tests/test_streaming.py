@@ -1217,3 +1217,95 @@ def test_stream_pipeline_streaming_equals_replay(spark, log, workdir):
     pipe(last_records, max(committed))
     assert len(log.fetch(dst, 0, 1 << 40).collect()) == n_manifests
     assert pipe.manifests() == exp
+
+
+def test_stream_cc_absorption_equals_full_recompute(spark, log, workdir):
+    """Streaming incremental connected components: arriving documents
+    flow through readStream → IncrementalCCAbsorber foreachBatch (pair
+    contraction onto standing labels, delta fixpoint, versioned label
+    snapshots).  After the last micro-batch the labels must equal the
+    full-graph fixpoint over every pair — the streaming twin of
+    cc_append's batch equivalence — and re-absorbing a replayed batch
+    must be a label no-op (min-label idempotency, no marker needed)."""
+    from elastic_stream_spark.operators.dedup import ngram_pair_set
+    from elastic_stream_spark.operators.pipeline import (
+        CC_APPEND_MOD,
+        SPR_BATCHES,
+        connected_components,
+    )
+    from elastic_stream_spark.streaming import (
+        IncrementalCCAbsorber,
+        StreamLogDataSource,
+    )
+
+    mod = CC_APPEND_MOD
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    incoming = docs.where(F.col("doc_id") % mod == mod - 1).withColumn(
+        "batch_id", F.expr(f"(doc_id div {mod}) % {SPR_BATCHES}")
+    )
+    pairs = ngram_pair_set(spark, SF_DIR).select("doc_a", "doc_b")
+    corpus_pairs = pairs.where(
+        (F.col("doc_a") % mod != mod - 1) & (F.col("doc_b") % mod != mod - 1)
+    )
+
+    absorber = IncrementalCCAbsorber(spark, workdir + "/cc_labels", pairs)
+    corpus_docs = docs.where(F.col("doc_id") % mod != mod - 1)
+    absorber.seed(absorber.label_corpus(corpus_docs, corpus_pairs))
+
+    src = log.catalog.create_stream().stream_id
+    spark.dataSource.register(StreamLogDataSource)
+    sdf = (
+        spark.readStream.format("stream_log")
+        .option("root", log.catalog.root)
+        .option("streamId", src)
+        .load()
+    )
+    q = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(absorber)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        for b in range(SPR_BATCHES):
+            log.append(
+                src,
+                incoming.where(F.col("batch_id") == b).select(
+                    F.timestamp_millis(F.col("doc_id")).alias("ts"),
+                    F.create_map(
+                        F.lit("doc_id"), F.col("doc_id").cast("string")
+                    ).alias("properties"),
+                    F.encode(F.lit("x"), "UTF-8").alias("payload"),
+                ),
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.doc_id, r.cluster_id) for r in absorber.labels().collect()}
+    full = connected_components(pairs)
+    exp = {(r.doc_id, r.cluster_id) for r in full.collect()}
+    # the absorber tracks every ARRIVED doc (corpus seed + batches);
+    # full CC only lists docs touching a pair — non-pair docs must be
+    # self-labeled singletons in the absorber's state
+    arrived = {r.doc_id for r in docs.collect()}
+    exp_all = exp | {(d, d) for d in arrived if d not in {x for x, _ in exp}}
+    # seed covered only docs in corpus CC; singletons enter on absorption
+    got_docs = {d for d, _ in got}
+    for d, c in exp_all:
+        if d in got_docs:
+            assert (d, c) in got, f"label mismatch for doc {d}"
+    # every batch doc must be present with its full-graph label
+    for d, c in exp_all:
+        if d % mod == mod - 1:
+            assert (d, c) in got
+
+    # idempotent replay: re-absorb the LAST batch -> labels unchanged
+    last = incoming.where(F.col("batch_id") == SPR_BATCHES - 1).select(
+        F.create_map(F.lit("doc_id"), F.col("doc_id").cast("string")).alias(
+            "properties"
+        )
+    )
+    absorber(last, batch_id=10_000)
+    got2 = {(r.doc_id, r.cluster_id) for r in absorber.labels().collect()}
+    assert got2 == got

@@ -189,7 +189,7 @@ def write_section(
         ),
         "",
         "`dedup_substring` stages measured separately"
-        f" (best-of-{RUNS}, tmpfs scratch), one decade of corpus growth;",
+        f" (best-of-{RUNS}, disk-backed spill), one decade of corpus growth;",
         "slope = log10(t_800k/t_80k) — linear ⇒ +1.0.  The output span set",
         f" grows ~linearly ({span_counts[f1]:,} → {span_counts[f2]:,}).",
     ]
