@@ -175,6 +175,7 @@ HEADLINE = [
     # keep-lists full-outer-joined; CC memos warmed like cc_append's)
     "dedup_soft_weights",
     "epoch_schedule",
+    "epoch_sample",
     "corpus_drift_audit",
     "quality_calibration_audit",
     "manifest_diff",

@@ -72,12 +72,12 @@ def _modules():
 # nothing is ever dark, only riding on its last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r9 rotation — the registry (137 queries) is ~2.7 windows, so the
+# r9 rotation — the registry (138 queries) is ~2.8 windows, so the
 # steady-state schedule is an ALTERNATION over ~3 rounds: changed /
-# never-checked queries preempt everything (this round: 8 new + 3
-# changed = 11 slots), the 34 queries whose last driver row is r6 take
+# never-checked queries preempt everything (this round: 9 new + 3
+# changed = 12 slots), the 34 queries whose last driver row is r6 take
 # their policy-deadline slots (staleness must stay ≤ 3 rounds), and the
-# remaining 5 slots go to r7-row queries (the displaced five moved to
+# remaining 4 slots go to r7-row queries (the displaced six moved to
 # the r10 pool).  Every registry query keeps a driver row ≤ 3 rounds
 # old, with the committed strict full-registry self-check covering
 # every query at both sf every round.
@@ -90,6 +90,7 @@ GATE_ORDER = [
     "stream_pipeline_replay",
     "dedup_soft_weights",
     "epoch_schedule",
+    "epoch_sample",
     "corpus_drift_audit",
     "quality_calibration_audit",
     "manifest_diff",
@@ -142,15 +143,15 @@ GATE_ORDER = [
     "chunk_dedup",
     "text_unigram_logprob",
     "ngram_counts",
-    "tfidf_topk_per_doc",
     # ---- 50-entry window boundary: every query below was hash-green
     # in a prior driver window (r7 or r8 — noted per block) and is
     # re-verified by the committed full-registry strict self-check at
     # both sf every round (CORRECTNESS_FULL_r09*.json);
     # tests/test_registry.py pins the policy.
     # --- last driver row r7 (sat out r8; the r10 rotation pool — the
-    # first five were displaced from the r9 top-up block by the five
-    # new r9 queries, which preempt per policy) ---
+    # first six were displaced from the r9 top-up block by the six
+    # new r9 batch-2 queries, which preempt per policy) ---
+    "tfidf_topk_per_doc",
     "emb_covariance",
     "sim_ann_ivf_pq_served",
     "q21_waiting_supplier",

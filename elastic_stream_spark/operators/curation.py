@@ -674,6 +674,87 @@ def epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_SAMPLE_BUDGET = 120  # docs drawn per epoch in the executable gate
+
+
+def epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE an epoch allocation: draw exactly ``alloc_s`` documents
+    per source — the companion gate to ``epoch_schedule`` (which only
+    plans the integer allocation).  Documents rank per source by
+    ``md5('epoch0:' || doc_id)`` — a deterministic, reshuffling-free
+    stand-in for the loader's per-epoch permutation (epoch 1 would salt
+    with 'epoch1:') — and the top ``alloc_s`` of each source are drawn.
+    Output per source: the draw count (== alloc exactly — the hash gate
+    enforces the allocator's contract END TO END), drawn token mass,
+    and an order-insensitive modular fingerprint of the drawn doc set
+    (two runs agree iff they drew exactly the same documents).
+
+    Plan: the allocation table is |sources| rows → broadcast join; the
+    rank is ONE window partitioned by source (shard-parallel — the
+    partition key is the allocation key, so a 10⁸-domain run spreads
+    across the cluster; no global sort); the final rollup is one
+    map-side-combinable groupBy.  The budget here is doc-count-sized
+    (``EPOCH_SAMPLE_BUDGET`` < |docs|) so the draw is a real subset at
+    every fixture scale."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.size(toks).alias("n_tokens")
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    alloc = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(f"({EPOCH_SAMPLE_BUDGET} * n_docs) div n_total").alias(
+                "base_alloc"
+            ),
+            F.expr(f"({EPOCH_SAMPLE_BUDGET} * n_docs) % n_total").alias("rem"),
+        )
+    )
+    leftover = alloc.agg(
+        (F.lit(EPOCH_SAMPLE_BUDGET) - F.sum("base_alloc")).alias("leftover")
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    alloc = (
+        alloc.crossJoin(F.broadcast(leftover))
+        .withColumn("rr", F.row_number().over(wr))
+        .select(
+            "source",
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    wd = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    drawn = (
+        docs.join(F.broadcast(alloc), "source")
+        .withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") <= F.col("alloc"))
+    )
+    fp_term = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        % 1_000_000_007
+    )
+    return (
+        drawn.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_tokens").cast("bigint").alias("sampled_tokens"),
+            F.sum(fp_term).cast("bigint").alias("sample_fp"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "text_boilerplate": text_boilerplate,
@@ -689,6 +770,7 @@ QUERIES = {
     "pack_doc_spans": pack_doc_spans,
     "corpus_split_by_source": corpus_split_by_source,
     "epoch_schedule": epoch_schedule,
+    "epoch_sample": epoch_sample,
 }
 
 _NGRAMS_SQL = f"""
@@ -717,6 +799,51 @@ _DIRTY_SQL = """
 """
 
 ORACLES = {
+    "epoch_sample": f"""
+        WITH docs AS (
+          SELECT source, doc_id,
+                 len(string_split(lower(text), ' ')) AS n_tokens
+          FROM documents
+        ), per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM docs GROUP BY source
+        ), tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per
+        ), alloc0 AS (
+          SELECT source,
+                 CAST(({EPOCH_SAMPLE_BUDGET} * n_docs) // n_total AS BIGINT)
+                   AS base_alloc,
+                 CAST(({EPOCH_SAMPLE_BUDGET} * n_docs) % n_total AS BIGINT)
+                   AS rem
+          FROM per, tot
+        ), lo AS (
+          SELECT CAST({EPOCH_SAMPLE_BUDGET} - sum(base_alloc) AS BIGINT)
+            AS leftover
+          FROM alloc0
+        ), alloc AS (
+          SELECT source,
+                 base_alloc
+                 + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                          <= leftover THEN 1 ELSE 0 END AS alloc
+          FROM alloc0, lo
+        ), ranked AS (
+          SELECT d.source, d.doc_id, d.n_tokens, a.alloc,
+                 row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('epoch0:' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+                 ) AS rk
+          FROM docs d JOIN alloc a USING (source)
+        )
+        SELECT source,
+               count(*) AS n_sampled,
+               CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
+               CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          ::UBIGINT::BIGINT % 1000000007) AS BIGINT)
+                 AS sample_fp
+        FROM ranked WHERE rk <= alloc
+        GROUP BY source ORDER BY source
+    """,
     "epoch_schedule": f"""
         WITH per AS (
           SELECT source,

@@ -738,3 +738,26 @@ def test_manifest_diff_reconciles(spark):
     keep = pipeline_keep_list(spark, SF_DIR).where("keep").count()
     assert n_today_total == keep
     assert sum(r.n_added for r in rows) > 0
+
+
+def test_epoch_sample_executes_schedule_exactly(spark):
+    """The executable draw must hit each source's largest-remainder
+    allocation EXACTLY (Σ == budget), and the drawn set must be the
+    deterministic hash-rank prefix — re-running draws the identical
+    fingerprint."""
+    from elastic_stream_spark.operators.curation import (
+        EPOCH_SAMPLE_BUDGET,
+        epoch_sample,
+    )
+
+    rows = epoch_sample(spark, SF_DIR).collect()
+    assert sum(r.n_sampled for r in rows) == EPOCH_SAMPLE_BUDGET
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per = {r.source: r.cnt for r in docs.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    total = sum(per.values())
+    for r in rows:
+        base = (EPOCH_SAMPLE_BUDGET * per[r.source]) // total
+        assert base <= r.n_sampled <= base + 1
+        assert r.n_sampled <= per[r.source]
+    again = {(r.source, r.sample_fp) for r in epoch_sample(spark, SF_DIR).collect()}
+    assert again == {(r.source, r.sample_fp) for r in rows}

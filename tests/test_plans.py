@@ -448,3 +448,36 @@ def test_substring_span_stage_is_bounded_working_set(spark):
         if "windowspecdefinition" in line:
             assert "h1#" not in line and "h2#" not in line, line
     assert "CartesianProduct" not in plan
+
+
+def test_r9_batch2_plans(spark):
+    """Plan shapes for the r9 batch-2 operators: no cartesian products,
+    no Python evals anywhere; the drift audit's top-k must be a
+    TakeOrderedAndProject (per-partition heaps), never a global sort of
+    the token table; the calibration cross-tab must be join-free; the
+    soft-dedup weights must broadcast nothing corpus-sized (fp groupBy +
+    fp equi-join only)."""
+    from elastic_stream_spark.operators.data_audit import (
+        corpus_drift_audit,
+        quality_calibration_audit,
+    )
+    from elastic_stream_spark.operators.dedup import dedup_soft_weights
+    from elastic_stream_spark.operators.curation import epoch_sample, epoch_schedule
+    from elastic_stream_spark.operators.pipeline import manifest_diff
+
+    for fn in (
+        corpus_drift_audit,
+        quality_calibration_audit,
+        dedup_soft_weights,
+        epoch_schedule,
+        epoch_sample,
+        manifest_diff,
+    ):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, fn.__name__
+
+    drift = corpus_drift_audit(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in drift
+    calib = quality_calibration_audit(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in calib  # one scan, two aggregates, zero joins

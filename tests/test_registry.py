@@ -2,7 +2,7 @@
 first 50 registry entries only, so the order is load-bearing.
 
 Round-9 policy (operators/__init__.py GATE_ORDER): the registry
-(``len(GATE_ORDER)`` queries — 137 as of r9) is ~2.7 windows, so the
+(``len(GATE_ORDER)`` queries — 138 as of r9) is ~2.8 windows, so the
 schedule ALTERNATES over ~3 rounds — a query may sit beyond the window
 only if it was hash-green in a prior driver window (r7 or r8); changed /
 never-checked queries always occupy a slot; the 34 queries whose last
@@ -30,6 +30,7 @@ NEW_R9 = {
     # corpus drift audit, scorer calibration cross-tab, manifest diff
     "dedup_soft_weights",
     "epoch_schedule",
+    "epoch_sample",
     "corpus_drift_audit",
     "quality_calibration_audit",
     "manifest_diff",
