@@ -14,6 +14,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Shared modular-fingerprint term modulus (manifest_diff,
+# stream_pipeline_replay, epoch_sample, …): md5-derived 60-bit doc terms
+# are folded mod a prime so the per-group SUM stays < 2^63 up to ~9e9
+# rows per group in BOTH engines (Spark sums BIGINT with wraparound,
+# DuckDB in HUGEINT — the mod keeps them in the common exact range).
+# Order-insensitive, O(1) reducer state.  ONE definition — operator
+# modules must import it, never re-type the literal, so an edit here
+# can never desynchronize the fingerprint convention.
+FP_TERM_MOD = 1_000_000_007
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens of lowercased text.

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from elastic_stream_spark.functions.textfns import FP_TERM_MOD
 from elastic_stream_spark.operators.text import _STOP_SQL, quality_score_col
 from elastic_stream_spark.sources.envelope import load_table_balanced
 
@@ -634,11 +635,14 @@ def epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass; temperature enters upstream via mix_temperature_weights.)
 
     Plan: one map-side-combinable token-sum per source, a 1-row global
-    total broadcast back, and the remainder rank over the PER-SOURCE
-    table (rows = |sources|, never corpus-sized).  At 10⁸ web domains
-    the rank becomes the same ``orderBy().limit(leftover)`` TakeOrdered
-    top-k as key_skew_audit (leftover < |sources|); at fixture/source
-    cardinality the window is a 3-row sort."""
+    total broadcast back, then the Hamilton bonus as a real top-k —
+    ``leftover`` is an O(1) scalar fetched to the driver (the standard
+    limit parameterization; one row, not a collect-loop) and the bonus
+    winners come from ``orderBy().limit(leftover)`` → TakeOrdered
+    (per-partition heaps, leftover < |sources| rows ever move) flagged
+    back onto the per-source table with a broadcast join — NO
+    unpartitioned window anywhere, so a 10⁸-web-domain run never
+    funnels the per-source table through one partition."""
     toks = F.split(F.lower(F.col("text")), " ")
     per = (
         _docs(spark, sf_dir)
@@ -653,22 +657,26 @@ def epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({EPOCH_BUDGET} * n_tokens) div n_total").alias("base_alloc"),
         F.expr(f"({EPOCH_BUDGET} * n_tokens) % n_total").alias("rem"),
     )
-    leftover = per.agg(
-        (F.lit(EPOCH_BUDGET) - F.sum("base_alloc")).alias("leftover")
+    per = per.localCheckpoint(eager=True)  # one scan feeds scalar + top-k + output
+    leftover = int(
+        per.agg((F.lit(EPOCH_BUDGET) - F.sum("base_alloc")).alias("lo"))
+        .first()["lo"]
     )
-    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    winners = (
+        per.orderBy(F.desc("rem"), F.asc("source"))
+        .limit(leftover)
+        .select("source", F.lit(1).alias("bonus"))
+    )
     return (
-        per.crossJoin(F.broadcast(leftover))
-        .withColumn("rem_rank", F.row_number().over(wr).cast("bigint"))
+        per.join(F.broadcast(winners), "source", "left")
         .select(
             "source",
             "n_tokens",
             "base_alloc",
-            "rem_rank",
-            (
-                F.col("base_alloc")
-                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
-            ).alias("alloc"),
+            "rem",
+            (F.col("base_alloc") + F.coalesce("bonus", F.lit(0)))
+            .cast("bigint")
+            .alias("alloc"),
         )
         .orderBy("source")
     )
@@ -690,12 +698,22 @@ def epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two runs agree iff they drew exactly the same documents).
 
     Plan: the allocation table is |sources| rows → broadcast join; the
-    rank is ONE window partitioned by source (shard-parallel — the
-    partition key is the allocation key, so a 10⁸-domain run spreads
-    across the cluster; no global sort); the final rollup is one
-    map-side-combinable groupBy.  The budget here is doc-count-sized
-    (``EPOCH_SAMPLE_BUDGET`` < |docs|) so the draw is a real subset at
-    every fixture scale."""
+    Hamilton bonus is the same TakeOrdered top-k + broadcast-flag shape
+    as ``epoch_schedule`` (scalar leftover to the driver, NO
+    unpartitioned window); the per-source draw rank is ONE window
+    partitioned by source (shard-parallel — the partition key is the
+    allocation key, so a 10⁸-domain run spreads across the cluster; no
+    global sort); the final rollup is one map-side-combinable groupBy.
+
+    Draw-count contract (``n_sampled == alloc`` for EVERY source, no
+    degradation): under Hamilton, ``alloc_s ≤ floor(budget·n_s/N) + 1``,
+    and ``floor(budget·n_s/N) ≥ n_s`` would require ``budget ≥ N`` — so
+    whenever ``budget < N`` (total docs), ``alloc_s ≤ n_s`` holds for
+    every source and the per-source rank can always satisfy the draw.
+    ``EPOCH_SAMPLE_BUDGET`` < |docs| at every fixture scale, and the
+    bound is asserted in tests/test_operators.py at budget = N-1 (the
+    worst case); a budget ≥ N caller would be asking for sampling WITH
+    replacement, which this operator does not implement."""
     toks = F.split(F.lower(F.col("text")), " ")
     docs = _docs(spark, sf_dir).select(
         "source", "doc_id", F.size(toks).alias("n_tokens")
@@ -714,20 +732,19 @@ def epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({EPOCH_SAMPLE_BUDGET} * n_docs) % n_total").alias("rem"),
         )
     )
-    leftover = alloc.agg(
-        (F.lit(EPOCH_SAMPLE_BUDGET) - F.sum("base_alloc")).alias("leftover")
+    alloc = alloc.localCheckpoint(eager=True)  # |sources| rows, reused 3×
+    leftover = int(
+        alloc.agg((F.lit(EPOCH_SAMPLE_BUDGET) - F.sum("base_alloc")).alias("lo"))
+        .first()["lo"]
     )
-    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
-    alloc = (
-        alloc.crossJoin(F.broadcast(leftover))
-        .withColumn("rr", F.row_number().over(wr))
-        .select(
-            "source",
-            (
-                F.col("base_alloc")
-                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
-            ).alias("alloc"),
-        )
+    winners = (
+        alloc.orderBy(F.desc("rem"), F.asc("source"))
+        .limit(leftover)
+        .select("source", F.lit(1).alias("bonus"))
+    )
+    alloc = alloc.join(F.broadcast(winners), "source", "left").select(
+        "source",
+        (F.col("base_alloc") + F.coalesce("bonus", F.lit(0))).alias("alloc"),
     )
     wd = Window.partitionBy("source").orderBy(
         F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string"))),
@@ -738,11 +755,13 @@ def epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wd))
         .where(F.col("rk") <= F.col("alloc"))
     )
+    # shared modular-fingerprint convention (manifest_diff,
+    # stream_pipeline_replay): one constant, imported — never re-typed
     fp_term = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("decimal(20,0)")
         .cast("long")
-        % 1_000_000_007
+        % FP_TERM_MOD
     )
     return (
         drawn.groupBy("source")
@@ -839,7 +858,7 @@ ORACLES = {
                count(*) AS n_sampled,
                CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
                CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                          ::UBIGINT::BIGINT % 1000000007) AS BIGINT)
+                          ::UBIGINT::BIGINT % {FP_TERM_MOD}) AS BIGINT)
                  AS sample_fp
         FROM ranked WHERE rk <= alloc
         GROUP BY source ORDER BY source
@@ -866,8 +885,7 @@ ORACLES = {
                  row_number() OVER (ORDER BY rem DESC, source) AS rem_rank
           FROM alloc
         )
-        SELECT source, n_tokens, base_alloc,
-               CAST(rem_rank AS BIGINT) AS rem_rank,
+        SELECT source, n_tokens, base_alloc, rem,
                CAST(base_alloc
                     + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
                  AS BIGINT) AS alloc

@@ -394,7 +394,16 @@ def corpus_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines (ties broken by token); only the
     ln-based JS contribution is transcendental and is rounded to 6
     decimals per row (never aggregated) — the pow()/cosine convention
-    (mix_temperature_weights, similarity.py)."""
+    (mix_temperature_weights, similarity.py).  Like those sites, a
+    round-to-6 cannot fully rule out a cross-engine boundary straddle
+    when ln() differs in the last ulp — accepted, same convention.
+
+    Empty-side convention: a side with ZERO total tokens (corpus slice
+    where no doc falls on that side of the modulus) is the zero
+    measure — its per-token probability is 0.0, not null, so
+    ``abs_drift`` degrades to the other side's probability and the JS
+    contribution to ``p·ln(2)/2`` instead of flipping the gate red
+    with a null signature."""
     is_batch = F.col("doc_id") % DRIFT_MOD == DRIFT_MOD - 1
     toks = load_table_balanced(spark, sf_dir, "documents").select(
         is_batch.alias("is_batch"),
@@ -412,8 +421,15 @@ def corpus_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_corpus").cast("bigint").alias("t_corpus"),
         F.sum("n_batch").cast("bigint").alias("t_batch"),
     )
-    p_c = F.col("n_corpus") / F.col("t_corpus")
-    p_b = F.col("n_batch") / F.col("t_batch")
+    # empty-side guard: t_* == 0 ⇒ that side is the zero measure (0.0,
+    # never null/NaN); n_* > 0 implies t_* > 0, so the division below
+    # only ever runs with a positive denominator
+    p_c = F.when(F.col("t_corpus") > 0, F.col("n_corpus") / F.col("t_corpus")).otherwise(
+        F.lit(0.0)
+    )
+    p_b = F.when(F.col("t_batch") > 0, F.col("n_batch") / F.col("t_batch")).otherwise(
+        F.lit(0.0)
+    )
     m = (p_c + p_b) / 2
     js = (
         F.when(F.col("n_corpus") > 0, p_c * F.log(p_c / m)).otherwise(F.lit(0.0))
@@ -615,25 +631,28 @@ ORACLES = {
           SELECT CAST(sum(n_corpus) AS BIGINT) AS t_corpus,
                  CAST(sum(n_batch) AS BIGINT) AS t_batch
           FROM counts
-        ), scored AS (
+        ), probs AS (
+          -- empty-side guard (matches the Spark side): a zero side
+          -- total is the zero measure, probability 0.0 not null
           SELECT token, n_corpus, n_batch,
-                 n_corpus / t_corpus AS p_corpus,
-                 n_batch / t_batch AS p_batch,
-                 abs(n_corpus / t_corpus - n_batch / t_batch) AS abs_drift,
+                 CASE WHEN t_corpus > 0 THEN n_corpus / t_corpus
+                      ELSE 0.0 END AS p_corpus,
+                 CASE WHEN t_batch > 0 THEN n_batch / t_batch
+                      ELSE 0.0 END AS p_batch
+          FROM counts CROSS JOIN tot
+        ), scored AS (
+          SELECT token, n_corpus, n_batch, p_corpus, p_batch,
+                 abs(p_corpus - p_batch) AS abs_drift,
                  round((
                    CASE WHEN n_corpus > 0
-                        THEN (n_corpus / t_corpus)
-                             * ln((n_corpus / t_corpus)
-                                  / ((n_corpus / t_corpus
-                                      + n_batch / t_batch) / 2))
+                        THEN p_corpus
+                             * ln(p_corpus / ((p_corpus + p_batch) / 2))
                         ELSE 0 END
                  + CASE WHEN n_batch > 0
-                        THEN (n_batch / t_batch)
-                             * ln((n_batch / t_batch)
-                                  / ((n_corpus / t_corpus
-                                      + n_batch / t_batch) / 2))
+                        THEN p_batch
+                             * ln(p_batch / ((p_corpus + p_batch) / 2))
                         ELSE 0 END) / 2, 6) AS js_contrib
-          FROM counts CROSS JOIN tot
+          FROM probs
         )
         SELECT * FROM scored
         ORDER BY abs_drift DESC, token LIMIT {DRIFT_TOP}

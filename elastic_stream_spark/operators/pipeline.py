@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from elastic_stream_spark.functions.textfns import bow_fingerprint
+from elastic_stream_spark.functions.textfns import FP_TERM_MOD, bow_fingerprint
 from elastic_stream_spark.operators.curation import EVAL_MOD as CUR_EVAL_MOD
 from elastic_stream_spark.operators.curation import NGRAM_N as CUR_NGRAM_N
 from elastic_stream_spark.operators.curation import (
@@ -364,12 +364,9 @@ def pipeline_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# manifest-fingerprint term modulus: md5-derived 60-bit doc terms are
-# folded mod a prime so the per-cell SUM stays < 2^63 up to ~9e9 docs
-# per (split, shard) cell in BOTH engines (Spark sums BIGINT with
-# wraparound, DuckDB in HUGEINT — the mod keeps them in the common
-# exact range).  Order-insensitive, O(1) reducer state.
-FP_TERM_MOD = 1_000_000_007
+# FP_TERM_MOD (manifest-fingerprint term modulus) moved to
+# functions/textfns.py — imported above, still re-exported from here
+# for the existing importers (streaming/pipeline.py, tests).
 
 
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -191,9 +191,14 @@ class IncrementalCCAbsorber:
     ``operators/pipeline.py::cc_append`` (one contraction + small
     fixpoint per trigger instead of a nightly full-corpus rebuild).
 
-    State = a VERSIONED label snapshot directory: ``v{n}`` parquet dirs,
-    highest n is current (read-side never races a writer; production
-    keeps the same layout for time-travel).  Per batch: (1) pairs with
+    State = a VERSIONED label snapshot directory: ``v{n}`` parquet dirs;
+    the highest n *whose ``_SUCCESS`` marker exists* is current.
+    ``write.parquet`` is not atomic, so a crash mid-write leaves a
+    partial ``v{n+1}`` — the marker gate makes readers skip it (the
+    read side never sees a torn snapshot) and the micro-batch replay
+    re-derives ``v{n+1}`` from the last COMMITTED snapshot, clobbering
+    the partial dir with ``mode("overwrite")``.  Production keeps the
+    same layout for time-travel.  Per batch: (1) pairs with
     BOTH endpoints admitted (standing ∪ this batch) that touch the
     batch; (2) corpus endpoints contract to their standing label; (3)
     the pointer-doubling fixpoint runs on the contracted graph only —
@@ -203,7 +208,8 @@ class IncrementalCCAbsorber:
     Exactly-once: absorption is IDEMPOTENT under micro-batch replay —
     labels are component MINIMA, so re-absorbing the same pairs onto
     the post-merge labels is a fixpoint no-op (the replayed version
-    rewrite produces identical rows); no marker protocol is needed.
+    rewrite produces identical rows); the ``_SUCCESS`` gate covers the
+    remaining failure mode (a torn snapshot write, above).
     Exactness across batches: pair (a, b) is processed in the trigger
     where its LATER endpoint arrives, every pair is eventually
     processed, and min-label merging is order-insensitive — so after
@@ -219,12 +225,19 @@ class IncrementalCCAbsorber:
         self.all_pairs = all_pairs
 
     def _version_dirs(self) -> list[int]:
+        """COMMITTED snapshot versions only: a ``v{n}`` dir counts iff
+        Spark's ``_SUCCESS`` marker exists (the Hadoop committer writes
+        it last), so a write that crashed mid-parquet is invisible to
+        readers and gets overwritten by the replay."""
         import os
 
         if not os.path.isdir(self.labels_root):
             return []
         return sorted(
-            int(d[1:]) for d in os.listdir(self.labels_root) if d.startswith("v")
+            int(d[1:])
+            for d in os.listdir(self.labels_root)
+            if d.startswith("v")
+            and os.path.exists(os.path.join(self.labels_root, d, "_SUCCESS"))
         )
 
     def seed(self, standing_labels: DataFrame) -> None:
@@ -251,8 +264,13 @@ class IncrementalCCAbsorber:
         )
 
     def labels(self) -> DataFrame:
-        cur = self._version_dirs()[-1]
-        return self.spark.read.parquet(f"{self.labels_root}/v{cur}")
+        vs = self._version_dirs()
+        if not vs:
+            raise RuntimeError(
+                f"no committed label snapshot under {self.labels_root} "
+                "(seed() first; a _SUCCESS-less dir is an aborted write)"
+            )
+        return self.spark.read.parquet(f"{self.labels_root}/v{vs[-1]}")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from elastic_stream_spark.operators.pipeline import connected_components

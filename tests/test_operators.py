@@ -1135,3 +1135,45 @@ def test_emb_random_project_matches_numpy(spark):
     assert len(got) == len(emb) * RP_K
     for r in got:
         assert r.proj == pytest.approx(want[(r.vec_id, r.out_dim)], abs=2e-6)
+
+
+def test_epoch_sample_hamilton_bound_worst_case(spark, monkeypatch):
+    """Hamilton draw-count contract at the documented worst case: with
+    budget = N-1 (one below total docs — the largest budget the operator
+    admits), every source still satisfies alloc_s <= n_s, so
+    n_sampled == alloc for ALL sources and sum(n_sampled) == budget
+    exactly.  Also pins the top-k bonus path (no unpartitioned window):
+    sum(alloc) must equal the budget bit-exactly."""
+    from elastic_stream_spark.operators import curation
+    from elastic_stream_spark.operators.curation import epoch_sample
+    from elastic_stream_spark.sources.envelope import load_table_balanced
+
+    n_total = load_table_balanced(spark, SF_DIR, "documents").count()
+    monkeypatch.setattr(curation, "EPOCH_SAMPLE_BUDGET", n_total - 1)
+    out = epoch_sample(spark, SF_DIR).collect()
+    assert sum(r.n_sampled for r in out) == n_total - 1
+    per_src = {
+        r.source: r.n_docs
+        for r in load_table_balanced(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .collect()
+    }
+    # every source fully drawable: n_sampled never exceeds its doc count
+    # and never falls short of its allocation (alloc == n_sampled is
+    # implied by sum equality + the per-source rank filter rk <= alloc)
+    for r in out:
+        assert r.n_sampled <= per_src[r.source]
+
+
+def test_epoch_schedule_alloc_sums_to_budget(spark):
+    """Largest-remainder invariant on the rewritten top-k path:
+    sum(alloc) == EPOCH_BUDGET exactly and every bonus goes to the
+    highest remainders (ties to lexicographically smaller source)."""
+    from elastic_stream_spark.operators.curation import EPOCH_BUDGET, epoch_schedule
+
+    rows = epoch_schedule(spark, SF_DIR).collect()
+    assert sum(r.alloc for r in rows) == EPOCH_BUDGET
+    bonus = {r.source for r in rows if r.alloc == r.base_alloc + 1}
+    ordered = sorted(rows, key=lambda r: (-r.rem, r.source))
+    assert bonus == {r.source for r in ordered[: len(bonus)]}

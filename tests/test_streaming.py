@@ -1225,8 +1225,10 @@ def test_stream_cc_absorption_equals_full_recompute(spark, log, workdir):
     contraction onto standing labels, delta fixpoint, versioned label
     snapshots).  After the last micro-batch the labels must equal the
     full-graph fixpoint over every pair — the streaming twin of
-    cc_append's batch equivalence — and re-absorbing a replayed batch
-    must be a label no-op (min-label idempotency, no marker needed)."""
+    cc_append's batch equivalence — re-absorbing a replayed batch
+    must be a label no-op (min-label idempotency), and a TORN snapshot
+    write (v{n+1} without _SUCCESS) must be invisible to readers and
+    repaired by the replay."""
     from elastic_stream_spark.operators.dedup import ngram_pair_set
     from elastic_stream_spark.operators.pipeline import (
         CC_APPEND_MOD,
@@ -1309,3 +1311,29 @@ def test_stream_cc_absorption_equals_full_recompute(spark, log, workdir):
     absorber(last, batch_id=10_000)
     got2 = {(r.doc_id, r.cluster_id) for r in absorber.labels().collect()}
     assert got2 == got
+
+    # torn-write recovery: fake a crash mid-write of the NEXT snapshot —
+    # parquet bytes present, no _SUCCESS marker.  Readers must keep
+    # serving the last committed version, and a replayed batch must
+    # re-derive the next version over the partial dir (mode=overwrite).
+    import os
+    import shutil
+
+    committed = absorber._version_dirs()[-1]
+    cur_dir = f"{workdir}/cc_labels/v{committed}"
+    torn_dir = f"{workdir}/cc_labels/v{committed + 1}"
+    shutil.copytree(cur_dir, torn_dir)
+    os.remove(f"{torn_dir}/_SUCCESS")
+    # poison the torn snapshot so reading it WOULD be detected
+    for f in os.listdir(torn_dir):
+        if f.endswith(".parquet"):
+            os.remove(f"{torn_dir}/{f}")
+            break
+    assert absorber._version_dirs()[-1] == committed  # torn dir invisible
+    got3 = {(r.doc_id, r.cluster_id) for r in absorber.labels().collect()}
+    assert got3 == got
+    absorber(last, batch_id=10_001)  # replay clobbers the partial dir
+    assert absorber._version_dirs()[-1] == committed + 1
+    assert os.path.exists(f"{torn_dir}/_SUCCESS")
+    got4 = {(r.doc_id, r.cluster_id) for r in absorber.labels().collect()}
+    assert got4 == got
