@@ -179,6 +179,16 @@ HEADLINE = [
     "corpus_drift_audit",
     "quality_calibration_audit",
     "manifest_diff",
+    # round 10: per-source token-budget trim (quality-ordered cumulative
+    # window), multi-epoch draw coverage, quality-filter survival sweep,
+    # cross-source dup matrix (pair-set rollup), LSH band-structure
+    # audit, corpus novelty curve (first-seen inverted index)
+    "token_budget_trim",
+    "epoch_coverage",
+    "quality_threshold_sweep",
+    "cross_source_dup_matrix",
+    "lsh_band_audit",
+    "corpus_novelty_curve",
 ]
 
 # Session-memo builders, invoked ONCE (untimed) during warm-up: these

@@ -72,85 +72,33 @@ def _modules():
 # nothing is ever dark, only riding on its last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r9 rotation — the registry (138 queries) is ~2.8 windows, so the
-# steady-state schedule is an ALTERNATION over ~3 rounds: changed /
-# never-checked queries preempt everything (this round: 9 new + 3
-# changed = 12 slots), the 34 queries whose last driver row is r6 take
-# their policy-deadline slots (staleness must stay ≤ 3 rounds), and the
-# remaining 4 slots go to r7-row queries (the displaced six moved to
-# the r10 pool).  Every registry query keeps a driver row ≤ 3 rounds
-# old, with the committed strict full-registry self-check covering
-# every query at both sf every round.
+# r10 rotation — registry now 144 queries (~2.9 windows); the
+# alternation continues: the 6 NEW queries and the 3 CHANGED ones
+# (epoch_schedule/epoch_sample rebuilt on the TakeOrdered Hamilton
+# bonus, corpus_drift_audit's empty-side guard) preempt per policy, the
+# 40 queries whose last driver row is r7 take their policy-deadline
+# slots (staleness ≤ 3 rounds ⇒ r10 is their deadline), and the 1
+# remaining slot tops up from the r8 pool (oldest-first).  Every
+# registry query keeps a driver row ≤ 3 rounds old, with the committed
+# strict full-registry self-check covering every query at both sf
+# every round.
 GATE_ORDER = [
-    # ---------------- r9 window (first 50 = the driver's gate) ----------
-    # --- new in r9: incremental CC absorption, the model-based quality
-    # scorer, and the streaming (incremental-nightly) pipeline replay ---
-    "cc_append",
-    "quality_model_score",
-    "stream_pipeline_replay",
-    "dedup_soft_weights",
+    # ---------------- r10 window (first 50 = the driver's gate) ---------
+    # --- new in r10: per-source token-budget trim, multi-epoch draw
+    # coverage, quality-filter survival sweep, cross-source dup matrix,
+    # LSH band-structure audit, corpus novelty curve ---
+    "token_budget_trim",
+    "epoch_coverage",
+    "quality_threshold_sweep",
+    "cross_source_dup_matrix",
+    "lsh_band_audit",
+    "corpus_novelty_curve",
+    # --- changed in r10 (r9 ADVICE items 2-4) ---
     "epoch_schedule",
     "epoch_sample",
     "corpus_drift_audit",
-    "quality_calibration_audit",
-    "manifest_diff",
-    # --- changed in r9: pipeline_end_to_end composed the group-aware
-    # (leakage-safe) source split (r8 VERDICT "what's wrong" #3);
-    # dedup_substring / substring_scrub_stats carry the redesigned
-    # bounded-working-set span extraction (r8 VERDICT next-round #2) ---
-    "pipeline_end_to_end",
-    "dedup_substring",
-    "substring_scrub_stats",
-    # --- the 34 r6-stale driver rows (r8 VERDICT next-round #1: r9 is
-    # the rotation policy's own ≤3-round deadline for them) ---
-    "pipeline_keep_list",
-    "dedup_simhash",
-    "dedup_exact",
-    "asof_join_purchase_click",
-    "list_resources",
-    "sim_ann_ivf",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q19_brand_quantity_revenue",
-    "fetch_range",
-    "describe_streams",
-    "list_ranges",
-    "trim_fetch",
-    "offset_accounting",
-    "list_objects",
-    "payload_decode",
-    "sim_topk_bruteforce",
-    "emb_label_centroids",
-    "text_quality_score",
-    "sim_ann_ivf_clustered",
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
-    "doc_chunking",
-    "token_heavy_hitters",
-    "text_pii_redact",
-    # --- alternation top-up: r7-row queries take the remaining slots
-    # (oldest-first by the r7 block's standing order) ---
-    "dedup_incremental",
-    "chunk_dedup",
-    "text_unigram_logprob",
-    "ngram_counts",
-    # ---- 50-entry window boundary: every query below was hash-green
-    # in a prior driver window (r7 or r8 — noted per block) and is
-    # re-verified by the committed full-registry strict self-check at
-    # both sf every round (CORRECTNESS_FULL_r09*.json);
-    # tests/test_registry.py pins the policy.
-    # --- last driver row r7 (sat out r8; the r10 rotation pool — the
-    # first six were displaced from the r9 top-up block by the six
-    # new r9 batch-2 queries, which preempt per policy) ---
+    # --- the 40 r7-stale driver rows (rotation policy's ≤3-round
+    # deadline: r10) ---
     "tfidf_topk_per_doc",
     "emb_covariance",
     "sim_ann_ivf_pq_served",
@@ -191,9 +139,62 @@ GATE_ORDER = [
     "stream_dedup_events",
     "resource_latest_state",
     "offset_for_timestamp",
-    # --- hash-green in the r8 driver window (freshest rows; they ride
-    # the alternation and are due r11 at the latest) ---
+    # --- alternation top-up: oldest r8-row query takes the last slot ---
     "pack_doc_spans",
+    # ---- 50-entry window boundary: every query below was hash-green
+    # in a prior driver window (r8 or r9 — noted per block) and is
+    # re-verified by the committed full-registry strict self-check at
+    # both sf every round (CORRECTNESS_FULL_r10*.json);
+    # tests/test_registry.py pins the policy.
+    # --- last driver row r9 (freshest; due r12 at the latest) ---
+    "cc_append",
+    "quality_model_score",
+    "stream_pipeline_replay",
+    "dedup_soft_weights",
+    "quality_calibration_audit",
+    "manifest_diff",
+    "pipeline_end_to_end",
+    "dedup_substring",
+    "substring_scrub_stats",
+    "pipeline_keep_list",
+    "dedup_simhash",
+    "dedup_exact",
+    "asof_join_purchase_click",
+    "list_resources",
+    "sim_ann_ivf",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q19_brand_quantity_revenue",
+    "fetch_range",
+    "describe_streams",
+    "list_ranges",
+    "trim_fetch",
+    "offset_accounting",
+    "list_objects",
+    "payload_decode",
+    "sim_topk_bruteforce",
+    "emb_label_centroids",
+    "text_quality_score",
+    "sim_ann_ivf_clustered",
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    "doc_chunking",
+    "token_heavy_hitters",
+    "text_pii_redact",
+    "dedup_incremental",
+    "chunk_dedup",
+    "text_unigram_logprob",
+    "ngram_counts",
+    # --- last driver row r8 (the r11 rotation pool; due r11) ---
     "corpus_split_by_source",
     "dedup_survivorship",
     "approx_quantile_audit",

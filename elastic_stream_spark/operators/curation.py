@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from elastic_stream_spark.functions.textfns import FP_TERM_MOD
-from elastic_stream_spark.operators.text import _STOP_SQL, quality_score_col
+from elastic_stream_spark.operators.text import (
+    _STOP_SQL,
+    QUALITY_SQL,
+    quality_score_col,
+)
 from elastic_stream_spark.sources.envelope import load_table_balanced
 
 NGRAM_N = 5  # word n-gram width for decontamination
@@ -685,6 +689,34 @@ def epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 EPOCH_SAMPLE_BUDGET = 120  # docs drawn per epoch in the executable gate
 
 
+def _hamilton_doc_alloc(docs: DataFrame, budget: int) -> DataFrame:
+    """(source, alloc) under the largest-remainder method over doc
+    counts — the shared allocation step of ``epoch_sample`` and
+    ``epoch_coverage``.  Same plan shape as ``epoch_schedule``: scalar
+    leftover to the driver, TakeOrdered top-k bonus, broadcast flag —
+    no unpartitioned window."""
+    per = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    alloc = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"({budget} * n_docs) div n_total").alias("base_alloc"),
+        F.expr(f"({budget} * n_docs) % n_total").alias("rem"),
+    )
+    alloc = alloc.localCheckpoint(eager=True)  # |sources| rows, reused 3×
+    leftover = int(
+        alloc.agg((F.lit(budget) - F.sum("base_alloc")).alias("lo")).first()["lo"]
+    )
+    winners = (
+        alloc.orderBy(F.desc("rem"), F.asc("source"))
+        .limit(leftover)
+        .select("source", F.lit(1).alias("bonus"))
+    )
+    return alloc.join(F.broadcast(winners), "source", "left").select(
+        "source",
+        (F.col("base_alloc") + F.coalesce("bonus", F.lit(0))).alias("alloc"),
+    )
+
+
 def epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXECUTE an epoch allocation: draw exactly ``alloc_s`` documents
     per source — the companion gate to ``epoch_schedule`` (which only
@@ -718,34 +750,7 @@ def epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "source", "doc_id", F.size(toks).alias("n_tokens")
     )
-    per = docs.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs")
-    )
-    tot = per.agg(F.sum("n_docs").alias("n_total"))
-    alloc = (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            F.expr(f"({EPOCH_SAMPLE_BUDGET} * n_docs) div n_total").alias(
-                "base_alloc"
-            ),
-            F.expr(f"({EPOCH_SAMPLE_BUDGET} * n_docs) % n_total").alias("rem"),
-        )
-    )
-    alloc = alloc.localCheckpoint(eager=True)  # |sources| rows, reused 3×
-    leftover = int(
-        alloc.agg((F.lit(EPOCH_SAMPLE_BUDGET) - F.sum("base_alloc")).alias("lo"))
-        .first()["lo"]
-    )
-    winners = (
-        alloc.orderBy(F.desc("rem"), F.asc("source"))
-        .limit(leftover)
-        .select("source", F.lit(1).alias("bonus"))
-    )
-    alloc = alloc.join(F.broadcast(winners), "source", "left").select(
-        "source",
-        (F.col("base_alloc") + F.coalesce("bonus", F.lit(0))).alias("alloc"),
-    )
+    alloc = _hamilton_doc_alloc(docs, EPOCH_SAMPLE_BUDGET)
     wd = Window.partitionBy("source").orderBy(
         F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string"))),
         F.asc("doc_id"),
@@ -774,6 +779,157 @@ def epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_COVERAGE_EPOCHS = 3  # epochs replayed by the coverage audit
+TRIM_TOKEN_BUDGET = 800  # per-source token budget for the trim gate
+QSWEEP_THRESHOLDS = [0.25, 0.5, 0.75, 1.0]  # quality filter operating points
+
+
+def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget trim: keep each source's highest-quality
+    documents, in (quality desc, doc_id) order, while the running token
+    total stays within ``TRIM_TOKEN_BUDGET``; trim the rest — the
+    per-domain budget enforcement a mixture schedule turns into an
+    actual corpus cut (``source_cap_sample`` caps doc COUNTS; budgets
+    are negotiated in tokens, which is what this gate enforces).  Keep
+    rule: a doc survives iff its INCLUSIVE running total ≤ budget — the
+    no-overflow convention (a doc never half-counts; a source whose
+    best doc alone exceeds the budget keeps nothing, by design).
+
+    Plan: one scan scores + token-counts every doc (pure projection),
+    ONE cumulative-sum window partitioned by source (shard-parallel,
+    spillable sort — the partition key is the budget key, exactly how
+    a 1000-executor trim shards), then a map-side-combinable per-source
+    rollup.  No joins, no global sort.
+
+    Determinism: the order key (round-4 quality, doc_id) is
+    total-ordered and engine-portable (discrete score values, integer
+    tiebreak); all outputs are integer counts/sums."""
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        quality_score_col().alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    cum = docs.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    kept = F.col("cum_tokens") <= TRIM_TOKEN_BUDGET
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_trimmed"),
+            F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("trimmed_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def epoch_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch coverage audit: replay ``EPOCH_COVERAGE_EPOCHS``
+    independent epoch draws (the ``epoch_sample`` mechanism, salted
+    ``epoch{e}:`` per epoch) and measure, per source, how much of the
+    corpus the training run has actually SEEN — total draws, distinct
+    documents, and repeat draws.  This is the "did any document starve /
+    over-repeat" check run before committing a sampling schedule: with
+    per-epoch sampling-without-replacement, repeats only come from
+    CROSS-epoch re-draws, and distinct/total quantifies exactly that.
+
+    Plan: the allocation is the shared Hamilton top-k
+    (``_hamilton_doc_alloc``, broadcast back); the E-epoch replay is a
+    single explode (corpus × E rows, map-side) ranked by ONE window
+    partitioned by (source, epoch) — finer-grained than the per-epoch
+    operator, so MORE shard-parallel — then one rollup with an exact
+    distinct (Spark expands count(distinct) to a two-phase partial
+    aggregate; at 100 TB the draw table is budget·E rows ≪ corpus).
+
+    Determinism: per-epoch md5 salts are the published convention; all
+    outputs are integers."""
+    docs = _docs(spark, sf_dir).select("source", "doc_id")
+    alloc = _hamilton_doc_alloc(docs, EPOCH_SAMPLE_BUDGET)
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(EPOCH_COVERAGE_EPOCHS)])
+    ).alias("epoch")
+    per_epoch = docs.join(F.broadcast(alloc), "source").select(
+        "source", "doc_id", "alloc", epochs
+    )
+    wd = Window.partitionBy("source", "epoch").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("epoch"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.asc("doc_id"),
+    )
+    drawn = per_epoch.withColumn("rk", F.row_number().over(wd)).where(
+        F.col("rk") <= F.col("alloc")
+    )
+    return (
+        drawn.groupBy("source")
+        .agg(
+            F.lit(EPOCH_COVERAGE_EPOCHS).cast("bigint").alias("n_epochs"),
+            F.count("*").cast("bigint").alias("total_draws"),
+            F.countDistinct("doc_id").cast("bigint").alias("distinct_docs"),
+            (F.count("*") - F.countDistinct("doc_id"))
+            .cast("bigint")
+            .alias("repeat_draws"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of the heuristic quality filter: for each
+    candidate operating point in ``QSWEEP_THRESHOLDS``, the documents
+    and tokens that survive ``quality ≥ t`` — the table read before
+    committing a threshold to the pipeline (how much corpus does each
+    notch cost?).
+
+    Plan: ONE corpus scan folds to a per-score table (the round-4 score
+    takes 4 discrete values → 4 rows, map-side-combinable), and the
+    sweep is an explode × filter over that TINY table — corpus work is
+    independent of the number of thresholds swept.
+
+    Determinism: score values and thresholds are exact literals on both
+    engines (0.25/0.5/0.75/1.0 vs round-4 scores — no boundary ever
+    straddles); outputs are integer sums."""
+    per_score = (
+        _docs(spark, sf_dir)
+        .select(
+            quality_score_col().alias("q"),
+            F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        )
+        .groupBy("q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t) for t in QSWEEP_THRESHOLDS])
+    ).alias("threshold")
+    return (
+        per_score.select("q", "n_docs", "n_tokens", thresholds)
+        .where(F.col("q") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("threshold")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "text_boilerplate": text_boilerplate,
@@ -790,6 +946,9 @@ QUERIES = {
     "corpus_split_by_source": corpus_split_by_source,
     "epoch_schedule": epoch_schedule,
     "epoch_sample": epoch_sample,
+    "token_budget_trim": token_budget_trim,
+    "epoch_coverage": epoch_coverage,
+    "quality_threshold_sweep": quality_threshold_sweep,
 }
 
 _NGRAMS_SQL = f"""
@@ -862,6 +1021,97 @@ ORACLES = {
                  AS sample_fp
         FROM ranked WHERE rk <= alloc
         GROUP BY source ORDER BY source
+    """,
+    "token_budget_trim": f"""
+        WITH {QUALITY_SQL},
+        docs AS (
+          SELECT d.source, d.doc_id, qp.q,
+                 len(string_split(lower(d.text), ' ')) AS n_tokens
+          FROM documents d JOIN q_per_doc qp USING (doc_id)
+        ), cum AS (
+          SELECT source, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY q DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_tokens
+          FROM docs
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN cum_tokens <= {TRIM_TOKEN_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN cum_tokens <= {TRIM_TOKEN_BUDGET}
+                             THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+               CAST(sum(CASE WHEN cum_tokens > {TRIM_TOKEN_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed,
+               CAST(sum(CASE WHEN cum_tokens > {TRIM_TOKEN_BUDGET}
+                             THEN n_tokens ELSE 0 END) AS BIGINT)
+                 AS trimmed_tokens
+        FROM cum GROUP BY source ORDER BY source
+    """,
+    "epoch_coverage": f"""
+        WITH docs AS (
+          SELECT source, doc_id FROM documents
+        ), per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM docs GROUP BY source
+        ), tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per
+        ), alloc0 AS (
+          SELECT source,
+                 CAST(({EPOCH_SAMPLE_BUDGET} * n_docs) // n_total AS BIGINT)
+                   AS base_alloc,
+                 CAST(({EPOCH_SAMPLE_BUDGET} * n_docs) % n_total AS BIGINT)
+                   AS rem
+          FROM per, tot
+        ), lo AS (
+          SELECT CAST({EPOCH_SAMPLE_BUDGET} - sum(base_alloc) AS BIGINT)
+            AS leftover
+          FROM alloc0
+        ), alloc AS (
+          SELECT source,
+                 base_alloc
+                 + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                          <= leftover THEN 1 ELSE 0 END AS alloc
+          FROM alloc0, lo
+        ), ranked AS (
+          SELECT d.source, d.doc_id, a.alloc, e.epoch,
+                 row_number() OVER (
+                   PARTITION BY d.source, e.epoch
+                   ORDER BY md5('epoch' || CAST(e.epoch AS VARCHAR) || ':'
+                                || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+                 ) AS rk
+          FROM docs d
+          JOIN alloc a USING (source)
+          CROSS JOIN (
+            SELECT unnest(generate_series(0, {EPOCH_COVERAGE_EPOCHS - 1}))
+              AS epoch
+          ) e
+        )
+        SELECT source,
+               CAST({EPOCH_COVERAGE_EPOCHS} AS BIGINT) AS n_epochs,
+               CAST(count(*) AS BIGINT) AS total_draws,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_docs,
+               CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                 AS repeat_draws
+        FROM ranked WHERE rk <= alloc
+        GROUP BY source ORDER BY source
+    """,
+    "quality_threshold_sweep": f"""
+        WITH {QUALITY_SQL},
+        scored AS (
+          SELECT qp.q, len(string_split(lower(d.text), ' ')) AS n_tokens
+          FROM documents d JOIN q_per_doc qp USING (doc_id)
+        ), thr AS (
+          SELECT unnest([{", ".join(f"{t}::DOUBLE" for t in QSWEEP_THRESHOLDS)}])
+            AS threshold
+        )
+        SELECT t.threshold,
+               CAST(count(*) AS BIGINT) AS n_docs_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+        FROM scored s JOIN thr t ON s.q >= t.threshold
+        GROUP BY t.threshold ORDER BY t.threshold
     """,
     "epoch_schedule": f"""
         WITH per AS (

@@ -951,6 +951,105 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: the verified near-dup pair set
+    (``ngram_pair_set`` — shingle inverted index, exact Jaccard ≥ 0.8)
+    rolled up to (source_a ≤ source_b) pair counts — the table that
+    tells a crawler-ops team WHICH domains mirror each other, and the
+    decision input for ``corpus_split_by_source`` (group-aware splitting
+    only guards WITHIN-source dup pairs; this matrix is exactly the
+    cross-source leakage it cannot guard).
+
+    Plan: the pair set is tiny relative to the corpus (candidates ∝
+    shingle co-occurrence), so BOTH doc_id→source enrichments broadcast
+    the pair side against the column-pruned (doc_id, source) scan —
+    the corpus never shuffles; the rollup is |source-pairs| rows."""
+    pairs = ngram_pair_set(spark, sf_dir).select("doc_a", "doc_b")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    t1 = sa.join(F.broadcast(pairs), "doc_a")
+    t2 = sb.join(F.broadcast(t1), "doc_b")
+    return (
+        t2.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-structure audit: per band, the bucket count, colliding
+    buckets (size ≥ 2), the largest bucket, and the implied candidate
+    pairs Σ k·(k-1)/2 — the table read when TUNING bands × rows (too
+    few candidates → recall risk; a mega-bucket → a skewed self-join
+    key).  Audits the same 16-minhash / 8-band × 2-row geometry as
+    ``dedup_minhash_lsh``; the audit's hash family is md5-derived
+    (engine-portable → the gate hash-checks the full band structure
+    end-to-end) where the served index uses xxhash64 (cheaper JVM
+    codegen) — same collision statistics, different family.
+
+    Plan: ONE aggregation computes all 16 minhashes (no K-way row
+    explosion), bands are a per-doc projection + explode, and the audit
+    is two map-side-combinable groupBys — strictly cheaper than the
+    index build it audits (no self-join)."""
+    sh = _doc_shingles(spark, sf_dir)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("decimal(20,0)")
+                .cast("long")
+            ).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).cast("bigint").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{band * LSH_ROWS + r}").cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    buckets = (
+        mh.select(F.explode(band_structs).alias("bb"))
+        .select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("k"))
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum(F.when(F.col("k") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_colliding_buckets"),
+            F.max("k").cast("bigint").alias("max_bucket_size"),
+            F.sum(F.expr("k * (k - 1) div 2")).cast("bigint").alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
@@ -963,6 +1062,8 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
+    "lsh_band_audit": lsh_band_audit,
 }
 
 # Shared CTE chain for the substring family: stride-1 char grams →
@@ -1254,6 +1355,61 @@ ORACLES = {
 # The serving form reads the persisted index but computes the identical
 # result — it shares the inline form's brute-force cross-pair oracle.
 ORACLES["neardup_lookup_served"] = ORACLES["neardup_lookup"]
+
+ORACLES["cross_source_dup_matrix"] = f"""
+    WITH {CAPPED_PAIRS_SQL},
+    src AS (
+      SELECT doc_id, source FROM documents
+    )
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM vpairs
+    JOIN src a ON doc_a = a.doc_id
+    JOIN src b ON doc_b = b.doc_id
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+"""
+
+_MH_MINS_SQL = ",\n             ".join(
+    f"min(('0x' || substring(md5('{i}:' || shingle), 1, 15))"
+    f"::UBIGINT::BIGINT) AS m{i}"
+    for i in range(MINHASH_K)
+)
+_MH_BANDS_SQL = "\n      UNION ALL\n      ".join(
+    "SELECT CAST({b} AS BIGINT) AS band, md5({key}) AS bucket FROM mh".format(
+        b=b,
+        key=" || ',' || ".join(
+            f"CAST(m{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        ),
+    )
+    for b in range(LSH_BANDS)
+)
+ORACLES["lsh_band_audit"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - {SHINGLE_N - 1}),
+               i -> array_to_string(t[i:i+{SHINGLE_N - 1}], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= {SHINGLE_N}
+    ), mh AS (
+      SELECT doc_id,
+             {_MH_MINS_SQL}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {_MH_BANDS_SQL}
+    ), buckets AS (
+      SELECT band, bucket, count(*) AS k FROM bands GROUP BY band, bucket
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_colliding_buckets,
+           CAST(max(k) AS BIGINT) AS max_bucket_size,
+           CAST(sum(k * (k - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band ORDER BY band
+"""
 
 # Oracle for the unregistered exact path (kept for tests/selfcheck of the
 # guard-protected baseline; not part of the gate registry).

