@@ -481,3 +481,87 @@ def test_r9_batch2_plans(spark):
     assert "TakeOrderedAndProject" in drift
     calib = quality_calibration_audit(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in calib  # one scan, two aggregates, zero joins
+
+
+def test_epoch_allocators_have_no_unpartitioned_window(spark):
+    """The Hamilton bonus must be a TakeOrderedAndProject top-k flagged
+    back with a broadcast join — never a row_number() over an
+    unpartitioned window (a single-partition global sort of the
+    per-source table, the anti-pattern the r9 advice flagged).  The
+    per-source draw rank in epoch_sample stays a PARTITIONED window."""
+    from elastic_stream_spark.operators.curation import (
+        _hamilton_doc_alloc,
+        epoch_sample,
+        epoch_schedule,
+    )
+    from elastic_stream_spark.sources.envelope import load_table_balanced
+
+    sched = epoch_schedule(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in sched
+    assert "Window" not in sched  # allocation needs no window at all
+    assert "BroadcastHashJoin" in sched  # the bonus flag join
+
+    # budget 103 leaves a nonzero leftover at the fixture's 20 even
+    # sources (a zero leftover folds the empty top-k away entirely —
+    # also a fine plan, but then there is nothing to assert)
+    alloc = (
+        _hamilton_doc_alloc(
+            load_table_balanced(spark, SF_DIR, "documents").select("source", "doc_id"),
+            103,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in alloc and "Window" not in alloc
+
+    samp = epoch_sample(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # the only Window left is the per-source draw rank — partitioned
+    assert samp.count("Window") == 1
+
+
+def test_r10_operator_plans(spark):
+    """Plan shapes for the r10 batch: no cartesian products, no Python
+    evals; token_budget_trim's only window is partitioned by source;
+    cross_source_dup_matrix broadcasts the pair side (never the corpus);
+    quality_threshold_sweep's corpus work is one aggregate (the sweep
+    explode runs on the 4-row per-score table); the novelty curve's
+    shuffles key on the gram (no global sort)."""
+    from elastic_stream_spark.operators.curation import (
+        quality_threshold_sweep,
+        token_budget_trim,
+    )
+    from elastic_stream_spark.operators.dedup import (
+        cross_source_dup_matrix,
+        lsh_band_audit,
+    )
+    from elastic_stream_spark.operators.text_pipeline import corpus_novelty_curve
+
+    plans = {}
+    for fn in (
+        token_budget_trim,
+        quality_threshold_sweep,
+        cross_source_dup_matrix,
+        lsh_band_audit,
+        corpus_novelty_curve,
+    ):
+        p = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        plans[fn.__name__] = p
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
+
+    # trim: exactly one window, partitioned (WindowExec prints the spec)
+    assert plans["token_budget_trim"].count("Window") == 1
+    assert "Sort" in plans["token_budget_trim"]  # the per-source window sort
+    # dup matrix: the corpus side never broadcasts — both enrichment
+    # joins broadcast the (checkpointed, pair-sized) build side
+    assert plans["cross_source_dup_matrix"].count("BroadcastHashJoin") >= 2
+    # sweep: no window, no sort-merge join — scan + aggregates + the
+    # tiny broadcast-explode
+    assert "Window" not in plans["quality_threshold_sweep"]
+    assert "SortMergeJoin" not in plans["quality_threshold_sweep"]
+    # band audit: projection + two hash aggregates, join-free
+    assert "Join" not in plans["lsh_band_audit"]
+    assert "Window" not in plans["lsh_band_audit"]
+    # novelty: gram-keyed aggregate + equi-join, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plans["corpus_novelty_curve"]
