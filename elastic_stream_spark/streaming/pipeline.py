@@ -224,6 +224,13 @@ class IncrementalCCAbsorber:
         self.labels_root = labels_root
         self.all_pairs = all_pairs
 
+    @staticmethod
+    def _version_of(dirname: str) -> int | None:
+        """``v{n}`` → n; anything else (scratch dirs, stray files) → None."""
+        if dirname.startswith("v") and dirname[1:].isdigit():
+            return int(dirname[1:])
+        return None
+
     def _version_dirs(self) -> list[int]:
         """COMMITTED snapshot versions only: a ``v{n}`` dir counts iff
         Spark's ``_SUCCESS`` marker exists (the Hadoop committer writes
@@ -234,9 +241,9 @@ class IncrementalCCAbsorber:
         if not os.path.isdir(self.labels_root):
             return []
         return sorted(
-            int(d[1:])
+            v
             for d in os.listdir(self.labels_root)
-            if d.startswith("v")
+            if (v := self._version_of(d)) is not None
             and os.path.exists(os.path.join(self.labels_root, d, "_SUCCESS"))
         )
 
@@ -271,6 +278,37 @@ class IncrementalCCAbsorber:
                 "(seed() first; a _SUCCESS-less dir is an aborted write)"
             )
         return self.spark.read.parquet(f"{self.labels_root}/v{vs[-1]}")
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Retention for the snapshot history: drop committed versions
+        older than the newest ``keep_last``, plus any TORN dir (no
+        ``_SUCCESS``) strictly below the current committed version —
+        that is aborted-write garbage no replay will ever target.  A
+        torn dir ABOVE current is left alone: it is the next version's
+        write target and may belong to an in-flight writer.  Returns
+        the removed version numbers (the same keep-newest/never-current
+        contract as the log's retention sweep, log.py sweep)."""
+        import os
+        import shutil
+
+        committed = self._version_dirs()
+        if not committed:
+            return []
+        cur = committed[-1]
+        keep = set(committed[-max(keep_last, 1):])
+        removed = []
+        for d in os.listdir(self.labels_root):
+            v = self._version_of(d)
+            if v is None:
+                continue
+            torn = not os.path.exists(
+                os.path.join(self.labels_root, d, "_SUCCESS")
+            )
+            if (v in keep) or (torn and v >= cur):
+                continue
+            shutil.rmtree(os.path.join(self.labels_root, d))
+            removed.append(v)
+        return sorted(removed)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from elastic_stream_spark.operators.pipeline import connected_components

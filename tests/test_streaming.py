@@ -1337,3 +1337,17 @@ def test_stream_cc_absorption_equals_full_recompute(spark, log, workdir):
     assert os.path.exists(f"{torn_dir}/_SUCCESS")
     got4 = {(r.doc_id, r.cluster_id) for r in absorber.labels().collect()}
     assert got4 == got
+
+    # retention: vacuum(keep_last=2) drops every older committed
+    # version and torn garbage BELOW current, keeps the newest two,
+    # and never touches a torn dir above current (in-flight writer)
+    all_committed = absorber._version_dirs()
+    cur = all_committed[-1]
+    shutil.copytree(f"{workdir}/cc_labels/v{cur}", f"{workdir}/cc_labels/v{cur + 5}")
+    os.remove(f"{workdir}/cc_labels/v{cur + 5}/_SUCCESS")  # torn, above current
+    removed = absorber.vacuum(keep_last=2)
+    assert removed == all_committed[:-2]
+    assert absorber._version_dirs() == all_committed[-2:]
+    assert os.path.isdir(f"{workdir}/cc_labels/v{cur + 5}")  # in-flight target kept
+    got5 = {(r.doc_id, r.cluster_id) for r in absorber.labels().collect()}
+    assert got5 == got
