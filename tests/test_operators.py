@@ -1275,3 +1275,30 @@ def test_corpus_novelty_curve_totals(spark):
     assert sum(r.n_novel for r in rows) == distinct_grams
     for r in rows:
         assert 0 <= r.n_novel <= r.n_grams
+
+
+def test_hamilton_alloc_matches_python_model(spark):
+    """The Spark TakeOrdered implementation of the largest-remainder
+    allocation equals the pure-python model (tests/test_properties.py
+    _hamilton_model) at several budgets spanning zero-leftover, small,
+    and near-N regimes."""
+    from elastic_stream_spark.operators.curation import _hamilton_doc_alloc
+    from elastic_stream_spark.sources.envelope import load_table_balanced
+
+    docs = load_table_balanced(spark, SF_DIR, "documents").select("source", "doc_id")
+    counts = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+
+    def model(budget):
+        base = {s: (budget * n) // n_total for s, n in counts.items()}
+        rem = {s: (budget * n) % n_total for s, n in counts.items()}
+        leftover = budget - sum(base.values())
+        winners = sorted(counts, key=lambda s: (-rem[s], s))[:leftover]
+        return {s: base[s] + (1 if s in winners else 0) for s in counts}
+
+    for budget in (0, 1, 19, 100, 103, n_total - 1):
+        got = {r.source: r.alloc for r in _hamilton_doc_alloc(docs, budget).collect()}
+        assert got == model(budget), f"budget={budget}"

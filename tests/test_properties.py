@@ -222,3 +222,46 @@ def test_space_saving_sketch_invariants(stream, capacity, n_batches):
     if capacity >= len(truth):
         assert {k: v[0] for k, v in table.items()} == dict(truth)
         assert all(v[1] == 0 for v in table.values())
+
+
+# ---- largest-remainder (Hamilton) allocation model --------------------
+# Pure-python mirror of curation._hamilton_doc_alloc / epoch_schedule's
+# integer arithmetic: base = (budget*n_s) div N, bonus to the top
+# leftover remainders (ties by source name).  Property-tested here;
+# tests/test_operators.py cross-checks the Spark implementation against
+# the same rules on the fixture.
+
+
+def _hamilton_model(counts: dict[str, int], budget: int) -> dict[str, int]:
+    n_total = sum(counts.values())
+    base = {s: (budget * n) // n_total for s, n in counts.items()}
+    rem = {s: (budget * n) % n_total for s, n in counts.items()}
+    leftover = budget - sum(base.values())
+    winners = sorted(counts, key=lambda s: (-rem[s], s))[:leftover]
+    return {s: base[s] + (1 if s in winners else 0) for s in counts}
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=20,
+    ),
+    st.data(),
+)
+@settings(max_examples=300, deadline=None)
+def test_hamilton_allocation_invariants(counts, data):
+    """For any per-source doc counts and any budget < N: Σ alloc ==
+    budget exactly; every alloc within 1 of the exact proportional
+    share; and alloc_s <= n_s (the draw-count contract epoch_sample's
+    docstring proves — checked here across the whole space, not just
+    the fixture)."""
+    n_total = sum(counts.values())
+    budget = data.draw(st.integers(min_value=0, max_value=n_total - 1))
+    alloc = _hamilton_model(counts, budget)
+    assert sum(alloc.values()) == budget
+    for s, n in counts.items():
+        exact = budget * n / n_total
+        assert exact - 1 < alloc[s] < exact + 1
+        assert alloc[s] <= n
