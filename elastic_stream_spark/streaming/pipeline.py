@@ -216,13 +216,23 @@ class IncrementalCCAbsorber:
     the last batch the labels equal the full-graph fixpoint (asserted
     against ``connected_components`` in tests/test_streaming.py)."""
 
-    def __init__(self, spark, labels_root: str, all_pairs: DataFrame):
+    def __init__(
+        self,
+        spark,
+        labels_root: str,
+        all_pairs: DataFrame,
+        retain: int | None = None,
+    ):
         # all_pairs: the verified near-dup pair source (in production a
         # per-batch LSH probe against the served index; in the fixture
         # the deterministic ngram_pair_set, filtered per batch here)
+        # retain: if set, auto-vacuum after each absorbed batch keeping
+        # the newest `retain` committed snapshots (None = keep history —
+        # the time-travel layout; a long-running stream sets retain)
         self.spark = spark
         self.labels_root = labels_root
         self.all_pairs = all_pairs
+        self.retain = retain
 
     @staticmethod
     def _version_of(dirname: str) -> int | None:
@@ -383,3 +393,5 @@ class IncrementalCCAbsorber:
         relabeled.unionByName(extra).unionByName(singleton).write.mode(
             "overwrite"
         ).parquet(f"{self.labels_root}/v{nxt}")
+        if self.retain is not None:
+            self.vacuum(keep_last=self.retain)

@@ -1351,3 +1351,18 @@ def test_stream_cc_absorption_equals_full_recompute(spark, log, workdir):
     assert os.path.isdir(f"{workdir}/cc_labels/v{cur + 5}")  # in-flight target kept
     got5 = {(r.doc_id, r.cluster_id) for r in absorber.labels().collect()}
     assert got5 == got
+
+    # auto-vacuum: retain=1 keeps exactly the current snapshot after
+    # each absorbed batch (the long-running-stream configuration)
+    auto = IncrementalCCAbsorber(
+        spark, workdir + "/cc_labels_auto", pairs, retain=1
+    )
+    auto.seed(absorber.label_corpus(corpus_docs, corpus_pairs))
+    auto(last, batch_id=1)
+    assert len(auto._version_dirs()) == 1
+    after_1 = {(r.doc_id, r.cluster_id) for r in auto.labels().collect()}
+    auto(last, batch_id=2)  # replay of the same batch
+    assert len(auto._version_dirs()) == 1  # still exactly one snapshot
+    after_2 = {(r.doc_id, r.cluster_id) for r in auto.labels().collect()}
+    assert after_2 == after_1  # idempotent under vacuumed history too
+    assert {d for d, _ in after_1} <= {d for d, _ in got}
