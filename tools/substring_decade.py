@@ -302,7 +302,16 @@ def write_section(
         with open(extra) as fh:
             existing = fh.read()
         if marker in existing:
-            existing = existing[: existing.index(marker)].rstrip()
+            # splice out ONLY this tool's own section — from the marker
+            # to the next "### " heading (or EOF) — so sections other
+            # probes appended after it survive the rewrite (pre-r10 this
+            # truncated to EOF and silently dropped everything below)
+            start = existing.index(marker)
+            nxt = existing.find("\n### ", start + 1)
+            tail = existing[nxt + 1 :] if nxt != -1 else ""
+            existing = (
+                existing[:start].rstrip() + "\n\n" + tail.rstrip()
+            ).rstrip()
         existing = existing.rstrip() + "\n\n"
     with open(extra, "w") as fh:
         fh.write(existing + "\n".join(lines) + "\n")
