@@ -388,7 +388,12 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: integer counts only; bucket = doc_id div 50 — a pure
     projection, no percentile/ntile, so the bucketing is engine-exact
-    at any corpus size."""
+    at any corpus size.
+
+    Output contract: ``n_docs`` counts GRAM-BEARING documents (≥
+    NOVELTY_N tokens) — a shorter doc contributes no grams, hence no
+    novelty signal, and is excluded identically by both engines (Spark:
+    empty-array explode; oracle: WHERE len(t) >= N)."""
     grams = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(shingles("text", NOVELTY_N)).alias("g"))

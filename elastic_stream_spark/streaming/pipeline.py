@@ -297,7 +297,14 @@ class IncrementalCCAbsorber:
         torn dir ABOVE current is left alone: it is the next version's
         write target and may belong to an in-flight writer.  Returns
         the removed version numbers (the same keep-newest/never-current
-        contract as the log's retention sweep, log.py sweep)."""
+        contract as the log's retention sweep, log.py sweep).
+
+        Concurrency contract: ONE writer (Structured Streaming
+        serializes ``foreachBatch`` invocations per query, so the
+        auto-vacuum path inherits this for free); concurrent READERS
+        are safe for any snapshot inside the retained window — a reader
+        pinned to an older version races its deletion, which is the
+        standard retention trade-off (same as the log sweep)."""
         import os
         import shutil
 
