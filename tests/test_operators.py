@@ -1302,3 +1302,74 @@ def test_hamilton_alloc_matches_python_model(spark):
     for budget in (0, 1, 19, 100, 103, n_total - 1):
         got = {r.source: r.alloc for r in _hamilton_doc_alloc(docs, budget).collect()}
         assert got == model(budget), f"budget={budget}"
+
+
+def test_r10_ops_edge_corpora(spark, workdir):
+    """The r10 operators on degenerate documents (empty text, single
+    token, mega-doc over the trim budget): no op may throw; the trim's
+    no-overflow rule must drop a doc that alone exceeds the budget; the
+    novelty curve must exclude gram-less docs; the sweep must keep its
+    threshold rows consistent with the discrete score set."""
+    rows = [
+        (0, "", "en", "s0", 0),
+        (1, "one", "en", "s0", 3),
+        (2, "two words", "en", "s0", 9),
+        # a single doc far over TRIM_TOKEN_BUDGET tokens in source s2
+        (3, " ".join(f"w{i}" for i in range(1000)), "en", "s2", 5000),
+        (4, "a perfectly normal sentence with several distinct words", "en", "s1", 55),
+        (5, "a perfectly normal sentence with several distinct words", "en", "s1", 55),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(f"{workdir}/documents.parquet")
+
+    from elastic_stream_spark.operators.curation import (
+        TRIM_TOKEN_BUDGET,
+        epoch_coverage,
+        quality_threshold_sweep,
+        token_budget_trim,
+    )
+    from elastic_stream_spark.operators.dedup import (
+        cross_source_dup_matrix,
+        lsh_band_audit,
+    )
+    from elastic_stream_spark.operators.text_pipeline import corpus_novelty_curve
+
+    trim = {r.source: r for r in token_budget_trim(spark, workdir).collect()}
+    assert trim["s2"].n_kept == 0 and trim["s2"].trimmed_tokens == 1000
+    assert trim["s0"].n_kept == trim["s0"].n_docs  # tiny docs all fit
+    for r in trim.values():
+        assert r.kept_tokens <= TRIM_TOKEN_BUDGET
+
+    # novelty: docs 0-2 bear no 3-grams; doc 5 duplicates doc 4 so its
+    # grams are all non-novel (first-seen at doc 4); the mega-doc is
+    # fully novel
+    nov = corpus_novelty_curve(spark, workdir).collect()
+    assert sum(r.n_docs for r in nov) == 3  # docs 3, 4, 5 only
+    per = {r.bucket: r for r in nov}
+    b0 = per[0]
+    assert b0.n_novel < b0.n_grams  # doc 5's repeats are not novel
+
+    # sweep: every returned threshold keeps a consistent monotone count
+    sw = sorted(
+        quality_threshold_sweep(spark, workdir).collect(),
+        key=lambda r: r.threshold,
+    )
+    for a, b in zip(sw, sw[1:]):
+        assert a.n_docs_kept >= b.n_docs_kept
+        assert a.tokens_kept >= b.tokens_kept
+
+    # dup matrix: the only near-dup pair (4,5) is WITHIN s1 -> a single
+    # ordered self-pair row
+    dm = cross_source_dup_matrix(spark, workdir).collect()
+    assert [(r.source_a, r.source_b, r.n_pairs) for r in dm] == [("s1", "s1", 1)]
+
+    # band audit: identical docs 4 and 5 collide in EVERY band
+    bands = lsh_band_audit(spark, workdir).collect()
+    assert len(bands) == 8
+    for r in bands:
+        assert r.max_bucket_size >= 2 and r.candidate_pairs >= 1
+
+    # epoch draws still satisfy the Hamilton contract on a skewed corpus
+    cov = epoch_coverage(spark, workdir).collect()
+    assert all(r.repeat_draws == r.total_draws - r.distinct_docs for r in cov)
