@@ -199,6 +199,28 @@ def main() -> None:
         prefix="esspark-amp-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
     )
     base = SFS[-1][0]
+    # Full memo eviction between timed runs (r10): the amp/decade
+    # batteries measure ALGORITHMIC scaling, so every run must pay the
+    # complete pipeline.  Pre-r10, only the SQL cache was cleared — the
+    # pair/CC session memos (localCheckpoint) survived into runs 2..n,
+    # so a leg's "best" mixed full-compute and memo-serve depending on
+    # which memos happened to be alive.  That is exactly the
+    # inconsistent-baseline artifact behind the recurring
+    # dedup_ngram_jaccard decade flag (r9/r10 isolated re-measures in
+    # SCALE.extra.md), fixed at the source here.
+    from elastic_stream_spark.functions.materialize import (
+        unpersist_materialized,
+    )
+    from elastic_stream_spark.operators import dedup as _dedup
+    from elastic_stream_spark.operators import pipeline as _pipeline
+
+    def _evict_session_memos():
+        spark.catalog.clearCache()
+        unpersist_materialized(spark)
+        _dedup._PAIR_CACHE.clear()
+        _pipeline._CC_CACHE.clear()
+        _pipeline._CC_STANDING_CACHE.clear()
+
     amp_dirs = [build_amp_dir(spark, base, f, amp_root) for f in AMP_FACTORS]
     amp_results: dict[str, list[float]] = {name: [] for name in AMP_PROBE}
     for d, f in zip(amp_dirs, AMP_FACTORS):
@@ -207,7 +229,7 @@ def main() -> None:
             fn = qs[name]
             best = None
             for _ in range(3):
-                spark.catalog.clearCache()
+                _evict_session_memos()
                 t0 = time.time()
                 fn(spark, d).count()
                 dt = time.time() - t0
@@ -225,7 +247,7 @@ def main() -> None:
         fn = qs[name]
         best = None
         for _ in range(2):
-            spark.catalog.clearCache()
+            _evict_session_memos()
             t0 = time.time()
             fn(spark, d160).count()
             dt = time.time() - t0
@@ -245,7 +267,10 @@ def main() -> None:
         "Each 4× step should cost ≤ ~4× for a linear operator: slope =",
         "log4(t_16x / t_4x).  Corpus sizes: "
         + ", ".join(f"{n:,} docs" for n in n_docs)
-        + ".",
+        + ".  Since r10 every timed run evicts the session memos",
+        "(pair/CC localCheckpoints, materialized indexes, SQL cache), so",
+        "each run pays the complete pipeline — legs are baseline-",
+        "consistent by construction.",
         "",
         "| operator | 1× s | 4× s | 16× s | slope(4×→16×) | verdict |",
         "|---|---|---|---|---|---|",
@@ -276,7 +301,8 @@ def main() -> None:
         "## Decade probe: dedup/CC family at 800k docs (16× → 160×, 10× data)",
         "",
         "slope = log10(t_160x / t_16x); linear ⇒ ≈ +1.0, quadratic ⇒ +2.0.",
-        "Best-of-2 at the 160× point.",
+        "Best-of-2 at the 160× point; session memos evicted per run",
+        "(same discipline as the amp battery, r10).",
         "",
         "| operator | 16× (80k docs) s | 160× (800k docs) s | slope | verdict |",
         "|---|---|---|---|---|",
