@@ -54,6 +54,22 @@ def materialize(df: DataFrame) -> DataFrame:
     return out
 
 
+def unpersist_local_checkpoint(df: DataFrame) -> bool:
+    """Release the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame NOW instead of waiting for Python GC + the ContextCleaner
+    (the leak window when a probe merely drops its dict reference — r10
+    ADVICE): the checkpointed Dataset's analyzed plan is a ``LogicalRDD``
+    over the persisted internal RDD, so unpersist that RDD directly.
+    Best-effort — a non-checkpoint plan (no ``rdd()`` on the analyzed
+    node) returns False and the caller falls back to dropping the
+    reference."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
 def unpersist_materialized(spark: SparkSession) -> int:
     """Unpersist every DataFrame ``materialize`` pinned in this
     application; returns how many were released.  Blocking=False: block

@@ -62,7 +62,22 @@ from pyspark.sql import DataFrame, SparkSession
 # serialization-dominated (tools/kv_bench.py records the curve); at the
 # metadata scales this store serves (markers, allocators, sink batch
 # state) buckets stay single-digit KB
-KV_SHARDS = 256
+KV_SHARDS = 256  # initial bucket count (adaptive from r11 — see below)
+
+# Adaptive resharding (r11; r10 VERDICT item 5): the 100k-key bench point
+# showed p50 put growing once buckets reach ~400 entries — serialization
+# starts rivaling the fsync.  When the AVERAGE bucket would exceed
+# KV_RESHARD_AT entries, the committing transaction rewrites the keyspace
+# at KV_RESHARD_FACTOR× the bucket count (amortized O(1) per put: a ×4
+# reshard happens at most log₄(max/256) = 2 times per store lifetime),
+# capped at KV_MAX_SHARDS so the manifest — rewritten and fsynced on
+# EVERY commit — stays a few thousand entries.  The live bucket count
+# travels in the manifest (``nshards``), so readers always hash with the
+# committed generation's count; pre-r11 manifests without the field read
+# as 256 and reshard on their next write.
+KV_RESHARD_AT = 512
+KV_RESHARD_FACTOR = 4
+KV_MAX_SHARDS = 4096  # 3 hex digits — bucket filename format unchanged
 
 
 def prefix_end(key: bytes) -> bytes:
@@ -96,6 +111,13 @@ class _State:
         self._store = store
         self.meta = store._read_meta()
         self.revision: int = self.meta["revision"]
+        self.nshards: int = self.meta.get("nshards", KV_SHARDS)
+        # total entry count, maintained incrementally for the reshard
+        # trigger; None = pre-r11 manifest without the field (recounted
+        # once at the next commit)
+        self._n: int | None = self.meta.get("n")
+        if self._n is None and not self.meta["shards"]:
+            self._n = 0  # empty (or fresh) store
         self._buckets: dict[str, dict] = {}
         self._dirty: set[str] = set()
         self._legacy_migration = False
@@ -105,10 +127,11 @@ class _State:
             legacy = self._store._read_legacy()
             for ek, ent in legacy["data"].items():
                 self._buckets.setdefault(
-                    self._store._bucket_of_enc(ek), {}
+                    self._store._bucket_of_enc(ek, self.nshards), {}
                 )[ek] = ent
             self._dirty = set(self._buckets)
             self._legacy_migration = True
+            self._n = sum(len(d) for d in self._buckets.values())
 
     def bucket(self, b: str) -> dict:
         got = self._buckets.get(b)
@@ -127,14 +150,18 @@ class _State:
     # ------------------------------------------------------- mutations
 
     def get_entry(self, key: bytes):
-        return self.bucket(self._store._bucket_of(key)).get(
+        return self.bucket(self._store._bucket_of(key, self.nshards)).get(
             self._store._enc(key)
         )
 
     def set_entry(self, key: bytes, value: bytes) -> int:
         self.revision += 1
-        b = self._store._bucket_of(key)
-        self.bucket(b)[self._store._enc(key)] = {
+        b = self._store._bucket_of(key, self.nshards)
+        data = self.bucket(b)
+        ek = self._store._enc(key)
+        if self._n is not None and ek not in data:
+            self._n += 1
+        data[ek] = {
             "value": self._store._enc(value),
             "version": self.revision,
         }
@@ -157,6 +184,8 @@ class _State:
                 n += len(victims)
         if n:
             self.revision += 1
+            if self._n is not None:
+                self._n -= n
         return n
 
 
@@ -196,14 +225,15 @@ class KVStore:
         return base64.b64decode(s)
 
     @classmethod
-    def _bucket_of(cls, key: bytes) -> str:
+    def _bucket_of(cls, key: bytes, nshards: int = KV_SHARDS) -> str:
         # crc32: stable across processes/runs (NOT Python hash(), which
-        # is salted per process) — the bucket of a key must never move
-        return f"{zlib.crc32(key) % KV_SHARDS:03x}"
+        # is salted per process) — the bucket of a key moves only when a
+        # committed reshard changes ``nshards``
+        return f"{zlib.crc32(key) % nshards:03x}"
 
     @classmethod
-    def _bucket_of_enc(cls, ek: str) -> str:
-        return cls._bucket_of(cls._dec(ek))
+    def _bucket_of_enc(cls, ek: str, nshards: int = KV_SHARDS) -> str:
+        return cls._bucket_of(cls._dec(ek), nshards)
 
     def _read_meta(self) -> dict:
         """Manifest: {"revision": R, "shards": {bucket: filename}}.
@@ -226,10 +256,11 @@ class KVStore:
         if fn is None:
             if meta.get("_legacy"):
                 legacy = self._read_legacy()
+                ns = meta.get("nshards", KV_SHARDS)
                 return {
                     ek: ent
                     for ek, ent in legacy["data"].items()
-                    if self._bucket_of_enc(ek) == b
+                    if self._bucket_of_enc(ek, ns) == b
                 }
             return {}
         with open(os.path.join(self.root, fn)) as f:
@@ -258,6 +289,13 @@ class KVStore:
     def _commit(self, st: _State) -> None:
         if not st._dirty and st.revision == st.meta["revision"]:
             return  # read-only txn (e.g. failed CAS with no failure ops)
+        n_total = st._n if st._n is not None else len(st.all_items())
+        if (
+            n_total >= KV_RESHARD_AT * st.nshards
+            and st.nshards < KV_MAX_SHARDS
+        ):
+            self._commit_reshard(st, n_total)
+            return
         old_meta = st.meta
         shards = dict(old_meta["shards"])
         replaced: list[str] = []
@@ -276,7 +314,12 @@ class KVStore:
         # bucket this txn touched
         self._write_file(
             os.path.basename(self._meta_path),
-            {"revision": st.revision, "shards": shards},
+            {
+                "revision": st.revision,
+                "shards": shards,
+                "nshards": st.nshards,
+                "n": n_total,
+            },
         )
         # GC: replaced generations + the migrated legacy snapshot +
         # orphans from a crash between shard writes and a manifest
@@ -288,6 +331,50 @@ class KVStore:
         # the manifest is authoritative from here: a kv.json is either
         # the just-migrated snapshot or debris from a crash between a
         # previous migration's manifest commit and its GC — gone either way
+        if os.path.exists(self._legacy_path):
+            os.unlink(self._legacy_path)
+        live = set(shards.values())
+        for fn in os.listdir(self.root):
+            if fn.startswith("kv-shard-") and fn not in live:
+                try:
+                    os.unlink(os.path.join(self.root, fn))
+                except FileNotFoundError:
+                    pass
+
+    def _commit_reshard(self, st: _State, n_total: int) -> None:
+        """Commit this transaction AND grow the bucket count ×
+        ``KV_RESHARD_FACTOR`` in one atomic manifest swap: rehash every
+        entry (post-mutation) under the new count, write every non-empty
+        bucket as a fresh generation file, then replace the manifest —
+        the same crash protocol as a normal commit (a crash before the
+        manifest swap leaves orphan generation files the next
+        committer's live-set sweep reclaims; a crash after it leaves the
+        OLD generation as the orphans).  O(keyspace) once per ×4 growth
+        step ⇒ amortized O(1) per put."""
+        items = st.all_items()  # post-mutation view across old buckets
+        # grow straight to the stable count (a bulk load can overshoot
+        # one ×4 step by decades — stepping once per commit would make
+        # the next few puts each pay another O(keyspace) rewrite)
+        new_ns = st.nshards
+        while n_total >= KV_RESHARD_AT * new_ns and new_ns < KV_MAX_SHARDS:
+            new_ns = min(new_ns * KV_RESHARD_FACTOR, KV_MAX_SHARDS)
+        buckets: dict[str, dict] = {}
+        for ek, ent in items.items():
+            buckets.setdefault(self._bucket_of_enc(ek, new_ns), {})[ek] = ent
+        shards: dict[str, str] = {}
+        for b, data in sorted(buckets.items()):
+            fn = f"kv-shard-{b}.{st.revision:012d}.json"
+            self._write_file(fn, data)
+            shards[b] = fn
+        self._write_file(
+            os.path.basename(self._meta_path),
+            {
+                "revision": st.revision,
+                "shards": shards,
+                "nshards": new_ns,
+                "n": n_total,
+            },
+        )
         if os.path.exists(self._legacy_path):
             os.unlink(self._legacy_path)
         live = set(shards.values())
@@ -318,10 +405,13 @@ class KVStore:
 
     def _get_bucket(self, key: bytes) -> dict:
         """Lock-free single-bucket read (the point-get path): one
-        manifest read + one bucket file, O(keyspace / shards)."""
-        b = self._bucket_of(key)
+        manifest read + one bucket file, O(keyspace / shards).  The
+        bucket id is computed from the manifest's OWN ``nshards`` (a
+        concurrent reshard moves keys; hashing with a stale count would
+        read the wrong — possibly empty — bucket)."""
         for _ in range(64):
             meta = self._read_meta()
+            b = self._bucket_of(key, meta.get("nshards", KV_SHARDS))
             try:
                 return self._read_bucket_file(meta, b)
             except FileNotFoundError:

@@ -662,10 +662,11 @@ def epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({EPOCH_BUDGET} * n_tokens) % n_total").alias("rem"),
     )
     per = per.localCheckpoint(eager=True)  # one scan feeds scalar + top-k + output
-    leftover = int(
-        per.agg((F.lit(EPOCH_BUDGET) - F.sum("base_alloc")).alias("lo"))
-        .first()["lo"]
-    )
+    # ``or 0``: on a zero-row corpus the SUM aggregate is NULL, and the
+    # schedule should degrade to an empty allocation, not raise on
+    # int(None) (r10 ADVICE)
+    row = per.agg((F.lit(EPOCH_BUDGET) - F.sum("base_alloc")).alias("lo")).first()
+    leftover = int(row["lo"] or 0)
     winners = (
         per.orderBy(F.desc("rem"), F.asc("source"))
         .limit(leftover)
@@ -703,9 +704,10 @@ def _hamilton_doc_alloc(docs: DataFrame, budget: int) -> DataFrame:
         F.expr(f"({budget} * n_docs) % n_total").alias("rem"),
     )
     alloc = alloc.localCheckpoint(eager=True)  # |sources| rows, reused 3×
-    leftover = int(
-        alloc.agg((F.lit(budget) - F.sum("base_alloc")).alias("lo")).first()["lo"]
-    )
+    # ``or 0``: empty corpus → NULL sum → degrade to empty allocation
+    # instead of int(None) (r10 ADVICE)
+    row = alloc.agg((F.lit(budget) - F.sum("base_alloc")).alias("lo")).first()
+    leftover = int(row["lo"] or 0)
     winners = (
         alloc.orderBy(F.desc("rem"), F.asc("source"))
         .limit(leftover)
@@ -849,11 +851,20 @@ def epoch_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, so MORE shard-parallel — then one rollup with an exact
     distinct (Spark expands count(distinct) to a two-phase partial
     aggregate; at 100 TB the draw table is budget·E rows ≪ corpus).
+    The ranked draw is bounded by a LITERAL ``max_alloc`` first (an O(1)
+    scalar off the checkpointed |sources|-row alloc table): Spark's
+    rank-limit → WindowGroupLimit rewrite fires on literal bounds only,
+    so this restores the map-side per-group top-k prune that the
+    per-source column bound (``rk <= alloc``, applied second for
+    exactness) defeats — without it the audit pays E full per-source
+    sorts of the whole corpus (r10 VERDICT item 3).
 
     Determinism: per-epoch md5 salts are the published convention; all
     outputs are integers."""
     docs = _docs(spark, sf_dir).select("source", "doc_id")
     alloc = _hamilton_doc_alloc(docs, EPOCH_SAMPLE_BUDGET)
+    row = alloc.agg(F.max("alloc").alias("ma")).first()
+    max_alloc = int(row["ma"] or 0)  # or 0: empty corpus → empty draw
     epochs = F.explode(
         F.array(*[F.lit(e) for e in range(EPOCH_COVERAGE_EPOCHS)])
     ).alias("epoch")
@@ -871,8 +882,10 @@ def epoch_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.asc("doc_id"),
     )
-    drawn = per_epoch.withColumn("rk", F.row_number().over(wd)).where(
-        F.col("rk") <= F.col("alloc")
+    drawn = (
+        per_epoch.withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") <= F.lit(max_alloc))
+        .where(F.col("rk") <= F.col("alloc"))
     )
     return (
         drawn.groupBy("source")

@@ -195,7 +195,9 @@ def _train_centroids(
     return cached
 
 
-def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]], spill: int = 1
+) -> DataFrame:
     """Corpus → nearest-centroid cell (the IVF index build): MAP-ONLY
     Arrow-batched argmax-dot against the closure-captured centroid
     matrix (tiny: nlist × dim), one numpy matmul per batch — no join, no
@@ -204,11 +206,16 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     (broadcast nested-loop join + row_number window partitioned by
     vec_id) shuffled nlist × |corpus| scored rows just to pick a
     per-vector max — a full-data exchange this stage never needed.
-    Returns (vec_id, u, cell)."""
+    Returns (vec_id, u, cell).
+
+    ``spill > 1``: index each vector into its top-``spill`` cells
+    (SPANN-style boundary replication — see ivf_pq_encode_corpus);
+    spill=1 reduces to the argmax via the same stable argsort."""
     import numpy as np
     import pandas as pd
 
     C = [list(map(float, c)) for c in centroids]
+    a = min(spill, len(C))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         CT = np.array(C, dtype=np.float64).T  # dim × nlist
@@ -216,14 +223,25 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
             if not len(pdf):
                 continue
             X = np.array(pdf["u"].tolist(), dtype=np.float64)
-            sims = X @ CT  # B × nlist; ties → argmax picks the lowest cell
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "u": pdf["u"],
-                    "cell": sims.argmax(1).astype(np.int32),
-                }
-            )
+            sims = X @ CT  # B × nlist
+            if a == 1:
+                # ties → argmax picks the lowest cell
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "u": pdf["u"],
+                        "cell": sims.argmax(1).astype(np.int32),
+                    }
+                )
+            else:
+                cells = np.argsort(-sims, axis=1, kind="stable")[:, :a]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy().repeat(a),
+                        "u": [u for u in pdf["u"] for _ in range(a)],
+                        "cell": cells.reshape(-1).astype(np.int32),
+                    }
+                )
 
     return emb.select("vec_id", "u").mapInPandas(
         assign, schema="vec_id BIGINT, u ARRAY<DOUBLE>, cell INT"
@@ -276,21 +294,29 @@ def ivf_candidates(
     queries: DataFrame,
     centroids: list[list[float]],
     nprobe: int,
+    spill: int = 1,
 ) -> DataFrame:
     """(query_id, qu, vec_id, u) candidate pairs: each query scores only
     the corpus vectors assigned to its ``nprobe`` nearest cells —
     candidate fraction ≈ nprobe/nlist on balanced cells (asserted in
-    tests).  ``queries`` needs columns (query_id, qu)."""
-    assigned = ivf_assign(emb, centroids)
+    tests).  ``queries`` needs columns (query_id, qu).  ``spill > 1``
+    replicates boundary vectors into their top-``spill`` cells
+    (ivf_assign), so the same (query, vector) pair can arrive via two
+    cells — deduped here by key (one hash aggregate over the candidate
+    set, ∝ nprobe/nlist of the corpus, NOT the corpus)."""
+    assigned = ivf_assign(emb, centroids, spill)
     probes = ivf_probe_cells(queries, centroids, nprobe)
     # no repartition before the broadcast join: hashing 8 distinct cell
     # ids into 32 partitions would CONCENTRATE the corpus onto ≤ nlist
     # cores; the map-only assignment inherits the balanced input layout
-    return (
+    out = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "qu", "vec_id", "u")
     )
+    if spill > 1:
+        out = out.dropDuplicates(["query_id", "vec_id"])
+    return out
 
 
 def ivf_topk(
@@ -299,10 +325,11 @@ def ivf_topk(
     centroids: list[list[float]],
     nprobe: int,
     k: int = TOP_K,
+    spill: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k over the IVF index: score candidates from
     the probed cells, rank per query."""
-    scored = ivf_candidates(emb, queries, centroids, nprobe).select(
+    scored = ivf_candidates(emb, queries, centroids, nprobe, spill).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(dot(F.col("qu"), F.col("u")), 6).alias("cosine"),
@@ -418,6 +445,39 @@ def sim_ann_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, nprobe)
 
 
+# Boundary-spill refinement (r10 VERDICT item 7): on near-uniform data
+# the recall an nprobe < nlist probe loses is CELL loss — true neighbors
+# whose single assigned cell went unprobed — which no amount of
+# re-ranking inside the probed cells can recover.  Indexing each corpus
+# vector into its top-IVF_SPILL cells (SPANN-style boundary
+# replication) attacks exactly that term at UNCHANGED nprobe: a
+# neighbor is now missed only if ALL its spill cells go unprobed
+# (miss ≈ p^spill for independent cells).  Measured at nprobe = nlist/2
+# on the driver fixture (exact-scored candidates): spill 1 → 2 → 3
+# gives recall@5 0.892 → 0.968 → 1.0 at sf0.1 (0.848 → 0.96 → 0.988 at
+# sf0.01) — three assignments close the boundary on this near-uniform
+# corpus, the hard case where every cell border carries mass.  Index
+# cost: 3× the 8-byte codes (still ~21× smaller than raw vectors);
+# candidates stay ∝ nprobe/nlist.
+IVF_SPILL = 3
+
+
+def sim_ann_ivf_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uniform serving form with boundary spill: trained quantizer,
+    nprobe = nlist/2 (unchanged from ``sim_ann_ivf_approx``), corpus
+    indexed into its top-``IVF_SPILL`` cells, exact cosine scoring.
+    Candidates stay ∝ nprobe/nlist (the spilled copies add ≈
+    nprobe/nlist of the spill mass, deduped by key before scoring).
+    Not in the gate registry (approximate ⇒ recall contract in pytest +
+    RECALL.json, like sim_ann_ivf_approx)."""
+    nlist, nprobe, centroids = _train_centroids(spark, sf_dir)
+    emb = _unit_emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    return ivf_topk(emb, queries, centroids, nprobe, spill=IVF_SPILL)
+
+
 # ------------------------------------------------------------- IVF-PQ
 
 PQ_M = 8  # subquantizers (dim 64 → 8-dim subvectors)
@@ -505,7 +565,10 @@ def pq_encode(emb: DataFrame, codebooks: list) -> DataFrame:
 
 
 def ivf_pq_encode_corpus(
-    emb: DataFrame, centroids: list[list[float]], codebooks: list
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list,
+    spill: int = 1,
 ) -> DataFrame:
     """(vec_id, cell, code) — the IVF-PQ INDEX: cell assignment and PQ
     encoding FUSED into one map-only Arrow pass over the corpus (no
@@ -513,7 +576,15 @@ def ivf_pq_encode_corpus(
     full-corpus map outputs on vec_id for no consumer that needed it).
     This table is what a 100 TB deployment STORES (8-byte codes, 64×
     smaller than the raw vectors): ``ivf_pq_build`` writes it once,
-    serving reads it — faiss's write_index/read_index split."""
+    serving reads it — faiss's write_index/read_index split.
+
+    ``spill > 1`` indexes each vector into its top-``spill`` cells
+    (SPANN-style boundary replication): a query probing ``nprobe``
+    cells then also finds neighbors that sit just across a cell
+    boundary — the recall lever that does NOT touch nprobe — at the
+    cost of a ``spill``× larger codes table (codes are 8 bytes/vector,
+    so 2× of 1/64th of the raw corpus).  Still map-only; ties and the
+    spill=1 case reduce to the old argmax via stable argsort."""
     import numpy as np
     import pandas as pd
 
@@ -521,22 +592,34 @@ def ivf_pq_encode_corpus(
         B = [np.array(b) for b in codebooks]
         m = len(B)
         CT = np.array(centroids, dtype=np.float64).T  # dim × nlist
+        a = min(spill, CT.shape[1])
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.array(pdf["u"].tolist(), dtype=np.float64)
-            cells = (X @ CT).argmax(1).astype(np.int32)
+            sims = X @ CT  # B × nlist
+            # top-a by (sim DESC, cell ASC) — same tie convention as
+            # ivf_assign/ivf_probe_cells; a=1 keeps the argmax of the
+            # pre-spill implementation (identical result — stable
+            # argsort top-1 — but also byte-identical gate-path code)
+            if a == 1:
+                cells = sims.argmax(1).reshape(-1, 1)
+            else:
+                cells = np.argsort(-sims, axis=1, kind="stable")[:, :a]
             dsub = X.shape[1] // m
             codes_np = np.empty((len(X), m), dtype=np.int32)
             for mi in range(m):
                 S = X[:, mi * dsub : (mi + 1) * dsub]
                 d2 = ((S[:, None, :] - B[mi][None, :, :]) ** 2).sum(-1)
                 codes_np[:, mi] = d2.argmin(1)
+            codes_list = codes_np.tolist()
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"],
-                    "cell": cells,
-                    "code": list(codes_np.tolist()),
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(a),
+                    "cell": cells.reshape(-1).astype(np.int32),
+                    "code": [c for c in codes_list for _ in range(a)]
+                    if a > 1
+                    else codes_list,
                 }
             )
 
@@ -585,6 +668,11 @@ def ivf_pq_topk(
     def adc(pdf: pd.DataFrame) -> pd.DataFrame:
         B = [np.array(b) for b in codebooks]
         m = len(B)
+        # a spill-indexed corpus (ivf_pq_encode_corpus spill>1) can hand
+        # the same vector in via two probed cells; its PQ code is
+        # cell-independent, so dedupe by vec_id before scoring (in-batch
+        # pandas — no extra shuffle)
+        pdf = pdf.drop_duplicates(subset=["vec_id"])
         q = np.array(pdf["qu"].iloc[0], dtype=np.float64)
         dsub = len(q) // m
         # LUT[mi][code] = q_mi · c_mi,code (unit vectors ⇒ cosine adds)
@@ -827,6 +915,73 @@ def sim_ann_ivf_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_pq_topk(
         corpus, queries, centroids, IVF_CLUSTERED_NPROBE, books, codes=codes
+    )
+
+
+# The refined uniform serving path quantizes at faiss's DEFAULT
+# granularity — 8 bits (256 codes) per subquantizer, still 8
+# bytes/vector — where the twin-fixture gates keep the coarser 4-bit
+# books (their margins don't need more).  Near-uniform 64-d data is
+# PQ's worst case: true-neighbor cosines (~0.45) sit ~0.07 above
+# background, comparable to 4-bit ADC noise, so the serving shortlist
+# must go deeper than the twin fixture's 8× — measured at sf0.1,
+# k·64 = 320 exact re-ranks per query (a constant: corpus-size-
+# independent, ~7× below the candidate count there, and squarely in
+# faiss's customary 100-1000 re-rank band) lifts recall@5 to 0.992.
+PQ_K_REFINED = 256
+PQ_REFINE_SERVE = 64
+
+
+def _uniform_pq_books(spark: SparkSession, sf_dir: str) -> list:
+    """Session-memoized PQ codebooks trained on the RAW driver fixture
+    (the uniform corpus — vs ``_twin_pq_books``' planted-twin corpus),
+    at the 8-bit serving granularity (PQ_K_REFINED)."""
+    pkey = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        "uniform-pq",
+        PQ_M,
+        PQ_K_REFINED,
+    )
+    books = _PQ_CACHE.get(pkey)
+    if books is None:
+        for stale in [k for k in _PQ_CACHE if k[0] != pkey[0]]:
+            del _PQ_CACHE[stale]
+        books = train_pq(_unit_emb(spark, sf_dir), k=PQ_K_REFINED)
+        _PQ_CACHE[pkey] = books
+    return books
+
+
+def sim_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REFINED uniform IVF-PQ serving path (r10 VERDICT item 7):
+    trained coarse quantizer at nprobe = nlist/2 (unchanged from
+    ``sim_ann_ivf_approx``), boundary-spill codes index
+    (``IVF_SPILL = 3`` — the cell-loss fix), 8-bit PQ codebooks
+    (``PQ_K_REFINED``), ADC shortlist of k · PQ_REFINE_SERVE
+    candidates, exact cosine re-rank of the shortlist (the
+    PQ-quantization-noise fix).  Together the refinements take
+    uniform-fixture recall@5 from 0.892 (plain IVF, same nprobe) to
+    0.992 at sf0.1 / 0.988 at sf0.01 measured (RECALL.json), while the
+    scoring join still moves 8-byte codes ∝ nprobe/nlist of the corpus
+    and the re-rank join moves O(k · refine) raw vectors per query —
+    corpus-size-independent.  Not in the gate registry (approximate ⇒
+    recall contract in pytest + RECALL.json, not a hash oracle — the
+    sim_ann_ivf_approx precedent)."""
+    nlist, nprobe, centroids = _train_centroids(spark, sf_dir)
+    emb = _unit_emb(spark, sf_dir)
+    books = _uniform_pq_books(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    codes = ivf_pq_encode_corpus(emb, centroids, books, spill=IVF_SPILL)
+    return ivf_pq_topk(
+        emb,
+        queries,
+        centroids,
+        nprobe,
+        books,
+        refine=PQ_REFINE_SERVE,
+        codes=codes,
     )
 
 

@@ -114,6 +114,32 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_refined_uniform_recall(spark):
+    """The r11 refined uniform serving paths at UNCHANGED nprobe =
+    nlist/2: boundary-spill indexing (top-IVF_SPILL cells per corpus
+    vector) recovers the cell-loss term that no in-cell re-rank can
+    touch, and the PQ serving form keeps that recall through 8-byte
+    codes via the ADC shortlist + exact re-rank.  Contract: recall ≥
+    0.98 vs brute force for both (plain nprobe = nlist/2 measures 0.85-
+    0.89 on this fixture — the gap IS the boundary loss)."""
+    from elastic_stream_spark.operators.similarity import (
+        sim_ann_ivf_pq_refined,
+        sim_ann_ivf_spill,
+        sim_topk_bruteforce,
+    )
+
+    exact_set = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    for fn in (sim_ann_ivf_spill, sim_ann_ivf_pq_refined):
+        approx_set = {
+            (r.query_id, r.neighbor_id) for r in fn(spark, SF_DIR).collect()
+        }
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.98, f"{fn.__name__} recall {recall:.3f} < 0.98"
+
+
 def test_ivf_exhaustive_probe_equals_bruteforce(spark):
     """The registered sim_ann_ivf gate form (nprobe = nlist) must be
     row-for-row identical to brute-force top-k — the property that earns
@@ -1373,3 +1399,13 @@ def test_r10_ops_edge_corpora(spark, workdir):
     # epoch draws still satisfy the Hamilton contract on a skewed corpus
     cov = epoch_coverage(spark, workdir).collect()
     assert all(r.repeat_draws == r.total_draws - r.distinct_docs for r in cov)
+
+
+def test_hamilton_alloc_empty_corpus_degrades_to_empty(spark):
+    """Zero-row input: the eager leftover scalar is a NULL sum — the
+    r10 ADVICE guard must degrade to an empty allocation instead of
+    raising int(None)."""
+    from elastic_stream_spark.operators.curation import _hamilton_doc_alloc
+
+    empty = spark.createDataFrame([], "source string, doc_id long")
+    assert _hamilton_doc_alloc(empty, 100).count() == 0

@@ -520,6 +520,21 @@ def test_epoch_allocators_have_no_unpartitioned_window(spark):
     assert samp.count("Window") == 1
 
 
+def test_epoch_coverage_prunes_ranked_draw_map_side(spark):
+    """The E-epoch replayed draw must carry a WindowGroupLimit: the
+    literal ``max_alloc`` pre-bound (r10 VERDICT item 3) lets Spark's
+    rank-limit rewrite prune each (source, epoch) group to max_alloc
+    candidates map-side, instead of E full per-source sorts of the
+    whole corpus — the column bound ``rk <= alloc`` alone defeats the
+    rewrite (literal limits only)."""
+    from elastic_stream_spark.operators.curation import epoch_coverage
+
+    plan = plan_of(epoch_coverage(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, (
+        "epoch_coverage lost its literal-bound map-side rank prune"
+    )
+
+
 def test_r10_operator_plans(spark):
     """Plan shapes for the r10 batch: no cartesian products, no Python
     evals; token_budget_trim's only window is partitioned by source;

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from elastic_stream_spark.kv import KV_SHARDS, KVStore  # noqa: E402
 
-SIZES = [1_000, 10_000, 100_000]
+SIZES = [1_000, 10_000, 100_000, 1_000_000]
 PROBES = 200
 VALUE = b"v" * 64
 
@@ -35,7 +35,11 @@ def bench_size(n: int) -> dict:
     try:
         kv = KVStore(root)
         # bulk preload through the txn API (one commit): the bench
-        # measures steady-state put latency, not load time
+        # measures steady-state put latency, not load time.  The preload
+        # commit also performs any adaptive reshard the keyspace size
+        # calls for (kv.KV_RESHARD_AT), so the probed puts measure the
+        # post-reshard steady state — exactly what a store that grew to
+        # this size would serve.
         with kv._txn() as st:
             for i in range(n):
                 st.set_entry(f"key:{i:08d}".encode(), VALUE)
@@ -46,20 +50,27 @@ def bench_size(n: int) -> dict:
             kv.put(k, VALUE + str(i).encode())
             lat.append((time.perf_counter() - t0) * 1000)
         lat.sort()
+        nshards = kv._read_meta().get("nshards", KV_SHARDS)
         return {
             "keys": n,
             "put_ms_p50": round(statistics.median(lat), 3),
             "put_ms_p90": round(lat[int(len(lat) * 0.9)], 3),
-            "bucket_entries": n // KV_SHARDS,
+            "nshards": nshards,
+            "bucket_entries": n // nshards,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
-    out = {"shards": KV_SHARDS, "probes": PROBES, "points": [bench_size(n) for n in SIZES]}
+    out = {
+        "initial_shards": KV_SHARDS,
+        "probes": PROBES,
+        "points": [bench_size(n) for n in SIZES],
+    }
     p50s = [p["put_ms_p50"] for p in out["points"]]
-    out["p50_growth_100x_keys"] = round(p50s[-1] / p50s[0], 2)
+    out["p50_growth_100x_keys"] = round(p50s[2] / p50s[0], 2)
+    out["p50_growth_1000x_keys"] = round(p50s[-1] / p50s[0], 2)
     line = json.dumps(out)
     print(line)
     for a in sys.argv[1:]:

@@ -6,6 +6,10 @@ asserted once in pytest.
 Paths probed:
 - ``sim_ann_ivf_approx`` — trained quantizer, nprobe = nlist/2 on the
   near-uniform driver fixture (pytest contract: recall ≥ 0.8);
+- ``sim_ann_ivf_spill`` / ``sim_ann_ivf_pq_refined`` — the r11 refined
+  uniform serving paths (boundary-spill index at unchanged nprobe; the
+  PQ form adds the ADC shortlist + exact re-rank).  Contract ≥ 0.98
+  (pytest test_refined_uniform_recall);
 - clustered-fixture IVF at nprobe/nlist = 1/4 (the pruning demo), with
   its measured candidate fraction.
 
@@ -66,6 +70,34 @@ def main() -> None:
         "nprobe": nprobe,
         "recall_at_5": recall(approx, exact),
         "contract": ">= 0.8 (pytest test_ivf_recall_vs_bruteforce)",
+    }
+
+    # --- r11 refined uniform serving paths: boundary spill at the SAME
+    # nprobe (cell-loss fix), and the PQ serving form with ADC shortlist
+    # + exact re-rank on top (quantization-noise fix)
+    from elastic_stream_spark.operators.similarity import (
+        IVF_SPILL,
+        sim_ann_ivf_pq_refined,
+        sim_ann_ivf_spill,
+    )
+
+    spill_r = recall(topk_map(sim_ann_ivf_spill(spark, sf_dir).collect()), exact)
+    refined_r = recall(
+        topk_map(sim_ann_ivf_pq_refined(spark, sf_dir).collect()), exact
+    )
+    out["ivf_spill_uniform"] = {
+        "nlist": nlist,
+        "nprobe": nprobe,
+        "spill": IVF_SPILL,
+        "recall_at_5": spill_r,
+        "contract": ">= 0.98 (pytest test_refined_uniform_recall)",
+    }
+    out["ivf_pq_refined_uniform"] = {
+        "nlist": nlist,
+        "nprobe": nprobe,
+        "spill": IVF_SPILL,
+        "recall_at_5": refined_r,
+        "contract": ">= 0.98 (pytest test_refined_uniform_recall)",
     }
 
     # --- clustered fixture at nprobe/nlist = 1/4 (the IVF premise demo)

@@ -215,11 +215,13 @@ def main() -> None:
     from elastic_stream_spark.operators import pipeline as _pipeline
 
     def _evict_session_memos():
+        # public hooks (r10 ADVICE): clear the memo dicts AND unpersist
+        # their localCheckpoint blocks, so runs 2..n neither serve a memo
+        # nor inherit its pinned storage
         spark.catalog.clearCache()
         unpersist_materialized(spark)
-        _dedup._PAIR_CACHE.clear()
-        _pipeline._CC_CACHE.clear()
-        _pipeline._CC_STANDING_CACHE.clear()
+        _dedup.evict_session_memos()
+        _pipeline.evict_session_memos()
 
     amp_dirs = [build_amp_dir(spark, base, f, amp_root) for f in AMP_FACTORS]
     amp_results: dict[str, list[float]] = {name: [] for name in AMP_PROBE}

@@ -297,24 +297,32 @@ def write_section(
         if constant_density
         else "### Substring-dedup decade:"
     )
+    # explicit end-marker written WITH the section (r10 ADVICE): the
+    # splice no longer infers the section end from the next "### "
+    # heading — which absorbed any non-heading trailing content and left
+    # a leading blank separator when the section sat at the very top
+    end_marker = f"<!-- end: {marker.strip('# ').rstrip(':')} -->"
     existing = ""
     if os.path.exists(extra):
         with open(extra) as fh:
             existing = fh.read()
         if marker in existing:
-            # splice out ONLY this tool's own section — from the marker
-            # to the next "### " heading (or EOF) — so sections other
-            # probes appended after it survive the rewrite (pre-r10 this
-            # truncated to EOF and silently dropped everything below)
             start = existing.index(marker)
-            nxt = existing.find("\n### ", start + 1)
-            tail = existing[nxt + 1 :] if nxt != -1 else ""
+            end = existing.find(end_marker, start)
+            if end != -1:
+                tail = existing[end + len(end_marker) :]
+            else:
+                # legacy section without an end marker: fall back to the
+                # next heading (or EOF)
+                nxt = existing.find("\n### ", start + 1)
+                tail = existing[nxt + 1 :] if nxt != -1 else ""
             existing = (
-                existing[:start].rstrip() + "\n\n" + tail.rstrip()
-            ).rstrip()
-        existing = existing.rstrip() + "\n\n"
+                existing[:start].rstrip() + "\n\n" + tail.strip()
+            ).strip()
+        if existing:
+            existing = existing.rstrip() + "\n\n"
     with open(extra, "w") as fh:
-        fh.write(existing + "\n".join(lines) + "\n")
+        fh.write(existing + "\n".join(lines) + end_marker + "\n")
     print(f"wrote {extra}", file=sys.stderr)
 
 
