@@ -213,6 +213,7 @@ class KVStore:
         self._legacy_path = os.path.join(root, "kv.json")
         self._meta_path = os.path.join(root, "kv-meta.json")
         self._lock_path = os.path.join(root, "kv.lock")
+        self._swept = False  # crash-orphan sweep pending (once per open)
 
     # ------------------------------------------------------------- state
 
@@ -251,8 +252,21 @@ class KVStore:
         with open(self._legacy_path) as f:
             return json.load(f)
 
+    @staticmethod
+    def _shard_filename(b: str, gen) -> str:
+        """Manifest entries are generation INTS from r11 (the manifest
+        is rewritten + fsynced on every commit, and at 4096 buckets the
+        full-filename form tripled its size — measured as the dominant
+        per-put cost at 1M keys); pre-r11 string filenames still
+        resolve."""
+        if isinstance(gen, str):
+            return gen
+        return f"kv-shard-{b}.{gen:012d}.json"
+
     def _read_bucket_file(self, meta: dict, b: str) -> dict:
         fn = meta["shards"].get(b)
+        if fn is not None:
+            fn = self._shard_filename(b, fn)
         if fn is None:
             if meta.get("_legacy"):
                 legacy = self._read_legacy()
@@ -303,11 +317,10 @@ class KVStore:
             data = st._buckets[b]
             prev = shards.get(b)
             if prev is not None:
-                replaced.append(prev)
+                replaced.append(self._shard_filename(b, prev))
             if data:
-                fn = f"kv-shard-{b}.{st.revision:012d}.json"
-                self._write_file(fn, data)
-                shards[b] = fn
+                self._write_file(self._shard_filename(b, st.revision), data)
+                shards[b] = st.revision
             else:
                 shards.pop(b, None)  # bucket emptied
         # THE commit point: one atomic manifest replace covers every
@@ -321,9 +334,12 @@ class KVStore:
                 "n": n_total,
             },
         )
-        # GC: replaced generations + the migrated legacy snapshot +
-        # orphans from a crash between shard writes and a manifest
-        # commit (their generation suffix is not referenced)
+        # GC: the replaced generations directly (O(dirty), not
+        # O(keyspace)) + the migrated legacy snapshot.  Crash ORPHANS
+        # (shard writes without a manifest commit) are swept lazily once
+        # per store open (_sweep_orphans) — pre-r11 this swept via
+        # listdir on EVERY commit, an O(nshards) per-put cost that
+        # dominated once the 1M-key reshard reached 4096 buckets.
         for fn in replaced:
             p = os.path.join(self.root, fn)
             if os.path.exists(p):
@@ -333,7 +349,19 @@ class KVStore:
         # previous migration's manifest commit and its GC — gone either way
         if os.path.exists(self._legacy_path):
             os.unlink(self._legacy_path)
-        live = set(shards.values())
+        self._sweep_orphans(shards)
+
+    def _sweep_orphans(self, shards: dict) -> None:
+        """Unlink generation files the manifest does not reference —
+        debris from a crash between shard writes and the manifest
+        commit, or from a crashed pre-GC window.  Runs once per store
+        open (inside the first committing txn, under the lock) and
+        after every reshard; normal commits GC their replaced files
+        directly."""
+        if self._swept:
+            return
+        self._swept = True
+        live = {self._shard_filename(b, g) for b, g in shards.items()}
         for fn in os.listdir(self.root):
             if fn.startswith("kv-shard-") and fn not in live:
                 try:
@@ -361,11 +389,10 @@ class KVStore:
         buckets: dict[str, dict] = {}
         for ek, ent in items.items():
             buckets.setdefault(self._bucket_of_enc(ek, new_ns), {})[ek] = ent
-        shards: dict[str, str] = {}
+        shards: dict[str, int] = {}
         for b, data in sorted(buckets.items()):
-            fn = f"kv-shard-{b}.{st.revision:012d}.json"
-            self._write_file(fn, data)
-            shards[b] = fn
+            self._write_file(self._shard_filename(b, st.revision), data)
+            shards[b] = st.revision
         self._write_file(
             os.path.basename(self._meta_path),
             {
@@ -377,13 +404,10 @@ class KVStore:
         )
         if os.path.exists(self._legacy_path):
             os.unlink(self._legacy_path)
-        live = set(shards.values())
-        for fn in os.listdir(self.root):
-            if fn.startswith("kv-shard-") and fn not in live:
-                try:
-                    os.unlink(os.path.join(self.root, fn))
-                except FileNotFoundError:
-                    pass
+        # every pre-reshard generation is now unreferenced: force a full
+        # orphan sweep (this IS the O(keyspace) operation already)
+        self._swept = False
+        self._sweep_orphans(shards)
 
     def _snapshot(self) -> tuple[int, dict]:
         """Lock-free consistent read of (revision, all entries): resolve

@@ -168,21 +168,25 @@ def test_legacy_monolithic_snapshot_migrates(workdir):
 def test_multi_bucket_txn_atomic_after_crash_window(workdir):
     """Crash between shard-generation writes and the manifest commit
     must leave the store unchanged (orphan generation files are swept by
-    the next committer) — the manifest rename is THE commit point."""
+    the next OPEN's first commit — a crash kills the writing process, so
+    the next committer is necessarily a fresh handle; r11 moved the
+    O(nshards) listdir sweep off the per-commit path) — the manifest
+    rename is THE commit point."""
     import os
 
     kv = KVStore(workdir)
     kv.put(b"a", b"1")
     kv.put(b"b", b"2")
     # simulate the crash window: a new generation file exists for some
-    # bucket but no manifest references it
+    # bucket but no manifest references it (the writer then died)
     orphan = os.path.join(workdir, "kv-shard-00.999999999999.json")
     with open(orphan, "w") as f:
         f.write('{"bogus": {"value": "eA==", "version": 999}}')
-    assert kv.get(b"a") == (b"1", 1)  # reads resolve via manifest only
-    kv.put(b"c", b"3")  # next commit sweeps the orphan
+    kv2 = KVStore(workdir)  # post-crash open
+    assert kv2.get(b"a") == (b"1", 1)  # reads resolve via manifest only
+    kv2.put(b"c", b"3")  # the fresh open's first commit sweeps the orphan
     assert not os.path.exists(orphan)
-    assert kv.get(b"c")[1] == 3
+    assert kv2.get(b"c")[1] == 3
 
 
 def test_adaptive_reshard_grows_buckets_and_preserves_data(workdir):
