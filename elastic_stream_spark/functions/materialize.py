@@ -54,7 +54,7 @@ def materialize(df: DataFrame) -> DataFrame:
     return out
 
 
-def unpersist_local_checkpoint(df: DataFrame) -> bool:
+def unpersist_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
     """Release the block-manager storage behind a ``localCheckpoint``-ed
     DataFrame NOW instead of waiting for Python GC + the ContextCleaner
     (the leak window when a probe merely drops its dict reference — r10
@@ -62,24 +62,29 @@ def unpersist_local_checkpoint(df: DataFrame) -> bool:
     over the persisted internal RDD, so unpersist that RDD directly.
     Best-effort — a non-checkpoint plan (no ``rdd()`` on the analyzed
     node) returns False and the caller falls back to dropping the
-    reference."""
+    reference.
+
+    ``blocking=True`` waits for block removal to finish — REQUIRED in
+    timed-probe eviction (async removal of multi-GB checkpoint blocks
+    otherwise overlaps, and taxes, the next timed run)."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
         return True
     except Exception:
         return False
 
 
-def unpersist_materialized(spark: SparkSession) -> int:
+def unpersist_materialized(spark: SparkSession, blocking: bool = False) -> int:
     """Unpersist every DataFrame ``materialize`` pinned in this
-    application; returns how many were released.  Blocking=False: block
-    removal proceeds async, the storage accounting is released
-    immediately."""
+    application; returns how many were released.  Default blocking=False
+    (block removal proceeds async, storage accounting released
+    immediately); timed probes pass blocking=True so removal never
+    overlaps the next measured run."""
     app = spark.sparkContext.applicationId
     n = 0
     for ref in _HANDLES.pop(app, []):
         df = ref()
         if df is not None:
-            df.unpersist(blocking=False)
+            df.unpersist(blocking=blocking)
             n += 1
     return n

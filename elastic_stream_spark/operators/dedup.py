@@ -703,17 +703,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def evict_session_memos() -> int:
+def evict_session_memos(blocking: bool = False) -> int:
     """Drop the session pair-set memo AND release its localCheckpoint
     blocks immediately (public probe/bench hook — r10 ADVICE: tools
     reaching into ``_PAIR_CACHE`` only dropped dict references, leaving
     checkpoint blocks pinned until GC + ContextCleaner).  Returns how
-    many checkpoints were released."""
+    many checkpoints were released.  Timed probes pass blocking=True so
+    removal never overlaps the next measured run."""
     from elastic_stream_spark.functions.materialize import (
         unpersist_local_checkpoint,
     )
 
-    n = sum(bool(unpersist_local_checkpoint(df)) for df in _PAIR_CACHE.values())
+    n = sum(
+        bool(unpersist_local_checkpoint(df, blocking))
+        for df in _PAIR_CACHE.values()
+    )
     _PAIR_CACHE.clear()
     return n
 

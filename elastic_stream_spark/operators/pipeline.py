@@ -147,18 +147,21 @@ def connected_components(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def evict_session_memos() -> int:
+def evict_session_memos(blocking: bool = False) -> int:
     """Drop the CC label memos (batch + standing) AND release their
     localCheckpoint blocks immediately (public probe/bench hook — r10
     ADVICE; see dedup.evict_session_memos).  Returns how many
-    checkpoints were released."""
+    checkpoints were released.  Timed probes pass blocking=True."""
     from elastic_stream_spark.functions.materialize import (
         unpersist_local_checkpoint,
     )
 
     n = 0
     for cache in (_CC_CACHE, _CC_STANDING_CACHE):
-        n += sum(bool(unpersist_local_checkpoint(df)) for df in cache.values())
+        n += sum(
+            bool(unpersist_local_checkpoint(df, blocking))
+            for df in cache.values()
+        )
         cache.clear()
     return n
 

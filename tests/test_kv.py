@@ -225,3 +225,38 @@ def test_adaptive_reshard_grows_buckets_and_preserves_data(workdir):
     with open(os.path.join(workdir, "kv-meta.json")) as f:
         meta2 = json.load(f)
     assert meta2["n"] == n - 9
+
+
+def test_reshard_crash_window_leaves_store_unchanged(workdir):
+    """A crash AFTER the reshard wrote its new-generation bucket files
+    but BEFORE the manifest swap must leave the store serving the old
+    generation unchanged; the next open's first commit sweeps the
+    orphaned new-generation files."""
+    import json
+    import os
+
+    from elastic_stream_spark.kv import KVStore as KV
+
+    kv = KV(workdir)
+    for i in range(20):
+        kv.put(f"k:{i:03d}".encode(), b"v%d" % i)
+    with open(os.path.join(workdir, "kv-meta.json")) as f:
+        meta_before = json.load(f)
+    # simulate the reshard crash window: new-nshards generation files on
+    # disk, manifest still pointing at the old generation
+    for b in ("001", "3ff", "fff"):
+        with open(os.path.join(workdir, f"kv-shard-{b}.000000099999.json"), "w") as f:
+            f.write('{"bogus": {"value": "eA==", "version": 9}}')
+    kv2 = KV(workdir)  # post-crash open
+    assert kv2.get(b"k:000") == (b"v0", 1)
+    items, _ = kv2.range(b"k:", prefix_end(b"k:"))
+    assert len(items) == 20  # snapshot resolves via the old manifest only
+    kv2.put(b"k:020", b"new")  # first commit sweeps the orphans
+    for b in ("001", "3ff", "fff"):
+        assert not os.path.exists(
+            os.path.join(workdir, f"kv-shard-{b}.000000099999.json")
+        )
+    with open(os.path.join(workdir, "kv-meta.json")) as f:
+        meta_after = json.load(f)
+    assert meta_after["nshards"] == meta_before.get("nshards", 256)
+    assert meta_after["n"] == 21

@@ -265,3 +265,58 @@ def test_hamilton_allocation_invariants(counts, data):
         exact = budget * n / n_total
         assert exact - 1 < alloc[s] < exact + 1
         assert alloc[s] <= n
+
+
+_KV_RESHARD_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("put"), st.integers(0, 99), st.integers(0, 99)),
+        st.tuples(st.just("delete"), st.integers(0, 99), st.just(0)),
+    ),
+    min_size=20,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(ops=_KV_RESHARD_OPS)
+def test_kv_matches_model_across_reshards(ops):
+    """The adaptive reshard (r11) is invisible to clients: with the
+    shard constants shrunk so any dense schedule crosses at least one
+    reshard boundary, the store still agrees with a plain dict after
+    every op, the full range scan matches, and the manifest's entry
+    count stays exact."""
+    import json
+    import os
+
+    import elastic_stream_spark.kv as kvmod
+
+    saved = (kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS)
+    kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS = 4, 4, 64
+    try:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        with tempfile.TemporaryDirectory(prefix="ess-kvresh-", dir=base) as root:
+            kv = KVStore(root)
+            model: dict[bytes, bytes] = {}
+            for op in ops:
+                key = f"k{op[1]:04d}".encode()
+                if op[0] == "put":
+                    val = f"v{op[2]}".encode()
+                    kv.put(key, val)
+                    model[key] = val
+                else:
+                    kv.delete_range(key, key + b"\x00")
+                    model.pop(key, None)
+                got = kv.get(key)
+                assert (got[0] if got else None) == model.get(key)
+            items, more = kv.range(b"", KVStore.FROM_KEY)
+            assert not more
+            assert {k: v for k, v, _ in items} == model
+            with open(os.path.join(root, "kv-meta.json")) as f:
+                meta = json.load(f)
+            assert meta["n"] == len(model)
+            if len(model) >= 16:  # crossed the shrunken threshold
+                assert meta["nshards"] > 4
+    finally:
+        kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS = saved

@@ -217,11 +217,14 @@ def main() -> None:
     def _evict_session_memos():
         # public hooks (r10 ADVICE): clear the memo dicts AND unpersist
         # their localCheckpoint blocks, so runs 2..n neither serve a memo
-        # nor inherit its pinned storage
+        # nor inherit its pinned storage.  BLOCKING unpersists: async
+        # removal of the 160×-leg multi-GB checkpoint blocks otherwise
+        # overlaps — and taxes — the next timed run (the r11 first-pass
+        # decade leg measured 127 s vs 92 s for exactly this reason)
         spark.catalog.clearCache()
-        unpersist_materialized(spark)
-        _dedup.evict_session_memos()
-        _pipeline.evict_session_memos()
+        unpersist_materialized(spark, blocking=True)
+        _dedup.evict_session_memos(blocking=True)
+        _pipeline.evict_session_memos(blocking=True)
 
     amp_dirs = [build_amp_dir(spark, base, f, amp_root) for f in AMP_FACTORS]
     amp_results: dict[str, list[float]] = {name: [] for name in AMP_PROBE}
