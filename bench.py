@@ -189,6 +189,11 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "lsh_band_audit",
     "corpus_novelty_curve",
+    # round 11: packing fragmentation/padding audit (span-manifest
+    # rollups), curriculum loader-weight Hamilton allocation (ntile ×
+    # tier multiplier cells)
+    "pack_fragmentation_audit",
+    "curriculum_mix_allocation",
 ]
 
 # Session-memo builders, invoked ONCE (untimed) during warm-up: these

@@ -72,29 +72,30 @@ def _modules():
 # nothing is ever dark, only riding on its last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r11 rotation — registry stays at 144 (breadth saturated per r10
-# VERDICT: at a 50-slot window and ≤3-round staleness the gate fits
-# ~3 new queries/round; r11 spends its slots on depth).  The 47
-# queries whose last driver row is r8 hit the staleness deadline and
-# take their policy slots; epoch_coverage re-enters as CHANGED (the
-# literal-bound WindowGroupLimit prune — plan change, hash unchanged);
-# the 2 remaining slots top up oldest-first from the r9 pool
-# (cc_append, quality_model_score).  The r11 refactors that touch gate
-# code paths without changing plans or outputs on the fixtures (the
-# Hamilton empty-corpus guard — empty-input-only behavior; the IVF
-# spill parameter — defaults reproduce the r10 argmax/no-dedup paths
-# byte-for-byte) follow the FP_TERM_MOD precedent (r10): covered by
-# the committed full-registry self-check, no window preemption.
+# r11 rotation — registry 144 → 146 (the ~3-query/round budget the
+# window arithmetic allows; r10 VERDICT).  The 47 queries whose last
+# driver row is r8 hit the staleness deadline and take their policy
+# slots; epoch_coverage re-enters as CHANGED (the literal-bound
+# WindowGroupLimit prune — plan change, hash unchanged); the 2
+# remaining slots go to the round's NEW queries
+# (pack_fragmentation_audit, curriculum_mix_allocation — never
+# driver-checked, so they preempt per policy).  The r11 refactors that
+# touch gate code paths without changing plans or outputs on the
+# fixtures (the Hamilton empty-corpus guard — empty-input-only
+# behavior; the IVF spill parameter — defaults reproduce the r10
+# argmax/no-dedup paths byte-for-byte) follow the FP_TERM_MOD
+# precedent (r10): covered by the committed full-registry self-check,
+# no window preemption.
 GATE_ORDER = [
     # ---------------- r11 window (first 50 = the driver's gate) ---------
+    # --- new in r11: cross-boundary packing fragmentation/padding
+    # audit; curriculum loader-weight Hamilton allocation ---
+    "pack_fragmentation_audit",
+    "curriculum_mix_allocation",
     # --- changed in r11: epoch_coverage gained the literal max_alloc
     # pre-bound (WindowGroupLimit-class map-side prune; r10 VERDICT
     # item 3) — plan change, hash unchanged, re-verified per policy ---
     "epoch_coverage",
-    # --- alternation top-up: the 2 oldest r9-row queries take the
-    # remaining free slots (oldest-first within the r9 pool) ---
-    "cc_append",
-    "quality_model_score",
     # --- the 47 r8-stale driver rows (rotation policy's ≤3-round
     # deadline: r11) ---
     "corpus_split_by_source",
@@ -150,6 +151,8 @@ GATE_ORDER = [
     # both sf every round (CORRECTNESS_FULL_r11*.json);
     # tests/test_registry.py pins the policy.
     # --- last driver row r9 (the r12 rotation pool; due r12) ---
+    "cc_append",
+    "quality_model_score",
     "stream_pipeline_replay",
     "dedup_soft_weights",
     "quality_calibration_audit",

@@ -579,6 +579,127 @@ def pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_fragmentation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost side of cross-boundary packing (r11): ``pack_doc_spans``
+    trades padding for FRAGMENTATION — documents cut at sequence
+    boundaries lose attention context across the cut, so the audit a
+    loader team reads before choosing a packing flavor is exactly this
+    per-source table: sequences produced, documents cut at least once,
+    total cut points (= fragments − docs), and the padding that remains
+    (only each shard's final sequence is partial, so
+    ``pad = n_seqs · PACK_BUDGET − total_tokens``).  All exact bigints
+    off the span manifest.
+
+    Plan: the span layout's one per-shard window (shared with
+    pack_doc_spans), then two map-side-combinable rollups — per-(source,
+    doc) for the cut counts, per-source distinct-seq for the sequence
+    count — joined on the |sources|-row key.  No new shuffle class; at
+    10⁸ shards both aggregates stay shard-parallel."""
+    spans = pack_doc_spans(spark, sf_dir)
+    per_doc = spans.groupBy("source", "doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").alias("doc_tokens"),
+    )
+    docs_roll = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_spans").cast("bigint").alias("n_fragments"),
+        F.sum(F.when(F.col("n_spans") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cut_docs"),
+        F.sum("doc_tokens").cast("bigint").alias("total_tokens"),
+    )
+    seqs_roll = spans.groupBy("source").agg(
+        F.countDistinct("seq").cast("bigint").alias("n_seqs")
+    )
+    return (
+        docs_roll.join(seqs_roll, "source")
+        .select(
+            "source",
+            "n_seqs",
+            "n_docs",
+            "n_fragments",
+            "n_cut_docs",
+            (F.col("n_fragments") - F.col("n_docs"))
+            .cast("bigint")
+            .alias("n_cuts"),
+            "total_tokens",
+            (F.col("n_seqs") * PACK_BUDGET - F.col("total_tokens"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+CURRICULUM_BUDGET = 50_000  # docs drawn per curriculum-weighted epoch
+
+
+def curriculum_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-weight join (r11): combine the per-source quality
+    QUARTILES (``quality_buckets``' ntile, tiebreak doc_id — portable)
+    with a linear curriculum ramp — tier t carries weight
+    ``n_docs(s, t) · t``, so top-quartile documents are drawn 4× as
+    often as bottom-quartile — and resolve the integer sample budget
+    across all (source, tier) cells by the largest-remainder (Hamilton)
+    method.  This is the step that turns two published audit tables
+    (quality tiers, mix weights) into the ONE integer allocation a data
+    loader executes; Σ alloc == CURRICULUM_BUDGET exactly.
+
+    Determinism: weights are products of bigints, base share is
+    ``(budget · w) div W``, remainder rank ties break by (source,
+    bucket) — no float ever decides a count (the epoch_schedule
+    argument).
+
+    Plan: one per-source ntile window (the quality_buckets shuffle), a
+    map-side-combinable cell rollup (4 · |sources| rows), a 1-row total
+    broadcast back, scalar leftover, and the Hamilton bonus as
+    TakeOrdered top-k + broadcast flag join — no unpartitioned window
+    anywhere (the r9-rebuilt allocator shape)."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    tiered = docs.select(
+        "source", "doc_id", quality_score_col().alias("q")
+    ).withColumn("bucket", F.ntile(N_QUALITY_BUCKETS).over(w).cast("bigint"))
+    cells = tiered.groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    cells = cells.withColumn(
+        "weight", (F.col("n_docs") * F.col("bucket")).cast("bigint")
+    )
+    tot = cells.agg(F.sum("weight").alias("w_total"))
+    alloc = cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "bucket",
+        "n_docs",
+        "weight",
+        F.expr(f"({CURRICULUM_BUDGET} * weight) div w_total").alias("base_alloc"),
+        F.expr(f"({CURRICULUM_BUDGET} * weight) % w_total").alias("rem"),
+    )
+    alloc = alloc.localCheckpoint(eager=True)  # 4·|sources| rows, reused 3×
+    row = alloc.agg(
+        (F.lit(CURRICULUM_BUDGET) - F.sum("base_alloc")).alias("lo")
+    ).first()
+    leftover = int(row["lo"] or 0)
+    winners = (
+        alloc.orderBy(F.desc("rem"), F.asc("source"), F.asc("bucket"))
+        .limit(leftover)
+        .select("source", "bucket", F.lit(1).alias("bonus"))
+    )
+    return (
+        alloc.join(F.broadcast(winners), ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            "n_docs",
+            "weight",
+            (F.col("base_alloc") + F.coalesce("bonus", F.lit(0)))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 def corpus_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-aware train/val/test split: the gate hashes the SOURCE, so
     every document of a source lands in the same split — the standard
@@ -962,6 +1083,8 @@ QUERIES = {
     "token_budget_trim": token_budget_trim,
     "epoch_coverage": epoch_coverage,
     "quality_threshold_sweep": quality_threshold_sweep,
+    "pack_fragmentation_audit": pack_fragmentation_audit,
+    "curriculum_mix_allocation": curriculum_mix_allocation,
 }
 
 _NGRAMS_SQL = f"""
@@ -1400,5 +1523,94 @@ ORACLES = {
                round((pow(n_tokens, {MIX_ALPHA}) / sum_na)
                      / (n_tokens * 1.0 / n_total), 4) AS boost
         FROM per, t ORDER BY source
+    """,
+    "pack_fragmentation_audit": f"""
+        WITH toks AS (
+          SELECT source, doc_id,
+                 len(string_split(lower(text), ' ')) AS n_tokens
+          FROM documents
+        ), placed AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS start
+          FROM toks
+        ), spans AS (
+          SELECT source, doc_id, n_tokens,
+                 unnest(generate_series(
+                   CAST(floor(start / {PACK_BUDGET}.0) AS BIGINT),
+                   CAST(floor((start + n_tokens - 1) / {PACK_BUDGET}.0) AS BIGINT)
+                 )) AS seq
+          FROM placed
+        ), per_doc AS (
+          SELECT source, doc_id, count(*) AS n_spans,
+                 max(n_tokens) AS doc_tokens
+          FROM spans GROUP BY source, doc_id
+        ), docs_roll AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_spans) AS BIGINT) AS n_fragments,
+                 CAST(sum(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cut_docs,
+                 CAST(sum(doc_tokens) AS BIGINT) AS total_tokens
+          FROM per_doc GROUP BY source
+        ), seqs_roll AS (
+          SELECT source, CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs
+          FROM spans GROUP BY source
+        )
+        SELECT d.source, s.n_seqs, d.n_docs, d.n_fragments, d.n_cut_docs,
+               CAST(d.n_fragments - d.n_docs AS BIGINT) AS n_cuts,
+               d.total_tokens,
+               CAST(s.n_seqs * {PACK_BUDGET} - d.total_tokens AS BIGINT)
+                 AS pad_tokens
+        FROM docs_roll d JOIN seqs_roll s USING (source)
+        ORDER BY d.source
+    """,
+    "curriculum_mix_allocation": f"""
+        WITH per_doc AS (
+          SELECT source, doc_id,
+                 len(string_split(lower(text), ' ')) AS n_tok,
+                 len(list_filter(string_split(lower(text), ' '),
+                                 x -> x IN {_STOP_SQL})) AS stop_hits,
+                 (length(text) - len(string_split(lower(text), ' ')) + 1)
+                   * 1.0 / len(string_split(lower(text), ' ')) AS mean_len
+          FROM documents
+        ), scored AS (
+          SELECT source, doc_id,
+                 round(
+                   (CASE WHEN n_tok >= 30 THEN 0.4 ELSE 0.1 END)
+                 + (CASE WHEN stop_hits * 1.0 / n_tok >= 0.02
+                          AND stop_hits * 1.0 / n_tok <= 0.4 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 0.3 ELSE 0.0 END)
+                 , 4) AS q
+          FROM per_doc
+        ), tiered AS (
+          SELECT source,
+                 CAST(ntile({N_QUALITY_BUCKETS}) OVER (
+                   PARTITION BY source ORDER BY q, doc_id) AS BIGINT) AS bucket
+          FROM scored
+        ), cells AS (
+          SELECT source, bucket,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) * bucket AS BIGINT) AS weight
+          FROM tiered GROUP BY source, bucket
+        ), t AS (
+          SELECT sum(weight) AS w_total FROM cells
+        ), alloc AS (
+          SELECT source, bucket, n_docs, weight,
+                 ({CURRICULUM_BUDGET} * weight) // w_total AS base_alloc,
+                 ({CURRICULUM_BUDGET} * weight) % w_total AS rem
+          FROM cells, t
+        ), ranked AS (
+          SELECT *,
+                 row_number() OVER (ORDER BY rem DESC, source, bucket) AS rk,
+                 {CURRICULUM_BUDGET} - sum(base_alloc) OVER () AS leftover
+          FROM alloc
+        )
+        SELECT source, bucket, n_docs, weight,
+               CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM ranked ORDER BY source, bucket
     """,
 }

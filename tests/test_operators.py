@@ -1409,3 +1409,50 @@ def test_hamilton_alloc_empty_corpus_degrades_to_empty(spark):
 
     empty = spark.createDataFrame([], "source string, doc_id long")
     assert _hamilton_doc_alloc(empty, 100).count() == 0
+
+
+def test_r11_ops_edge_corpora_and_invariants(spark, workdir):
+    """The r11 operators on degenerate documents: the fragmentation
+    audit's accounting identities must hold on empty/mega docs (pads are
+    non-negative, fragments partition every doc, cuts = fragments −
+    docs), and the curriculum allocation must conserve the budget
+    exactly on a skewed corpus (Σ alloc == CURRICULUM_BUDGET, alloc
+    monotone-ish in weight via the Hamilton bound |alloc − budget·w/W|
+    ≤ 1)."""
+    rows = [
+        (0, "", "en", "s0", 0),
+        (1, "one", "en", "s0", 3),
+        (2, "two words", "en", "s0", 9),
+        (3, " ".join(f"w{i}" for i in range(2000)), "en", "s2", 5000),
+        (4, "a perfectly normal sentence with several distinct words", "en", "s1", 55),
+        (5, "a perfectly normal sentence with several distinct words", "en", "s1", 55),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(f"{workdir}/documents.parquet")
+
+    from elastic_stream_spark.operators.curation import (
+        CURRICULUM_BUDGET,
+        PACK_BUDGET,
+        curriculum_mix_allocation,
+        pack_fragmentation_audit,
+    )
+
+    frag = {r.source: r for r in pack_fragmentation_audit(spark, workdir).collect()}
+    for r in frag.values():
+        assert r.n_cuts == r.n_fragments - r.n_docs
+        assert 0 <= r.pad_tokens < PACK_BUDGET  # only the last seq is partial
+        assert r.n_seqs * PACK_BUDGET >= r.total_tokens
+    # the 2000-token mega-doc alone spans ceil(2000/512)=4 sequences
+    assert frag["s2"].n_seqs == 4 and frag["s2"].n_cut_docs == 1
+    assert frag["s2"].n_cuts == 3
+    # s1: two 8-token docs pack into one sequence, nothing cut
+    assert frag["s1"].n_seqs == 1 and frag["s1"].n_cut_docs == 0
+
+    alloc = curriculum_mix_allocation(spark, workdir).collect()
+    assert sum(r.alloc for r in alloc) == CURRICULUM_BUDGET
+    w_total = sum(r.weight for r in alloc)
+    for r in alloc:
+        exact = CURRICULUM_BUDGET * r.weight / w_total
+        assert abs(r.alloc - exact) < 1.0 + 1e-9  # largest-remainder bound
+        assert 1 <= r.bucket <= 4 and r.weight == r.n_docs * r.bucket

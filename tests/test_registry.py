@@ -2,15 +2,15 @@
 first 50 registry entries only, so the order is load-bearing.
 
 Round-11 policy (operators/__init__.py GATE_ORDER): the registry
-(``len(GATE_ORDER)`` queries — 144, unchanged from r10: breadth is
-saturated at the 50-slot window / ≤3-round staleness arithmetic, so r11
-spends its slots on depth) ALTERNATES over ~3 rounds — a query may sit
-beyond the window only if it was hash-green in a prior driver window
-(r9 or r10); changed / never-checked queries always occupy a slot; the
-47 queries whose last driver row was r8 take their policy-deadline
-slots (staleness ≤ 3 rounds); the remaining 2 slots top up from the r9
-pool (oldest-first).  Every query is additionally re-verified each
-round by the committed strict full-registry self-check at both sf.
+(``len(GATE_ORDER)`` queries — 146 as of r11, growing by the ~2-3/round
+the 50-slot window / ≤3-round staleness arithmetic allows) ALTERNATES
+over ~3 rounds — a query may sit beyond the window only if it was
+hash-green in a prior driver window (r9 or r10); changed /
+never-checked queries always occupy a slot; the 47 queries whose last
+driver row was r8 take their policy-deadline slots (staleness ≤ 3
+rounds); the remaining 2 slots host the round's NEW queries.  Every
+query is additionally re-verified each round by the committed strict
+full-registry self-check at both sf.
 
 Refactor convention (FP_TERM_MOD precedent, r10): code touches that
 provably change neither the plan nor the output on the gate fixtures
@@ -28,19 +28,19 @@ import os
 
 from elastic_stream_spark.operators import GATE_ORDER, all_oracles, all_queries
 
+# New in round 11 — never driver-checked, so each must sit inside the
+# window until it accumulates a green round.
+NEW_R11 = {
+    "pack_fragmentation_audit",
+    "curriculum_mix_allocation",
+}
+
 # Changed in round 11 — needs a fresh driver row: epoch_coverage's
 # ranked draw gained the literal ``max_alloc`` pre-bound (restores the
 # map-side WindowGroupLimit prune the per-source column bound defeats;
 # r10 VERDICT item 3).  Hash unchanged, plan changed.
 CHANGED_R11 = {
     "epoch_coverage",
-}
-
-# Alternation top-up: oldest-first from the r9 pool into the 2 slots the
-# deadline rows + changed row leave free.
-TOPUP_R11 = {
-    "cc_append",
-    "quality_model_score",
 }
 
 # The 47 queries whose last driver row is CORRECTNESS_r08 (they sat out
@@ -114,11 +114,11 @@ def test_registry_matches_gate_order():
     assert len(qs) == len(set(qs))
 
 
-def test_changed_topup_and_deadline_queries_inside_window():
+def test_new_changed_and_deadline_queries_inside_window():
     names = list(all_queries())
     window = set(names[:50])
+    assert NEW_R11 <= window
     assert CHANGED_R11 <= window
-    assert TOPUP_R11 <= window
     assert STALE_R8 <= window, (
         "r11 is the rotation policy's ≤3-round staleness deadline for the "
         f"r8-row queries; missing: {STALE_R8 - window}"
@@ -132,7 +132,7 @@ def test_window_fills_remaining_slots_with_stalest_rows():
     names = list(all_queries())
     window = names[:50]
     r10 = set(_load("CORRECTNESS_r10.json"))
-    fillers = [n for n in window if n not in CHANGED_R11 | STALE_R8]
+    fillers = [n for n in window if n not in NEW_R11 | CHANGED_R11 | STALE_R8]
     in_r10 = [n for n in fillers if n in r10]
     assert not in_r10, f"window fillers that already have fresh r10 rows: {in_r10}"
 
