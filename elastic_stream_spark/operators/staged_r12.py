@@ -1,0 +1,293 @@
+"""Operators STAGED for the round-12 gate window.
+
+The driver's correctness window holds 50 slots; with 47 r9-row queries
+hitting their rotation deadline in r12, about 3 slots open then (the
+same arithmetic that sized r11's additions).  These operators are built,
+oracle-equipped and pytest-verified NOW — including a cross-engine hash
+check against DuckDB in ``tests/test_staged_r12.py`` that mirrors the
+driver's comparator — and get wired into ``operators/__init__``
+(``_modules`` + GATE_ORDER) when their window slots open.  Keeping them
+out of the registry until then preserves the rotation invariants
+``tests/test_registry.py`` pins (a never-checked query may not sit
+beyond the window).
+
+Reference framing: like the rest of the LLM-pipeline surface these have
+no reference-engine counterpart (opcode enum
+components/protocol/fbs/rpc.fbs:111-182 is stream ops only); they are
+the evaluation/audit stages a corpus platform runs over its own derived
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elastic_stream_spark.sources.envelope import load_table_balanced
+
+# --------------------------------------------------- self-retrieval MRR
+
+SELF_MRR_MOD = 25  # probe docs: doc_id % 25 == 0
+SELF_MRR_TERMS = 4  # probe query = the doc's 4 smallest distinct tokens
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table_balanced(spark, sf_dir, "documents")
+
+
+def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-retrieval evaluation of the BM25 index: every probe document
+    (``doc_id % SELF_MRR_MOD == 0``) queries the corpus with its own
+    ``SELF_MRR_TERMS`` lexicographically-smallest distinct tokens, and
+    the audit reports — per source — how well the index finds the
+    document its query came from: probe count, exact-top-1 hits, and
+    mean reciprocal rank.  This is the retrieval sanity gate run before
+    trusting dedup-by-retrieval or contamination probes built on the
+    same index: an MRR collapse means the scoring/statistics pipeline is
+    broken even when every individual operator is hash-green.
+
+    Plan notes (100 TB): probe terms derive from the corpus but the
+    probe table is tiny (|docs|/MOD rows) and BROADCASTS; postings/df
+    tables join token-partitioned exactly as ``bm25_search``.  The rank
+    of the self document needs NO per-probe sort: rank = 1 + |candidates
+    scoring strictly above self| (ties broken by doc_id), computed as
+    one map-side-combinable count aggregate against the broadcast
+    self-score table — O(candidates) with no ordering state, where a
+    ranking window would sort every probe's full candidate list.
+
+    Determinism: scores are rounded to 4 dp before comparison (the
+    repo-wide BM25 convention) and ties break on doc_id, so both
+    engines count the identical candidate set; reciprocal ranks are
+    1/k for small integer k (exact in binary), and the mean is rounded
+    to 4 dp."""
+    from elastic_stream_spark.functions.materialize import materialize
+    from elastic_stream_spark.functions.textfns import tokens
+    from elastic_stream_spark.operators.retrieval import BM25_B, BM25_K1
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", tokens("text").alias("t")
+    )
+    dl = d.select("doc_id", F.size("t").alias("dl"))
+    toks = d.select("doc_id", F.explode("t").alias("token"))
+    tf = materialize(
+        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).withColumn("k", F.lit(1))
+
+    probe_terms = F.slice(
+        F.array_sort(F.array_distinct(F.col("t"))), 1, SELF_MRR_TERMS
+    )
+    probes = d.where(F.col("doc_id") % SELF_MRR_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("source").alias("probe_source"),
+        probe_terms.alias("q_terms"),
+    )
+    qterms = probes.select(
+        "probe_id", F.explode("q_terms").alias("token")
+    ).distinct()
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "token")
+        .join(dfreq, "token")
+        .join(dl, "doc_id")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(stats), "k")
+        .select("probe_id", "doc_id", (idf * tf_part).alias("s_term"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.round(F.sum("s_term"), 4).alias("score"))
+    )
+    self_scores = scored.where(F.col("doc_id") == F.col("probe_id")).select(
+        "probe_id", F.col("score").alias("self_score")
+    )
+    ahead = (
+        F.col("score") > F.col("self_score")
+    ) | (
+        (F.col("score") == F.col("self_score"))
+        & (F.col("doc_id") < F.col("probe_id"))
+    )
+    ranks = (
+        scored.join(F.broadcast(self_scores), "probe_id")
+        .groupBy("probe_id")
+        .agg((F.sum(ahead.cast("long")) + 1).alias("rank"))
+    )
+    return (
+        probes.select("probe_id", "probe_source")
+        .join(ranks, "probe_id")
+        .groupBy(F.col("probe_source").alias("source"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum((F.col("rank") == 1).cast("long"))
+            .cast("bigint")
+            .alias("n_top1"),
+            F.round(F.avg(F.lit(1.0) / F.col("rank")), 4).alias("mrr"),
+        )
+        .orderBy("source")
+    )
+
+
+# ----------------------------------------- near-dup cluster density audit
+
+
+def dedup_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure overreach audit for the near-dup clusters:
+    connected components chain A~B~C into one cluster even when A and C
+    were never verified as a pair, so a low-density large cluster is the
+    signature of chaining artifacts (and of over-aggressive keep-list
+    pruning: every non-representative member of that cluster is
+    dropped).  Per cluster SIZE, the audit reports how many clusters
+    exist, their verified-edge mass against the complete-graph
+    possible-pair count, and the resulting density — the table read
+    before trusting CC-based dedup at a new threshold.
+
+    Plan: the verified pair set is the session materialization (built
+    once, shared with dedup_clusters/pipeline_keep_list), labels come
+    from the same CC fixpoint; edges map onto their cluster via ONE
+    label join keyed on doc_a (doc_b carries the same label by
+    construction), then two map-side-combinable rollups (per cluster →
+    per size).  Nothing here exceeds the pair-set scale, which the
+    decade battery pins linear."""
+    from elastic_stream_spark.operators.dedup import ngram_pair_set
+    from elastic_stream_spark.operators.pipeline import connected_components
+
+    pairs = ngram_pair_set(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    edges = pairs.join(
+        labels.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    ).select("cluster_id")
+    per_cluster = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(
+            edges.groupBy("cluster_id").agg(
+                F.count("*").cast("bigint").alias("n_edges")
+            ),
+            "cluster_id",
+        )
+    )
+    return (
+        per_cluster.groupBy(F.col("n_docs").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n_edges").cast("bigint").alias("n_edges"),
+            F.sum(F.expr("n_docs * (n_docs - 1) div 2"))
+            .cast("bigint")
+            .alias("n_possible"),
+        )
+        .withColumn(
+            "density",
+            F.round(F.col("n_edges") / F.col("n_possible"), 4),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# Staged registry entries — merged into operators/__init__ at r12.
+QUERIES_R12 = {
+    "retrieval_self_mrr": retrieval_self_mrr,
+    "dedup_cluster_density_audit": dedup_cluster_density_audit,
+}
+
+
+def _oracles_r12() -> dict[str, str]:
+    from elastic_stream_spark.operators.pipeline import _CC_SQL
+
+    return {
+        "retrieval_self_mrr": f"""
+        WITH d AS (
+          SELECT doc_id, source, string_split(lower(text), ' ') AS t
+          FROM documents
+        ), dl AS (
+          SELECT doc_id, len(t) AS dl FROM d
+        ), toks AS (
+          SELECT doc_id, unnest(t) AS token FROM d
+        ), tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM toks GROUP BY doc_id, token
+        ), dfreq AS (
+          SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ), probes AS (
+          SELECT doc_id AS probe_id, source AS probe_source,
+                 list_sort(list_distinct(t))[1:{SELF_MRR_TERMS}] AS q_terms
+          FROM d WHERE doc_id % {SELF_MRR_MOD} = 0
+        ), qterms AS (
+          SELECT DISTINCT probe_id, unnest(q_terms) AS token FROM probes
+        ), scored AS (
+          SELECT q.probe_id, tf.doc_id,
+                 round(sum(
+                   ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                   * (tf.tf * ({BM25_K1_SQL} + 1)) /
+                     (tf.tf + {BM25_K1_SQL} * (1 - {BM25_B_SQL}
+                        + {BM25_B_SQL} * dl.dl / s.avgdl))
+                 ), 4) AS score
+          FROM qterms q
+          JOIN tf ON tf.token = q.token
+          JOIN dfreq f ON f.token = q.token
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.probe_id, tf.doc_id
+        ), selfs AS (
+          SELECT probe_id, score AS self_score
+          FROM scored WHERE doc_id = probe_id
+        ), ranks AS (
+          SELECT s.probe_id,
+                 1 + sum(CASE WHEN s.score > f.self_score
+                               OR (s.score = f.self_score
+                                   AND s.doc_id < s.probe_id)
+                              THEN 1 ELSE 0 END) AS rank
+          FROM scored s JOIN selfs f USING (probe_id)
+          GROUP BY s.probe_id
+        )
+        SELECT p.probe_source AS source,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN r.rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_top1,
+               round(avg(1.0 / r.rank), 4) AS mrr
+        FROM probes p JOIN ranks r USING (probe_id)
+        GROUP BY p.probe_source ORDER BY source
+        """,
+        "dedup_cluster_density_audit": f"""
+        WITH RECURSIVE {_CC_SQL},
+        sized AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+          FROM comp GROUP BY cluster_id
+        ), cedges AS (
+          SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+          FROM vpairs v JOIN comp c ON c.doc_id = v.doc_a
+          GROUP BY c.cluster_id
+        ), j AS (
+          SELECT s.n_docs AS cluster_size, e.n_edges, s.cluster_id
+          FROM sized s JOIN cedges e USING (cluster_id)
+        )
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(n_edges) AS BIGINT) AS n_edges,
+               CAST(sum(cluster_size * (cluster_size - 1) // 2) AS BIGINT)
+                 AS n_possible,
+               round(sum(n_edges) * 1.0
+                     / sum(cluster_size * (cluster_size - 1) // 2), 4)
+                 AS density
+        FROM j GROUP BY cluster_size ORDER BY cluster_size
+        """,
+    }
+
+
+# BM25 constants spelled for the SQL f-strings above.
+BM25_K1_SQL = 1.2
+BM25_B_SQL = 0.75
+
+
+def ORACLES_R12() -> dict[str, str]:  # callable: pipeline import stays lazy
+    return _oracles_r12()
