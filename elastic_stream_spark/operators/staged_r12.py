@@ -192,17 +192,102 @@ def dedup_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ stream log integrity
+
+
+def stream_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WAL-recovery verification (CRC + index rebuild,
+    components/store/src/io/wal.rs:274-307 / indexer.rs:295-352)
+    re-expressed as a DECLARATIVE audit over the stored log: per stream,
+    the offset space must be dense (no gaps), unique (no duplicate
+    offsets), 0-based, and partitioned into ranges none of which exceeds
+    the range size — the invariants every fetch relies on, as a
+    queryable table rather than a recovery-time side effect.  A non-zero
+    ``n_gaps``/``n_dups`` row is a torn or double-applied append the
+    log's reconcile path should have repaired.
+
+    Plan: one map-side-combinable aggregate over the (partition-pruned)
+    log scan per stream plus a per-(stream, range) rollup for the range
+    span — no joins wider than the |streams|-row key, no windows."""
+    from elastic_stream_spark.sources.materialize import get_engine
+
+    eng = get_engine(spark, sf_dir)
+    rec = eng.log.records()
+    per_stream = rec.groupBy("stream_id").agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.min("offset").cast("bigint").alias("first_offset"),
+        (F.max("offset") + 1).cast("bigint").alias("next_offset"),
+        F.countDistinct("offset").cast("bigint").alias("n_distinct"),
+    )
+    ranges = (
+        rec.groupBy("stream_id", "range_index")
+        .agg((F.max("offset") - F.min("offset") + 1).alias("span"))
+        .groupBy("stream_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ranges"),
+            F.max("span").cast("bigint").alias("max_range_span"),
+        )
+    )
+    return (
+        per_stream.join(ranges, "stream_id")
+        .select(
+            "stream_id",
+            "n_records",
+            "first_offset",
+            "next_offset",
+            (F.col("next_offset") - F.col("first_offset") - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("n_gaps"),
+            (F.col("n_records") - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("n_dups"),
+            "n_ranges",
+            "max_range_span",
+        )
+        .orderBy("stream_id")
+    )
+
+
 # Staged registry entries — merged into operators/__init__ at r12.
 QUERIES_R12 = {
     "retrieval_self_mrr": retrieval_self_mrr,
     "dedup_cluster_density_audit": dedup_cluster_density_audit,
+    "stream_integrity_audit": stream_integrity_audit,
 }
 
 
 def _oracles_r12() -> dict[str, str]:
     from elastic_stream_spark.operators.pipeline import _CC_SQL
+    from elastic_stream_spark.sources.envelope import ENVELOPE_SQL
 
     return {
+        "stream_integrity_audit": f"""
+        WITH records AS ({ENVELOPE_SQL}),
+        per_stream AS (
+          SELECT stream_id,
+                 CAST(count(*) AS BIGINT) AS n_records,
+                 CAST(min("offset") AS BIGINT) AS first_offset,
+                 CAST(max("offset") + 1 AS BIGINT) AS next_offset,
+                 CAST(count(DISTINCT "offset") AS BIGINT) AS n_distinct
+          FROM records GROUP BY stream_id
+        ), rngs AS (
+          SELECT stream_id,
+                 CAST(count(*) AS BIGINT) AS n_ranges,
+                 CAST(max(span) AS BIGINT) AS max_range_span
+          FROM (
+            SELECT stream_id, range_index,
+                   max("offset") - min("offset") + 1 AS span
+            FROM records GROUP BY stream_id, range_index
+          ) GROUP BY stream_id
+        )
+        SELECT p.stream_id, p.n_records, p.first_offset, p.next_offset,
+               CAST(p.next_offset - p.first_offset - p.n_distinct AS BIGINT)
+                 AS n_gaps,
+               CAST(p.n_records - p.n_distinct AS BIGINT) AS n_dups,
+               r.n_ranges, r.max_range_span
+        FROM per_stream p JOIN rngs r USING (stream_id)
+        ORDER BY p.stream_id
+        """,
         "retrieval_self_mrr": f"""
         WITH d AS (
           SELECT doc_id, source, string_split(lower(text), ' ') AS t

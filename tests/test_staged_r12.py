@@ -69,3 +69,21 @@ def test_cluster_density_invariants(spark):
     two = [r for r in rows if r.cluster_size == 2]
     for r in two:
         assert r.density == 1.0
+
+
+def test_stream_integrity_clean_log(spark):
+    """On the engine's own log the audit must report a CLEAN offset
+    space: zero gaps, zero duplicate offsets, 0-based streams, and no
+    range wider than the range size."""
+    from elastic_stream_spark.operators.staged_r12 import (
+        stream_integrity_audit,
+    )
+    from elastic_stream_spark.sources.envelope import RANGE_SIZE
+
+    rows = stream_integrity_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.first_offset == 0
+        assert r.n_gaps == 0 and r.n_dups == 0
+        assert r.n_records == r.next_offset
+        assert r.max_range_span <= RANGE_SIZE
