@@ -58,20 +58,53 @@ def unpersist_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
     """Release the block-manager storage behind a ``localCheckpoint``-ed
     DataFrame NOW instead of waiting for Python GC + the ContextCleaner
     (the leak window when a probe merely drops its dict reference — r10
-    ADVICE): the checkpointed Dataset's analyzed plan is a ``LogicalRDD``
-    over the persisted internal RDD, so unpersist that RDD directly.
-    Best-effort — a non-checkpoint plan (no ``rdd()`` on the analyzed
-    node) returns False and the caller falls back to dropping the
-    reference.
+    ADVICE): WALK the analyzed plan and unpersist the RDD behind every
+    ``LogicalRDD`` node.  The walk matters — session memos are usually
+    a ``select`` (or filter/join of tiny sides) OVER the checkpoint
+    (connected_components renames its label column; ngram_pair_set is
+    the bare checkpoint), and the root-only formulation this replaces
+    silently released NOTHING for projected plans (review finding:
+    ``analyzed().rdd()`` only exists on the LogicalRDD node itself).
+    Returns True iff at least one checkpointed RDD was released.
 
     ``blocking=True`` waits for block removal to finish — REQUIRED in
     timed-probe eviction (async removal of multi-GB checkpoint blocks
     otherwise overlaps, and taxes, the next timed run)."""
+    released = False
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
-        return True
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "LogicalRDD":
+                node.rdd().unpersist(blocking)
+                released = True
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
     except Exception:
-        return False
+        pass
+    return released
+
+
+def evict_checkpoint_caches(*caches: dict, blocking: bool = False) -> int:
+    """Shared memo-eviction protocol (one copy — the per-module
+    ``evict_session_memos`` hooks delegate here): unpersist the
+    checkpointed RDDs behind every cached DataFrame, clear the cache
+    dicts, then ``gc.collect()`` so the ContextCleaner can also reclaim
+    any intermediate checkpoints (CC per-iteration labels, edges) whose
+    only references died with the dropped handles.  Returns how many
+    cache entries had at least one checkpoint released."""
+    import gc
+
+    n = 0
+    for cache in caches:
+        n += sum(
+            bool(unpersist_local_checkpoint(df, blocking))
+            for df in cache.values()
+        )
+        cache.clear()
+    gc.collect()
+    return n
 
 
 def unpersist_materialized(spark: SparkSession, blocking: bool = False) -> int:

@@ -590,29 +590,32 @@ def pack_fragmentation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pad = n_seqs · PACK_BUDGET − total_tokens``).  All exact bigints
     off the span manifest.
 
-    Plan: the span layout's one per-shard window (shared with
-    pack_doc_spans), then two map-side-combinable rollups — per-(source,
-    doc) for the cut counts, per-source distinct-seq for the sequence
-    count — joined on the |sources|-row key.  No new shuffle class; at
-    10⁸ shards both aggregates stay shard-parallel."""
+    Plan: the span layout's per-shard window executes ONCE, feeding a
+    single two-level map-side-combinable rollup chain — per-(source,
+    doc) for the cut counts, then per-source.  The sequence count rides
+    the same chain as ``max(seq) + 1``: the concatenation layout fills
+    sequences 0..max densely per shard (a cumulative sum has no holes),
+    so no distinct-seq pass and no second traversal of the corpus
+    window is needed (the original two-branch + join formulation paid
+    the window sort twice — r11 review finding).  At 10⁸ shards every
+    aggregate stays shard-parallel."""
     spans = pack_doc_spans(spark, sf_dir)
     per_doc = spans.groupBy("source", "doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum("span_len").alias("doc_tokens"),
-    )
-    docs_roll = per_doc.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("n_spans").cast("bigint").alias("n_fragments"),
-        F.sum(F.when(F.col("n_spans") > 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_cut_docs"),
-        F.sum("doc_tokens").cast("bigint").alias("total_tokens"),
-    )
-    seqs_roll = spans.groupBy("source").agg(
-        F.countDistinct("seq").cast("bigint").alias("n_seqs")
+        F.max("seq").alias("max_seq"),
     )
     return (
-        docs_roll.join(seqs_roll, "source")
+        per_doc.groupBy("source")
+        .agg(
+            (F.max("max_seq") + 1).cast("bigint").alias("n_seqs"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_spans").cast("bigint").alias("n_fragments"),
+            F.sum(F.when(F.col("n_spans") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cut_docs"),
+            F.sum("doc_tokens").cast("bigint").alias("total_tokens"),
+        )
         .select(
             "source",
             "n_seqs",

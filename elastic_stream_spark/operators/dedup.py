@@ -708,18 +708,13 @@ def evict_session_memos(blocking: bool = False) -> int:
     blocks immediately (public probe/bench hook — r10 ADVICE: tools
     reaching into ``_PAIR_CACHE`` only dropped dict references, leaving
     checkpoint blocks pinned until GC + ContextCleaner).  Returns how
-    many checkpoints were released.  Timed probes pass blocking=True so
-    removal never overlaps the next measured run."""
+    many cache entries released a checkpoint.  Timed probes pass
+    blocking=True so removal never overlaps the next measured run."""
     from elastic_stream_spark.functions.materialize import (
-        unpersist_local_checkpoint,
+        evict_checkpoint_caches,
     )
 
-    n = sum(
-        bool(unpersist_local_checkpoint(df, blocking))
-        for df in _PAIR_CACHE.values()
-    )
-    _PAIR_CACHE.clear()
-    return n
+    return evict_checkpoint_caches(_PAIR_CACHE, blocking=blocking)
 
 
 def ngram_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:

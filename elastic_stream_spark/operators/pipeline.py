@@ -150,20 +150,19 @@ _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 def evict_session_memos(blocking: bool = False) -> int:
     """Drop the CC label memos (batch + standing) AND release their
     localCheckpoint blocks immediately (public probe/bench hook — r10
-    ADVICE; see dedup.evict_session_memos).  Returns how many
-    checkpoints were released.  Timed probes pass blocking=True."""
+    ADVICE; see dedup.evict_session_memos).  The cached DataFrames are
+    a ``select`` over the fixpoint's final checkpoint, which is why the
+    release goes through the plan-walking
+    ``unpersist_local_checkpoint`` (a root-only unpersist silently
+    freed nothing here — r11 review finding).  Returns how many cache
+    entries released a checkpoint.  Timed probes pass blocking=True."""
     from elastic_stream_spark.functions.materialize import (
-        unpersist_local_checkpoint,
+        evict_checkpoint_caches,
     )
 
-    n = 0
-    for cache in (_CC_CACHE, _CC_STANDING_CACHE):
-        n += sum(
-            bool(unpersist_local_checkpoint(df, blocking))
-            for df in cache.values()
-        )
-        cache.clear()
-    return n
+    return evict_checkpoint_caches(
+        _CC_CACHE, _CC_STANDING_CACHE, blocking=blocking
+    )
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1456,3 +1456,37 @@ def test_r11_ops_edge_corpora_and_invariants(spark, workdir):
         exact = CURRICULUM_BUDGET * r.weight / w_total
         assert abs(r.alloc - exact) < 1.0 + 1e-9  # largest-remainder bound
         assert 1 <= r.bucket <= 4 and r.weight == r.n_docs * r.bucket
+
+
+def test_unpersist_local_checkpoint_handles_projected_plans(spark):
+    """The memo caches store a select() OVER the checkpoint (CC labels
+    rename their column), so the release must walk the plan for
+    LogicalRDD nodes — a root-only unpersist silently freed nothing for
+    projected plans (r11 review finding).  Assert actual block-manager
+    release for bare, projected, and filtered checkpoint handles."""
+    from elastic_stream_spark.functions.materialize import (
+        unpersist_local_checkpoint,
+    )
+    from pyspark.sql import functions as F
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_stored() -> int:
+        return len(jsc.getRDDStorageInfo())
+
+    base = n_stored()
+    bare = spark.range(50000).localCheckpoint(eager=True)
+    projected = (
+        spark.range(50000)
+        .localCheckpoint(eager=True)
+        .select(F.col("id").alias("renamed"))
+    )
+    filtered = (
+        spark.range(50000).localCheckpoint(eager=True).where(F.col("id") > 10)
+    )
+    assert n_stored() == base + 3
+    for df in (bare, projected, filtered):
+        assert unpersist_local_checkpoint(df, blocking=True)
+    assert n_stored() == base
+    # a plain (non-checkpoint) plan releases nothing and says so
+    assert not unpersist_local_checkpoint(spark.range(10))

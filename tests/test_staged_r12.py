@@ -5,38 +5,35 @@ surface."""
 
 from __future__ import annotations
 
-import pytest
-
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def duck():
+def test_staged_queries_hash_match_duckdb(spark):
+    """Every staged query must already pass the driver-style comparator
+    (row count + schema kinds + canonical value hash) against its DuckDB
+    oracle, at BOTH the smoke scale and the driver's gate scale
+    (sf0.01) — at registration time only GATE_ORDER changes.  (sf0.1
+    additionally verified by the r11 session log; kept out of the suite
+    for runtime.)"""
     import sys
 
     sys.path.insert(0, "/root/repo")
-    from tools.compare import duck_con
-
-    con = duck_con(SF_DIR)
-    yield con
-    con.close()
-
-
-def test_staged_queries_hash_match_duckdb(spark, duck):
-    """Every staged query must already pass the driver-style comparator
-    (row count + schema kinds + canonical value hash) against its DuckDB
-    oracle — at registration time only GATE_ORDER changes."""
     from elastic_stream_spark.operators.staged_r12 import (
         ORACLES_R12,
         QUERIES_R12,
     )
-    from tools.compare import compare_one
+    from tools.compare import compare_one, duck_con
 
     oracles = ORACLES_R12()
     assert set(QUERIES_R12) == set(oracles)
-    for name, fn in QUERIES_R12.items():
-        res = compare_one(name, fn, oracles[name], spark, duck, SF_DIR)
-        assert res.get("status") == "OK", res
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        con = duck_con(sf_dir)
+        try:
+            for name, fn in QUERIES_R12.items():
+                res = compare_one(name, fn, oracles[name], spark, con, sf_dir)
+                assert res.get("status") == "OK", (sf_dir, res)
+        finally:
+            con.close()
 
 
 def test_self_mrr_invariants(spark):

@@ -68,9 +68,9 @@ def main() -> None:
         "probes": PROBES,
         "points": [bench_size(n) for n in SIZES],
     }
-    p50s = [p["put_ms_p50"] for p in out["points"]]
-    out["p50_growth_100x_keys"] = round(p50s[2] / p50s[0], 2)
-    out["p50_growth_1000x_keys"] = round(p50s[-1] / p50s[0], 2)
+    p50 = {p["keys"]: p["put_ms_p50"] for p in out["points"]}
+    out["p50_growth_100x_keys"] = round(p50[100_000] / p50[1_000], 2)
+    out["p50_growth_1000x_keys"] = round(p50[1_000_000] / p50[1_000], 2)
     line = json.dumps(out)
     print(line)
     for a in sys.argv[1:]:
