@@ -31,6 +31,7 @@ def _modules():
         retrieval,
         retrieval_fusion,
         scale_patterns,
+        staged_r12,
         text_pipeline,
         similarity,
         stream_ops,
@@ -40,6 +41,7 @@ def _modules():
     )
 
     return [
+        staged_r12,
         retrieval,
         retrieval_fusion,
         stream_ops,
@@ -72,85 +74,26 @@ def _modules():
 # nothing is ever dark, only riding on its last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r11 rotation — registry 144 → 146 (the ~3-query/round budget the
-# window arithmetic allows; r10 VERDICT).  The 47 queries whose last
-# driver row is r8 hit the staleness deadline and take their policy
-# slots; epoch_coverage re-enters as CHANGED (the literal-bound
-# WindowGroupLimit prune — plan change, hash unchanged); the 2
-# remaining slots go to the round's NEW queries
-# (pack_fragmentation_audit, curriculum_mix_allocation — never
-# driver-checked, so they preempt per policy).  The r11 refactors that
-# touch gate code paths without changing plans or outputs on the
-# fixtures (the Hamilton empty-corpus guard — empty-input-only
-# behavior; the IVF spill parameter — defaults reproduce the r10
-# argmax/no-dedup paths byte-for-byte) follow the FP_TERM_MOD
-# precedent (r10): covered by the committed full-registry self-check,
-# no window preemption.
+# r12 rotation — registry 146 → 149.  The 47 queries whose last driver
+# row is r9 hit the ≤3-round staleness deadline and take their policy
+# slots; the 3 remaining slots go to the round's NEW queries
+# (retrieval_self_mrr, dedup_cluster_density_audit,
+# stream_integrity_audit — staged since r11 in operators/staged_r12.py,
+# never driver-checked, so they preempt per policy).  No r12 code touch
+# changes a registered query's plan or output (the KV/materialize/
+# recall work this round is off-gate), so no CHANGED re-entries.  At
+# 149 queries the window arithmetic saturates: r13's deadline class
+# (the 49 r10 rows) leaves 1 free slot, r14's and r15's (50 each)
+# leave 0 — the registry is intentionally complete, not still growing.
 GATE_ORDER = [
-    # ---------------- r11 window (first 50 = the driver's gate) ---------
-    # --- new in r11: cross-boundary packing fragmentation/padding
-    # audit; curriculum loader-weight Hamilton allocation ---
-    "pack_fragmentation_audit",
-    "curriculum_mix_allocation",
-    # --- changed in r11: epoch_coverage gained the literal max_alloc
-    # pre-bound (WindowGroupLimit-class map-side prune; r10 VERDICT
-    # item 3) — plan change, hash unchanged, re-verified per policy ---
-    "epoch_coverage",
-    # --- the 47 r8-stale driver rows (rotation policy's ≤3-round
-    # deadline: r11) ---
-    "corpus_split_by_source",
-    "dedup_survivorship",
-    "approx_quantile_audit",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_containment",
-    "neardup_lookup",
-    "neardup_lookup_served",
-    "event_gaps_lag",
-    "event_funnel",
-    "key_skew_audit",
-    "column_profile",
-    "winsorized_event_stats",
-    "daily_anomaly_zscore",
-    "source_distinctive_tokens",
-    "vocab_coverage",
-    "source_ngram_overlap",
-    "text_token_stats",
-    "pipeline_sample_mix",
-    "text_repetition",
-    "mix_temperature_weights",
-    "pipeline_curation_verdict",
-    "source_cap_sample",
-    "emb_random_project",
-    "corpus_split_shards",
-    "quality_buckets",
-    "emb_quantize_int8",
-    "bm25_search",
-    "bigram_pmi",
-    "stream_join_replay",
-    "split_leakage_check",
-    "emb_norm_outliers",
-    "window_unique_users",
-    "retention_cohorts",
-    "hybrid_rrf_search",
-    "filtered_vector_search",
-    "ts_gapfill_locf",
-    "rolling_revenue_7d",
-    "event_transitions",
-    "fuzzy_name_match",
-    "rfm_segments",
-    "scd2_user_history",
-    "pit_feature_join",
-    "jsonl_roundtrip_audit",
-    "dedup_embedding_lsh",
-    "dedup_clusters",
-    "q1_pricing_summary",
-    # ---- 50-entry window boundary: every query below was hash-green
-    # in a prior driver window (r9 or r10 — noted per block) and is
-    # re-verified by the committed full-registry strict self-check at
-    # both sf every round (CORRECTNESS_FULL_r11*.json);
-    # tests/test_registry.py pins the policy.
-    # --- last driver row r9 (the r12 rotation pool; due r12) ---
+    # ---------------- r12 window (first 50 = the driver's gate) ---------
+    # --- new in r12: BM25 self-retrieval MRR gate; near-dup CC
+    # chaining-density audit; WAL-invariants-as-a-query log audit ---
+    "retrieval_self_mrr",
+    "dedup_cluster_density_audit",
+    "stream_integrity_audit",
+    # --- the 47 r9-stale driver rows (rotation policy's ≤3-round
+    # deadline: r12) ---
     "cc_append",
     "quality_model_score",
     "stream_pipeline_replay",
@@ -198,7 +141,12 @@ GATE_ORDER = [
     "chunk_dedup",
     "text_unigram_logprob",
     "ngram_counts",
-    # --- last driver row r10 (freshest; due r13 at the latest) ---
+    # ---- 50-entry window boundary: every query below was hash-green
+    # in a prior driver window (r10 or r11 — noted per block) and is
+    # re-verified by the committed full-registry strict self-check at
+    # both sf every round (CORRECTNESS_FULL_r12*.json);
+    # tests/test_registry.py pins the policy.
+    # --- last driver row r10 (the r13 rotation pool; due r13) ---
     "token_budget_trim",
     "quality_threshold_sweep",
     "cross_source_dup_matrix",
@@ -248,6 +196,57 @@ GATE_ORDER = [
     "resource_latest_state",
     "offset_for_timestamp",
     "pack_doc_spans",
+    # --- last driver row r11 (freshest; due r14 at the latest) ---
+    "pack_fragmentation_audit",
+    "curriculum_mix_allocation",
+    "epoch_coverage",
+    "corpus_split_by_source",
+    "dedup_survivorship",
+    "approx_quantile_audit",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "neardup_lookup",
+    "neardup_lookup_served",
+    "event_gaps_lag",
+    "event_funnel",
+    "key_skew_audit",
+    "column_profile",
+    "winsorized_event_stats",
+    "daily_anomaly_zscore",
+    "source_distinctive_tokens",
+    "vocab_coverage",
+    "source_ngram_overlap",
+    "text_token_stats",
+    "pipeline_sample_mix",
+    "text_repetition",
+    "mix_temperature_weights",
+    "pipeline_curation_verdict",
+    "source_cap_sample",
+    "emb_random_project",
+    "corpus_split_shards",
+    "quality_buckets",
+    "emb_quantize_int8",
+    "bm25_search",
+    "bigram_pmi",
+    "stream_join_replay",
+    "split_leakage_check",
+    "emb_norm_outliers",
+    "window_unique_users",
+    "retention_cohorts",
+    "hybrid_rrf_search",
+    "filtered_vector_search",
+    "ts_gapfill_locf",
+    "rolling_revenue_7d",
+    "event_transitions",
+    "fuzzy_name_match",
+    "rfm_segments",
+    "scd2_user_history",
+    "pit_feature_join",
+    "jsonl_roundtrip_audit",
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "q1_pricing_summary",
 ]
 
 
