@@ -66,15 +66,24 @@ KV_SHARDS = 256  # initial bucket count (adaptive from r11 — see below)
 
 # Adaptive resharding (r11; r10 VERDICT item 5): the 100k-key bench point
 # showed p50 put growing once buckets reach ~400 entries — serialization
-# starts rivaling the fsync.  When the AVERAGE bucket would exceed
-# KV_RESHARD_AT entries, the committing transaction rewrites the keyspace
-# at KV_RESHARD_FACTOR× the bucket count (amortized O(1) per put: a ×4
-# reshard happens at most log₄(max/256) = 2 times per store lifetime),
-# capped at KV_MAX_SHARDS so the manifest — rewritten and fsynced on
-# EVERY commit — stays a few thousand entries.  The live bucket count
-# travels in the manifest (``nshards``), so readers always hash with the
-# committed generation's count; pre-r11 manifests without the field read
-# as 256 and reshard on their next write.
+# starts rivaling the fsync.  r12 replaces the r11 WHOLESALE reshard
+# (the committing txn rewrote the entire keyspace at 4× the bucket
+# count; amortized O(1) but the trigger put measured 876 ms at 131k keys
+# and 3.5 s at 524k keys on tmpfs — r11 VERDICT "what's wrong" item 1)
+# with LINEAR-HASHING splits: the manifest carries a round size
+# (``nshards``) and a split pointer (``next``); key → bucket is
+# ``h % nshards``, re-hashed to ``h % (nshards·KV_RESHARD_FACTOR)`` when
+# the bucket is below the pointer (already split this round).  While the
+# average occupancy is ≥ KV_RESHARD_AT, each committing txn splits ONE
+# bucket — the pointer's — into its ≤FACTOR children (O(keyspace /
+# buckets), a few ms) per KV_RESHARD_AT entries it inserted, so bulk
+# loads catch up inside their own O(txn)-sized commit while single puts
+# never pay more than one bucket split.  When the pointer wraps, the
+# round size multiplies by FACTOR, capped at KV_MAX_SHARDS so the
+# manifest — rewritten and fsynced on EVERY commit — stays a few
+# thousand entries.  Pre-r12 manifests (``next`` absent → 0; wholesale
+# reshards always completed a round) and pre-r11 manifests (``nshards``
+# absent → 256) read unchanged.
 KV_RESHARD_AT = 512
 KV_RESHARD_FACTOR = 4
 KV_MAX_SHARDS = 4096  # 3 hex digits — bucket filename format unchanged
@@ -112,6 +121,7 @@ class _State:
         self.meta = store._read_meta()
         self.revision: int = self.meta["revision"]
         self.nshards: int = self.meta.get("nshards", KV_SHARDS)
+        self.nextp: int = self.meta.get("next", 0)  # linear-hash pointer
         # total entry count, maintained incrementally for the reshard
         # trigger; None = pre-r11 manifest without the field (recounted
         # once at the next commit)
@@ -127,7 +137,7 @@ class _State:
             legacy = self._store._read_legacy()
             for ek, ent in legacy["data"].items():
                 self._buckets.setdefault(
-                    self._store._bucket_of_enc(ek, self.nshards), {}
+                    self._store._bucket_of_enc(ek, self.nshards, self.nextp), {}
                 )[ek] = ent
             self._dirty = set(self._buckets)
             self._legacy_migration = True
@@ -150,13 +160,13 @@ class _State:
     # ------------------------------------------------------- mutations
 
     def get_entry(self, key: bytes):
-        return self.bucket(self._store._bucket_of(key, self.nshards)).get(
-            self._store._enc(key)
-        )
+        return self.bucket(
+            self._store._bucket_of(key, self.nshards, self.nextp)
+        ).get(self._store._enc(key))
 
     def set_entry(self, key: bytes, value: bytes) -> int:
         self.revision += 1
-        b = self._store._bucket_of(key, self.nshards)
+        b = self._store._bucket_of(key, self.nshards, self.nextp)
         data = self.bucket(b)
         ek = self._store._enc(key)
         if self._n is not None and ek not in data:
@@ -226,15 +236,23 @@ class KVStore:
         return base64.b64decode(s)
 
     @classmethod
-    def _bucket_of(cls, key: bytes, nshards: int = KV_SHARDS) -> str:
+    def _bucket_of(
+        cls, key: bytes, nshards: int = KV_SHARDS, nextp: int = 0
+    ) -> str:
         # crc32: stable across processes/runs (NOT Python hash(), which
         # is salted per process) — the bucket of a key moves only when a
-        # committed reshard changes ``nshards``
-        return f"{zlib.crc32(key) % nshards:03x}"
+        # committed split advances the manifest's (nshards, next) pair.
+        # Linear hashing: buckets below the split pointer have already
+        # fanned into the FACTOR× space this round.
+        h = zlib.crc32(key)
+        b = h % nshards
+        if b < nextp:
+            b = h % (nshards * KV_RESHARD_FACTOR)
+        return f"{b:03x}"
 
     @classmethod
-    def _bucket_of_enc(cls, ek: str, nshards: int = KV_SHARDS) -> str:
-        return cls._bucket_of(cls._dec(ek), nshards)
+    def _bucket_of_enc(cls, ek: str, nshards: int = KV_SHARDS, nextp: int = 0) -> str:
+        return cls._bucket_of(cls._dec(ek), nshards, nextp)
 
     def _read_meta(self) -> dict:
         """Manifest: {"revision": R, "shards": {bucket: filename}}.
@@ -271,10 +289,11 @@ class KVStore:
             if meta.get("_legacy"):
                 legacy = self._read_legacy()
                 ns = meta.get("nshards", KV_SHARDS)
+                np_ = meta.get("next", 0)
                 return {
                     ek: ent
                     for ek, ent in legacy["data"].items()
-                    if self._bucket_of_enc(ek, ns) == b
+                    if self._bucket_of_enc(ek, ns, np_) == b
                 }
             return {}
         with open(os.path.join(self.root, fn)) as f:
@@ -298,18 +317,26 @@ class KVStore:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             st = _State(self)
             yield st
-            self._commit(st)
+            try:
+                self._commit(st)
+            except BaseException:
+                # a commit that dies between shard writes and the
+                # manifest swap leaves orphan generation files; re-arm
+                # the once-per-open sweep so the NEXT commit in this
+                # process reclaims them (previously only a fresh open
+                # would — a slow disk leak in long-lived processes)
+                self._swept = False
+                raise
 
     def _commit(self, st: _State) -> None:
         if not st._dirty and st.revision == st.meta["revision"]:
             return  # read-only txn (e.g. failed CAS with no failure ops)
         n_total = st._n if st._n is not None else len(st.all_items())
-        if (
-            n_total >= KV_RESHARD_AT * st.nshards
-            and st.nshards < KV_MAX_SHARDS
-        ):
-            self._commit_reshard(st, n_total)
-            return
+        # pre-r11 manifests carry no entry count: allow a full catch-up
+        # (they predate splitting, so occupancy may be far past trigger)
+        prev_n = st.meta.get("n")
+        added = n_total if prev_n is None else max(0, n_total - prev_n)
+        self._split_steps(st, n_total, added)
         old_meta = st.meta
         shards = dict(old_meta["shards"])
         replaced: list[str] = []
@@ -331,6 +358,7 @@ class KVStore:
                 "revision": st.revision,
                 "shards": shards,
                 "nshards": st.nshards,
+                "next": st.nextp,
                 "n": n_total,
             },
         )
@@ -369,45 +397,55 @@ class KVStore:
                 except FileNotFoundError:
                     pass
 
-    def _commit_reshard(self, st: _State, n_total: int) -> None:
-        """Commit this transaction AND grow the bucket count ×
-        ``KV_RESHARD_FACTOR`` in one atomic manifest swap: rehash every
-        entry (post-mutation) under the new count, write every non-empty
-        bucket as a fresh generation file, then replace the manifest —
-        the same crash protocol as a normal commit (a crash before the
-        manifest swap leaves orphan generation files the next
-        committer's live-set sweep reclaims; a crash after it leaves the
-        OLD generation as the orphans).  O(keyspace) once per ×4 growth
-        step ⇒ amortized O(1) per put."""
-        items = st.all_items()  # post-mutation view across old buckets
-        # grow straight to the stable count (a bulk load can overshoot
-        # one ×4 step by decades — stepping once per commit would make
-        # the next few puts each pay another O(keyspace) rewrite)
-        new_ns = st.nshards
-        while n_total >= KV_RESHARD_AT * new_ns and new_ns < KV_MAX_SHARDS:
-            new_ns = min(new_ns * KV_RESHARD_FACTOR, KV_MAX_SHARDS)
-        buckets: dict[str, dict] = {}
-        for ek, ent in items.items():
-            buckets.setdefault(self._bucket_of_enc(ek, new_ns), {})[ek] = ent
-        shards: dict[str, int] = {}
-        for b, data in sorted(buckets.items()):
-            self._write_file(self._shard_filename(b, st.revision), data)
-            shards[b] = st.revision
-        self._write_file(
-            os.path.basename(self._meta_path),
-            {
-                "revision": st.revision,
-                "shards": shards,
-                "nshards": new_ns,
-                "n": n_total,
-            },
-        )
-        if os.path.exists(self._legacy_path):
-            os.unlink(self._legacy_path)
-        # every pre-reshard generation is now unreferenced: force a full
-        # orphan sweep (this IS the O(keyspace) operation already)
-        self._swept = False
-        self._sweep_orphans(shards)
+    def _split_steps(self, st: _State, n_total: int, added: int) -> None:
+        """Linear-hashing growth (r12; replaces the r11 wholesale reshard
+        whose trigger put measured 3.5 s at 524k keys): while the average
+        bucket occupancy is at or past the KV_RESHARD_AT trigger, split ONE
+        bucket — the pointer's — per KV_RESHARD_AT entries this txn
+        inserted (minimum 1), in memory; the splits ride the SAME atomic
+        manifest swap as the txn's own writes.  A single put therefore
+        pays at most one O(keyspace / buckets) bucket rewrite (~ms); a
+        bulk load catches up fully inside its own already-O(txn)-sized
+        commit."""
+        budget = max(1, -(-added // KV_RESHARD_AT))
+        while (
+            st.nshards < KV_MAX_SHARDS
+            and budget > 0
+            and n_total
+            >= KV_RESHARD_AT
+            * (st.nshards + st.nextp * (KV_RESHARD_FACTOR - 1))
+        ):
+            self._split_one(st)
+            budget -= 1
+
+    def _split_one(self, st: _State) -> None:
+        """Split the pointer bucket into its ≤KV_RESHARD_FACTOR children
+        under the FACTOR× hash space and advance the pointer (wrapping
+        the round: nshards ×= FACTOR, pointer → 0).  Child ids other than
+        the parent's own are fresh this round — no prior generation file
+        and no staged txn mutation can live there (mutations were placed
+        with the txn-start mapping, which never maps a key to an unsplit
+        bucket's child) — so plain assignment, not merge, is correct."""
+        parent = f"{st.nextp:03x}"
+        data = st.bucket(parent)
+        big = st.nshards * KV_RESHARD_FACTOR
+        kept: dict = {}
+        moved: dict[str, dict] = {}
+        for ek, ent in data.items():
+            b = zlib.crc32(self._dec(ek)) % big
+            if b == st.nextp:
+                kept[ek] = ent
+            else:
+                moved.setdefault(f"{b:03x}", {})[ek] = ent
+        st._buckets[parent] = kept
+        st._dirty.add(parent)
+        for cb, cdata in moved.items():
+            st._buckets[cb] = cdata
+            st._dirty.add(cb)
+        st.nextp += 1
+        if st.nextp == st.nshards:
+            st.nshards *= KV_RESHARD_FACTOR
+            st.nextp = 0
 
     def _snapshot(self) -> tuple[int, dict]:
         """Lock-free consistent read of (revision, all entries): resolve
@@ -430,12 +468,14 @@ class KVStore:
     def _get_bucket(self, key: bytes) -> dict:
         """Lock-free single-bucket read (the point-get path): one
         manifest read + one bucket file, O(keyspace / shards).  The
-        bucket id is computed from the manifest's OWN ``nshards`` (a
-        concurrent reshard moves keys; hashing with a stale count would
-        read the wrong — possibly empty — bucket)."""
+        bucket id is computed from the manifest's OWN ``(nshards, next)``
+        pair (a concurrent split moves keys; hashing with a stale pair
+        would read the wrong — possibly empty — bucket)."""
         for _ in range(64):
             meta = self._read_meta()
-            b = self._bucket_of(key, meta.get("nshards", KV_SHARDS))
+            b = self._bucket_of(
+                key, meta.get("nshards", KV_SHARDS), meta.get("next", 0)
+            )
             try:
                 return self._read_bucket_file(meta, b)
             except FileNotFoundError:

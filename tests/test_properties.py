@@ -282,11 +282,11 @@ _KV_RESHARD_OPS = st.lists(
 )
 @given(ops=_KV_RESHARD_OPS)
 def test_kv_matches_model_across_reshards(ops):
-    """The adaptive reshard (r11) is invisible to clients: with the
-    shard constants shrunk so any dense schedule crosses at least one
-    reshard boundary, the store still agrees with a plain dict after
-    every op, the full range scan matches, and the manifest's entry
-    count stays exact."""
+    """Adaptive growth (r11 wholesale reshard; r12 linear-hash splits)
+    is invisible to clients: with the shard constants shrunk so any
+    dense schedule crosses at least one split boundary, the store still
+    agrees with a plain dict after every op, the full range scan
+    matches, and the manifest's entry count stays exact."""
     import json
     import os
 
@@ -317,6 +317,9 @@ def test_kv_matches_model_across_reshards(ops):
                 meta = json.load(f)
             assert meta["n"] == len(model)
             if len(model) >= 16:  # crossed the shrunken threshold
-                assert meta["nshards"] > 4
+                eff = meta["nshards"] + meta["next"] * (
+                    kvmod.KV_RESHARD_FACTOR - 1
+                )
+                assert eff > 4  # grew past the shrunken base round
     finally:
         kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS = saved

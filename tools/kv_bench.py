@@ -1,11 +1,17 @@
 """KV put-latency micro-bench: flat-vs-keyspace evidence for the sharded
-store (r6 VERDICT next-round item 2).
+store (r6 VERDICT next-round item 2; r11 added the adaptive growth, r12
+the worst-single-put column).
 
-Preloads N keys, then times PROBES single-key puts; reports median/p90
-per keyspace size.  The monolithic snapshot this replaced rewrote the
-whole keyspace per put (O(N) serialization + fsync of the full store);
-the sharded layout writes one bucket (N / KV_SHARDS entries) + a ≤64-line
-manifest, so latency should stay ~flat as N grows 100×.
+Per keyspace size: preload N keys in one txn (whose commit performs the
+full linear-hash catch-up, so probes measure the steady state a store
+grown to N serves), then
+
+- PROBES single-key updates → p50/p90 steady-state put latency;
+- GROWTH single-key INSERTS → the same percentiles plus the MAX, which
+  captures the puts that pay a bucket split (r11's wholesale reshard
+  made the trigger put rewrite the whole keyspace: measured 876 ms at
+  131k keys and 3.5 s at 524k on tmpfs; r12's linear hashing bounds it
+  to one bucket — worst_insert_ms pins that).
 
 Usage: python tools/kv_bench.py [--json OUT.json]
 """
@@ -22,11 +28,26 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from elastic_stream_spark.kv import KV_SHARDS, KVStore  # noqa: E402
+from elastic_stream_spark.kv import (  # noqa: E402
+    KV_RESHARD_AT,
+    KV_RESHARD_FACTOR,
+    KV_SHARDS,
+    KVStore,
+)
 
 SIZES = [1_000, 10_000, 100_000, 1_000_000]
 PROBES = 200
+GROWTH = 2_000  # fresh inserts: crosses >=1 split trigger at every size
 VALUE = b"v" * 64
+
+
+def _stats(lat: list[float]) -> tuple[float, float, float]:
+    lat = sorted(lat)
+    return (
+        round(statistics.median(lat), 3),
+        round(lat[int(len(lat) * 0.9)], 3),
+        round(lat[-1], 3),
+    )
 
 
 def bench_size(n: int) -> dict:
@@ -34,29 +55,39 @@ def bench_size(n: int) -> dict:
     root = tempfile.mkdtemp(prefix="kvbench-", dir=base)
     try:
         kv = KVStore(root)
-        # bulk preload through the txn API (one commit): the bench
-        # measures steady-state put latency, not load time.  The preload
-        # commit also performs any adaptive reshard the keyspace size
-        # calls for (kv.KV_RESHARD_AT), so the probed puts measure the
-        # post-reshard steady state — exactly what a store that grew to
-        # this size would serve.
         with kv._txn() as st:
             for i in range(n):
                 st.set_entry(f"key:{i:08d}".encode(), VALUE)
-        lat = []
+        # steady-state updates (no keyspace growth, no splits)
+        upd = []
         for i in range(PROBES):
             k = f"key:{i * (n // PROBES):08d}".encode()
             t0 = time.perf_counter()
             kv.put(k, VALUE + str(i).encode())
-            lat.append((time.perf_counter() - t0) * 1000)
-        lat.sort()
-        nshards = kv._read_meta().get("nshards", KV_SHARDS)
+            upd.append((time.perf_counter() - t0) * 1000)
+        # growing inserts (includes the split-paying puts)
+        ins = []
+        for i in range(GROWTH):
+            t0 = time.perf_counter()
+            kv.put(f"grow:{i:08d}".encode(), VALUE)
+            ins.append((time.perf_counter() - t0) * 1000)
+        meta = kv._read_meta()
+        nshards = meta.get("nshards", KV_SHARDS)
+        nextp = meta.get("next", 0)
+        eff = nshards + nextp * (KV_RESHARD_FACTOR - 1)
+        u50, u90, _ = _stats(upd)
+        i50, i90, imax = _stats(ins)
         return {
             "keys": n,
-            "put_ms_p50": round(statistics.median(lat), 3),
-            "put_ms_p90": round(lat[int(len(lat) * 0.9)], 3),
-            "nshards": nshards,
-            "bucket_entries": n // nshards,
+            "put_ms_p50": u50,
+            "put_ms_p90": u90,
+            "insert_ms_p50": i50,
+            "insert_ms_p90": i90,
+            "worst_insert_ms": imax,
+            "buckets": eff,
+            "round_nshards": nshards,
+            "split_next": nextp,
+            "bucket_entries": (n + GROWTH) // eff,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -65,12 +96,17 @@ def bench_size(n: int) -> dict:
 def main() -> None:
     out = {
         "initial_shards": KV_SHARDS,
+        "reshard_at": KV_RESHARD_AT,
         "probes": PROBES,
+        "growth_inserts": GROWTH,
         "points": [bench_size(n) for n in SIZES],
     }
     p50 = {p["keys"]: p["put_ms_p50"] for p in out["points"]}
     out["p50_growth_100x_keys"] = round(p50[100_000] / p50[1_000], 2)
     out["p50_growth_1000x_keys"] = round(p50[1_000_000] / p50[1_000], 2)
+    out["worst_insert_ms_any_size"] = max(
+        p["worst_insert_ms"] for p in out["points"]
+    )
     line = json.dumps(out)
     print(line)
     for a in sys.argv[1:]:
