@@ -69,21 +69,38 @@ def unpersist_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
 
     ``blocking=True`` waits for block removal to finish — REQUIRED in
     timed-probe eviction (async removal of multi-GB checkpoint blocks
-    otherwise overlaps, and taxes, the next timed run)."""
-    released = False
+    otherwise overlaps, and taxes, the next timed run).
+
+    OWNERSHIP CONTRACT (r11 ADVICE): the caller must own EVERY live
+    reference to the checkpoints reachable from ``df``'s plan.
+    ``localCheckpoint`` truncates lineage, so releasing a checkpoint
+    that some other DataFrame still builds on makes that DataFrame
+    unrecomputable — its next action fails with a missing-block error
+    rather than a recompute.  The in-repo callers satisfy this by
+    evicting whole cache FAMILIES at once (``evict_checkpoint_caches``
+    below clears the owning memo dicts in the same call); a library
+    consumer releasing a single handle must know nothing else derives
+    from it.  A failed plan walk raises RuntimeError (with however many
+    checkpoints were already released noted) — it is NOT the False of
+    "walked fine, found no checkpoint", so partial releases are never
+    silently mistaken for no-ops."""
+    released = 0
     try:
         stack = [df._jdf.queryExecution().analyzed()]
         while stack:
             node = stack.pop()
             if node.getClass().getSimpleName() == "LogicalRDD":
                 node.rdd().unpersist(blocking)
-                released = True
+                released += 1
             ch = node.children()
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
-    except Exception:
-        pass
-    return released
+    except Exception as e:
+        raise RuntimeError(
+            f"checkpoint-release plan walk failed after releasing "
+            f"{released} checkpoint(s): {e}"
+        ) from e
+    return released > 0
 
 
 def evict_checkpoint_caches(*caches: dict, blocking: bool = False) -> int:
@@ -96,12 +113,19 @@ def evict_checkpoint_caches(*caches: dict, blocking: bool = False) -> int:
     cache entries had at least one checkpoint released."""
     import gc
 
+    import warnings
+
     n = 0
     for cache in caches:
-        n += sum(
-            bool(unpersist_local_checkpoint(df, blocking))
-            for df in cache.values()
-        )
+        for df in cache.values():
+            try:
+                n += bool(unpersist_local_checkpoint(df, blocking))
+            except RuntimeError as e:
+                # best-effort bulk cleanup: a dead handle (e.g. a memo
+                # from a stopped SparkSession whose stale-purge hasn't
+                # run) must not abort the rest of the family — but it
+                # is surfaced, never silently dropped (r11 ADVICE)
+                warnings.warn(str(e), RuntimeWarning, stacklevel=2)
         cache.clear()
     gc.collect()
     return n

@@ -799,6 +799,7 @@ def ivf_pq_build(
     centroids: list[list[float]],
     codebooks: list,
     index_dir: str,
+    spill: int = 1,
 ) -> str:
     """Persist the IVF-PQ index (faiss ``write_index`` analogue): the
     encoded corpus as parquet — (vec_id, cell, code), written
@@ -807,12 +808,18 @@ def ivf_pq_build(
     quantizer (centroids + codebooks + params) as JSON.  At 100 TB the
     codes table + quantizer ARE the stored index: built once by this
     one map-only job, served many times; re-encoding the corpus per
-    query (what the inline form does) is the cost this split removes."""
+    query (what the inline form does) is the cost this split removes.
+
+    ``spill > 1`` persists the boundary-spill index (each vector coded
+    into its top-``spill`` cells — the r11 cell-loss fix, making the
+    refined uniform serving path servable from a persisted index); the
+    value is recorded in the quantizer so ``ivf_pq_append`` encodes
+    every later batch identically."""
     import json as _json
     import os as _os
 
     codes_dir = _os.path.join(index_dir, "codes")
-    ivf_pq_encode_corpus(emb, centroids, codebooks).write.mode(
+    ivf_pq_encode_corpus(emb, centroids, codebooks, spill=spill).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(codes_dir)
     quant = {
@@ -821,6 +828,7 @@ def ivf_pq_build(
         "nlist": len(centroids),
         "m": len(codebooks),
         "k": len(codebooks[0]),
+        "spill": spill,
         "centroids": centroids,
         "codebooks": codebooks,
     }
@@ -849,20 +857,31 @@ def ivf_pq_append(spark: SparkSession, emb: DataFrame, index_dir: str) -> str:
     id, as in streaming/sink.py)."""
     import os as _os
 
-    centroids, books = ivf_pq_load(index_dir)
-    ivf_pq_encode_corpus(emb, centroids, books).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(_os.path.join(index_dir, "codes"))
+    quant = ivf_pq_quantizer(index_dir)
+    ivf_pq_encode_corpus(
+        emb,
+        quant["centroids"],
+        quant["codebooks"],
+        spill=quant.get("spill", 1),
+    ).write.mode("append").partitionBy("cell").parquet(
+        _os.path.join(index_dir, "codes")
+    )
     return index_dir
 
 
-def ivf_pq_load(index_dir: str) -> tuple[list, list]:
-    """(centroids, codebooks) from a persisted index (``read_index``)."""
+def ivf_pq_quantizer(index_dir: str) -> dict:
+    """The persisted quantizer record (centroids, codebooks, nlist/m/k
+    params, spill) — the frozen state every append/serve must share."""
     import json as _json
     import os as _os
 
     with open(_os.path.join(index_dir, "quantizer.json")) as f:
-        quant = _json.load(f)
+        return _json.load(f)
+
+
+def ivf_pq_load(index_dir: str) -> tuple[list, list]:
+    """(centroids, codebooks) from a persisted index (``read_index``)."""
+    quant = ivf_pq_quantizer(index_dir)
     return quant["centroids"], quant["codebooks"]
 
 
@@ -982,6 +1001,44 @@ def sim_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         books,
         refine=PQ_REFINE_SERVE,
         codes=codes,
+    )
+
+
+# Post-append replay fixture for the REFINED uniform serving paths
+# (r12; r11 VERDICT item 4): RECALL.json previously pinned post-append
+# recall only for the pre-refinement twin-fixture IVF-PQ path.  These
+# twins are appended AFTER a uniform-corpus index/quantizer is frozen;
+# at cosine ≈ 0.99 against the ~0.45 uniform background they displace
+# UA_TWINS of each query's exact top-5, so a serving path that fails to
+# see (stale codes) or place (frozen quantizer can't assign) appended
+# vectors loses that fraction of recall outright.
+UA_TWINS = 2
+UA_ID_BASE = 4_000_000
+UA_EPS = 0.1
+UA_EPS_STEP = 0.02
+
+
+def uniform_append_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query near-twins of the uniform fixture's query vectors
+    (one-coordinate bump ``UA_EPS + j·UA_EPS_STEP``, re-normalized),
+    ids above ``UA_ID_BASE`` — the batch ``ivf_pq_append`` ingests in
+    the post-append recall replay (tools/recall_probe.py,
+    tests/test_operators.py::test_refined_post_append_recall)."""
+    emb = _unit_emb(spark, sf_dir)
+    aq = emb.where(F.col("vec_id") < N_QUERIES).select(
+        "vec_id",
+        "u",
+        F.explode(F.array([F.lit(i) for i in range(UA_TWINS)])).alias("j"),
+    )
+    kcol = ((F.col("vec_id") * UA_TWINS + F.col("j")) % F.size("u")).cast("int")
+    eps = F.lit(UA_EPS) + F.col("j").cast("double") * F.lit(UA_EPS_STEP)
+    bumped = F.transform(
+        F.col("u"), lambda x, i: x + F.when(i == kcol, eps).otherwise(F.lit(0.0))
+    )
+    # two-step select: same lateral-alias trap as pq_twin_corpus
+    return aq.select("vec_id", "j", unit(bumped).alias("u")).select(
+        (F.col("vec_id") * UA_TWINS + F.col("j") + UA_ID_BASE).alias("vec_id"),
+        "u",
     )
 
 

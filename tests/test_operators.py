@@ -140,6 +140,85 @@ def test_refined_uniform_recall(spark):
         assert recall >= 0.98, f"{fn.__name__} recall {recall:.3f} < 0.98"
 
 
+def test_refined_post_append_recall(spark, tmp_path):
+    """Post-append staleness through the REFINED uniform serving paths
+    (r12; r11 VERDICT item 4): freeze the quantizer on the original
+    corpus, persist the spill-coded IVF-PQ index, ivf_pq_append
+    per-query near-twins that displace exact top-5 slots, and serve the
+    union.  Contract: recall ≥ the same paths' build-time contract
+    (0.98) — a stale codes table or a frozen quantizer that cannot
+    place appended vectors would lose the displaced fraction (~40%)
+    outright, far below the bar."""
+    from pyspark.sql import functions as F
+
+    from elastic_stream_spark.operators.similarity import (
+        IVF_SPILL,
+        N_QUERIES,
+        PQ_REFINE_SERVE,
+        UA_ID_BASE,
+        _train_centroids,
+        _unit_emb,
+        _uniform_pq_books,
+        ivf_pq_append,
+        ivf_pq_build,
+        ivf_pq_quantizer,
+        ivf_pq_topk,
+        ivf_topk,
+        uniform_append_batch,
+    )
+    from elastic_stream_spark.functions.vectorfns import dot
+    from pyspark.sql.window import Window
+
+    emb = _unit_emb(spark, SF_DIR)
+    books = _uniform_pq_books(spark, SF_DIR)
+    _, nprobe, centroids = _train_centroids(spark, SF_DIR)
+    idx = str(tmp_path / "ivfpq-append")
+    ivf_pq_build(spark, emb, centroids, books, idx, spill=IVF_SPILL)
+    assert ivf_pq_quantizer(idx)["spill"] == IVF_SPILL  # append reuses it
+    batch = uniform_append_batch(spark, SF_DIR).localCheckpoint(eager=True)
+    ivf_pq_append(spark, batch, idx)
+
+    full = emb.unionByName(batch)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact_rows = (
+        full.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
+        .join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qu"), F.col("nu")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    displaced = sum(1 for r in exact_rows if r.neighbor_id >= UA_ID_BASE)
+    assert displaced / len(exact_rows) >= 0.3  # the append really displaces
+
+    import os
+
+    codes = spark.read.parquet(os.path.join(idx, "codes")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "code"
+    )
+    served = {
+        "ivf_spill": ivf_topk(full, queries, centroids, nprobe, spill=IVF_SPILL),
+        "ivf_pq_refined": ivf_pq_topk(
+            full, queries, centroids, nprobe, books,
+            refine=PQ_REFINE_SERVE, codes=codes,
+        ),
+    }
+    for name, df in served.items():
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        rec = len(exact & got) / len(exact)
+        assert rec >= 0.98, f"{name} post-append recall {rec:.3f} < 0.98"
+
+
 def test_ivf_exhaustive_probe_equals_bruteforce(spark):
     """The registered sim_ann_ivf gate form (nprobe = nlist) must be
     row-for-row identical to brute-force top-k — the property that earns

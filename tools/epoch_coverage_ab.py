@@ -87,6 +87,12 @@ def main() -> None:
     hashes: dict[int, set] = {}
     for epochs in (3, 10):
         for prune in (False, True):
+            # per-cell warm-up (r11 ADVICE): the shared E=1 warm pass
+            # does not warm THIS cell's codegen/exchange shape, so the
+            # first timed cell absorbed scan warm-up and the committed
+            # A/B read as noise at fixture scale
+            spark.catalog.clearCache()
+            coverage(spark, sf_dir, epochs, prune).collect()
             best = None
             for _ in range(3):
                 spark.catalog.clearCache()

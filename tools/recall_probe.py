@@ -229,6 +229,105 @@ def main() -> None:
         ),
     }
 
+    # --- r12 (r11 VERDICT item 4): post-append staleness replay through
+    # the REFINED uniform serving paths — the forms a user actually runs.
+    # Freeze the quantizer trained on the ORIGINAL uniform corpus
+    # (centroids + 8-bit books), persist the spill-coded index, append
+    # per-query near-twins (cosine ≈ 0.99 — displaces UA_TWINS of each
+    # exact top-5), then serve (a) plain IVF + boundary spill with the
+    # frozen centroids and (b) the persisted IVF-PQ index (spill codes,
+    # PQ_REFINE_SERVE depth).  Contract: recall ≥ the build-time numbers
+    # just measured above — a stale codes table or a quantizer unable to
+    # place appended vectors would lose the displaced fraction outright.
+    from elastic_stream_spark.operators.similarity import (
+        PQ_REFINE_SERVE,
+        UA_TWINS,
+        UA_ID_BASE,
+        _unit_emb,
+        _uniform_pq_books,
+        ivf_topk as _ivf_topk,
+        uniform_append_batch,
+    )
+
+    emb_u = _unit_emb(spark, sf_dir)
+    books8 = _uniform_pq_books(spark, sf_dir)
+    _, _, centroids_u = _train_centroids(spark, sf_dir)
+    idx_u = tempfile.mkdtemp(prefix="esspark-ivfpq-uniappend-")
+    ivf_pq_build(spark, emb_u, centroids_u, books8, idx_u, spill=IVF_SPILL)
+    batch_u = uniform_append_batch(spark, sf_dir).localCheckpoint(eager=True)
+    n_appended_u = batch_u.count()
+    ivf_pq_append(spark, batch_u, idx_u)
+
+    full_u = emb_u.unionByName(batch_u)
+    uq = emb_u.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    ub = full_u.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu")
+    )
+    exact_u_rows = (
+        ub.join(F.broadcast(uq), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qu"), F.col("nu")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    )
+    exact_u = topk_map(exact_u_rows)
+    displaced_u = sum(
+        1 for r in exact_u_rows if r.neighbor_id >= UA_ID_BASE
+    ) / max(len(exact_u_rows), 1)
+
+    spill_pa = recall(
+        topk_map(
+            _ivf_topk(
+                full_u, uq, centroids_u, nprobe, spill=IVF_SPILL
+            ).collect()
+        ),
+        exact_u,
+    )
+    codes_u = spark.read.parquet(_os.path.join(idx_u, "codes")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "code"
+    )
+    refined_pa = recall(
+        topk_map(
+            ivf_pq_topk(
+                full_u,
+                uq,
+                centroids_u,
+                nprobe,
+                books8,
+                refine=PQ_REFINE_SERVE,
+                codes=codes_u,
+            ).collect()
+        ),
+        exact_u,
+    )
+    common = {
+        "appended_vectors": n_appended_u,
+        "appended_twins_per_query": UA_TWINS,
+        "exact_top5_displaced_by_append": round(displaced_u, 3),
+        "nlist": nlist,
+        "nprobe": nprobe,
+        "spill": IVF_SPILL,
+    }
+    out["ivf_spill_post_append"] = {
+        **common,
+        "recall_at_5": spill_pa,
+        "build_time_recall_at_5": spill_r,
+        "contract": ">= build-time recall (pytest test_refined_post_append_recall)",
+    }
+    out["ivf_pq_refined_post_append"] = {
+        **common,
+        "refine": PQ_REFINE_SERVE,
+        "recall_at_5": refined_pa,
+        "build_time_recall_at_5": refined_r,
+        "contract": ">= build-time recall (pytest test_refined_post_append_recall)",
+    }
+
     line = json.dumps(out)
     print(line)
     for a in sys.argv[1:]:
