@@ -624,3 +624,38 @@ def test_r11_operator_plans(spark):
     # alloc table hides the upstream plan, so the final plan shows only
     # the bonus machinery)
     assert cm.count("Window") <= 1
+
+
+def test_r12_operator_plans(spark):
+    """Plan shapes for the three queries registered in r12: no cartesian
+    products, no Python evals, and — the load-bearing design claim — NO
+    window anywhere: the self-MRR rank is a count aggregate against a
+    broadcast self-score table (never a per-probe sort), and both audits
+    are pure map-side-combinable rollup chains.  The self-MRR's only
+    nested-loop joins are the 1-row corpus-stats attaches (broadcast of
+    a scalar, corpus-size-independent)."""
+    from elastic_stream_spark.operators.staged_r12 import (
+        dedup_cluster_density_audit,
+        retrieval_self_mrr,
+        stream_integrity_audit,
+    )
+
+    def plan(fn):
+        return (
+            fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    mrr = plan(retrieval_self_mrr)
+    assert "CartesianProduct" not in mrr
+    assert "BatchEvalPython" not in mrr and "ArrowEvalPython" not in mrr
+    assert mrr.count("Window") == 0  # rank via count-agg, not a sort
+    assert "BroadcastHashJoin" in mrr  # probe terms / self-scores broadcast
+    # only the two 1-row stats attaches may nested-loop
+    assert mrr.count("BroadcastNestedLoopJoin") <= 2
+
+    for fn in (dedup_cluster_density_audit, stream_integrity_audit):
+        p = plan(fn)
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert p.count("Window") == 0  # rollup chains only
+        assert "BroadcastNestedLoopJoin" not in p
