@@ -225,7 +225,10 @@ def main():
     pos: list[str] = []
     i = 0
     while i < len(args):
-        if args[i] == "--json":
+        if args[i].startswith("--json="):
+            json_out = args[i].split("=", 1)[1]
+            i += 1
+        elif args[i] == "--json":
             if i + 1 >= len(args):
                 raise SystemExit(
                     "usage: compare.py [--json OUT.json] [sf_dir] [query ...]"
