@@ -45,7 +45,14 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan notes (100 TB): probe terms derive from the corpus but the
     probe table is tiny (|docs|/MOD rows) and BROADCASTS; postings/df
-    tables join token-partitioned exactly as ``bm25_search``.  The rank
+    tables join token-partitioned exactly as ``bm25_search``.  The tf/df
+    statistics are built ONLY for the probe-token slice of the
+    vocabulary: the token stream is semi-joined against the broadcast
+    distinct-probe-token set BEFORE the tf groupBy, which leaves the
+    per-token df values identical (a token's posting rows are kept or
+    dropped whole) while shrinking the index build by the
+    vocabulary-to-probe-token ratio — the full-vocabulary build was the
+    bench's slowest query at registration (4.3 s at sf0.1).  The rank
     of the self document needs NO per-probe sort: rank = 1 + |candidates
     scoring strictly above self| (ties broken by doc_id), computed as
     one map-side-combinable count aggregate against the broadcast
@@ -66,10 +73,6 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dl = d.select("doc_id", F.size("t").alias("dl"))
     toks = d.select("doc_id", F.explode("t").alias("token"))
-    tf = materialize(
-        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).withColumn("k", F.lit(1))
@@ -85,6 +88,17 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = probes.select(
         "probe_id", F.explode("q_terms").alias("token")
     ).distinct()
+    # probe-token slice of the postings: dropping a token keeps or drops
+    # its posting rows WHOLE, so per-token tf/df over the slice equal
+    # the full-vocabulary values for every token that can reach the
+    # output (see plan notes)
+    probe_tokens = qterms.select("token").distinct()
+    tf = materialize(
+        toks.join(F.broadcast(probe_tokens), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
 
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
