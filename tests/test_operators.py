@@ -1186,6 +1186,78 @@ def test_ivf_pq_append_incremental_ingest(spark, workdir):
     assert n_codes == corpus.count()
 
 
+def test_ivf_pq_append_streaming_foreach_batch(spark, workdir):
+    """The deployment mode ``ivf_pq_append``'s docstring commits to:
+    micro-batches of new embeddings ingested inside ``foreachBatch``,
+    each append visible to the next serving scan.  Build the index on
+    half the twin corpus, stream the other half through an availableNow
+    file stream at one file per trigger (≥2 real micro-batches), then
+    serve: the result must equal the one-shot full build row-for-row,
+    and the codes table must cover the whole corpus — no batch lost, no
+    batch double-coded."""
+    import os
+
+    from elastic_stream_spark.operators.similarity import (
+        IVF_CLUSTERED_NPROBE,
+        N_QUERIES,
+        ivf_pq_append,
+        ivf_pq_build,
+        ivf_pq_topk,
+        planted_centroids,
+        pq_twin_corpus,
+        train_pq,
+    )
+
+    corpus = pq_twin_corpus(spark, SF_DIR)
+    cents = planted_centroids(spark, SF_DIR)
+    books = train_pq(corpus)
+    half = F.col("vec_id") % 2 == 0
+    idx = os.path.join(workdir, "ivfpq_stream")
+    ivf_pq_build(spark, corpus.where(half), cents, books, idx)
+
+    # the arriving embeddings, staged as a multi-file parquet directory
+    feed = os.path.join(workdir, "arriving")
+    corpus.where(~half).repartition(3).write.parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    n_batches = {"n": 0}
+
+    def ingest(batch_df, batch_id):
+        if batch_df.count():
+            ivf_pq_append(batch_df.sparkSession, batch_df, idx)
+            n_batches["n"] += 1
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert n_batches["n"] >= 2  # really exercised the micro-batch path
+
+    codes = spark.read.parquet(os.path.join(idx, "codes")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "code"
+    )
+    assert codes.count() == corpus.count()
+    assert codes.select("vec_id").distinct().count() == corpus.count()
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    streamed = ivf_pq_topk(
+        corpus, queries, cents, IVF_CLUSTERED_NPROBE, books, codes=codes
+    ).collect()
+    oneshot = ivf_pq_topk(
+        corpus, queries, cents, IVF_CLUSTERED_NPROBE, books
+    ).collect()
+    as_map = lambda rows: {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in rows
+    }
+    assert as_map(streamed) == as_map(oneshot)
+
+
 def test_source_cap_sample_cap_rank_and_priority(spark):
     """Per-source quota: nobody exceeds SOURCE_CAP, ranks are contiguous
     from 1, and the kept set per source is exactly the top-cap docs by
