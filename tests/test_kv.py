@@ -279,6 +279,92 @@ def test_split_commits_are_incremental(workdir):
     assert kv.get(b"grow:0") is not None
 
 
+def test_cross_process_cas_serializes(workdir):
+    """The linearizability claim (kv.py module docstring: transactions
+    serialize through the driver-side fcntl lock, the same
+    single-coordinator role as the reference's etcd-leader PD) tested
+    ACROSS PROCESSES: 4 workers bump a shared counter 40 times each via
+    CAS-retry.  Every increment must land exactly once (no lost
+    updates), and the revision must reflect exactly the successful
+    mutations."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    N_PROCS, N_INCR = 4, 40
+
+    def worker(root: str, n: int) -> None:
+        kv = KVStore(root)
+        for _ in range(n):
+            while True:
+                got = kv.get(b"counter")
+                cur, ver = (int(got[0]), got[1]) if got else (0, 0)
+                if kv.cas(b"counter", ver, str(cur + 1).encode()):
+                    break
+
+    ctx = mp.get_context("fork")
+    procs = [
+        ctx.Process(target=worker, args=(workdir, N_INCR))
+        for _ in range(N_PROCS)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    kv = KVStore(workdir)
+    val, ver = kv.get(b"counter")
+    assert int(val) == N_PROCS * N_INCR  # no lost update, no double-apply
+    with open(os.path.join(workdir, "kv-meta.json")) as f:
+        meta = json.load(f)
+    # exactly one revision per successful CAS (failed CAS txns are
+    # read-only and must not bump the revision)
+    assert meta["revision"] == N_PROCS * N_INCR == ver
+
+
+def test_readers_resolve_during_concurrent_splits(workdir):
+    """Lock-free point reads stay consistent while a concurrent writer
+    grows the store through split triggers: the reader must always
+    resolve (manifest-churn retry) and never see a missing or stale
+    value for keys written before it started."""
+    import multiprocessing as mp
+
+    from elastic_stream_spark.kv import KV_RESHARD_AT
+
+    kv = KVStore(workdir)
+    base = KV_RESHARD_AT * 256 - 50  # just under the first split trigger
+    with kv._txn() as st:
+        for i in range(base):
+            st.set_entry(f"k:{i:07d}".encode(), b"v")
+
+    def writer(root: str) -> None:
+        w = KVStore(root)
+        for i in range(300):  # crosses several split commits
+            w.put(f"grow:{i:04d}".encode(), b"g")
+
+    def reader(root: str, q) -> None:
+        r = KVStore(root)
+        try:
+            for i in range(600):
+                k = f"k:{(i * 131) % base:07d}".encode()
+                got = r.get(k)
+                assert got is not None and got[0] == b"v", k
+            q.put("ok")
+        except BaseException as e:  # surfaced to the asserting parent
+            q.put(f"reader failed: {e!r}")
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    pw = ctx.Process(target=writer, args=(workdir,))
+    pr = ctx.Process(target=reader, args=(workdir, q))
+    pr.start(); pw.start()
+    pw.join(120); pr.join(120)
+    assert pw.exitcode == 0 and pr.exitcode == 0
+    assert q.get(timeout=10) == "ok"
+    meta = kv._read_meta()
+    assert meta.get("next", 0) > 0  # the writer really split mid-read
+
+
 def test_reshard_crash_window_leaves_store_unchanged(workdir):
     """A crash AFTER the reshard wrote its new-generation bucket files
     but BEFORE the manifest swap must leave the store serving the old
