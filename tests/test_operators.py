@@ -1622,10 +1622,13 @@ def test_unpersist_local_checkpoint_handles_projected_plans(spark):
 
     jsc = spark.sparkContext._jsc.sc()
 
-    def n_stored() -> int:
-        return len(jsc.getRDDStorageInfo())
+    def stored_ids() -> set:
+        # ids, not counts: earlier tests' dropped checkpoint handles are
+        # reclaimed ASYNC by the ContextCleaner, so a count captured as
+        # "base" can shrink mid-test — only the THIS-test ids are stable
+        return {info.id() for info in jsc.getRDDStorageInfo()}
 
-    base = n_stored()
+    base = stored_ids()
     bare = spark.range(50000).localCheckpoint(eager=True)
     projected = (
         spark.range(50000)
@@ -1635,9 +1638,10 @@ def test_unpersist_local_checkpoint_handles_projected_plans(spark):
     filtered = (
         spark.range(50000).localCheckpoint(eager=True).where(F.col("id") > 10)
     )
-    assert n_stored() == base + 3
+    ours = stored_ids() - base
+    assert len(ours) == 3
     for df in (bare, projected, filtered):
         assert unpersist_local_checkpoint(df, blocking=True)
-    assert n_stored() == base
+    assert not (stored_ids() & ours)
     # a plain (non-checkpoint) plan releases nothing and says so
     assert not unpersist_local_checkpoint(spark.range(10))
