@@ -194,6 +194,13 @@ HEADLINE = [
     # tier multiplier cells)
     "pack_fragmentation_audit",
     "curriculum_mix_allocation",
+    # round 12: BM25 self-retrieval MRR (rank = count aggregate vs a
+    # broadcast self-score table), CC cluster edge-density audit
+    # (pair-set + label rollups), declarative stream log integrity
+    # audit (per-stream gap/dup/range invariants)
+    "retrieval_self_mrr",
+    "dedup_cluster_density_audit",
+    "stream_integrity_audit",
 ]
 
 # Session-memo builders, invoked ONCE (untimed) during warm-up: these
