@@ -279,6 +279,67 @@ def test_split_commits_are_incremental(workdir):
     assert kv.get(b"grow:0") is not None
 
 
+def test_failed_commit_rearms_orphan_sweep(workdir):
+    """r11 ADVICE: the orphan sweep latched once per open, so a commit
+    that died AFTER writing shard generations but BEFORE the manifest
+    swap leaked those files for the rest of a long-lived process.  Crash
+    a commit mid-way by injecting a manifest-write failure, then verify:
+    the store still serves the pre-crash state (rename is the commit
+    point), the orphan generation files exist, and the SAME handle's
+    next successful commit — not just a fresh open — reclaims them."""
+    import os
+
+    kv = KVStore(workdir)
+    kv.put(b"a", b"1")
+    kv.put(b"b", b"2")
+    assert kv._swept  # the open's first commit ran its sweep
+
+    real_write = kv._write_file
+
+    def exploding_write(name, payload):
+        if name == "kv-meta.json":
+            raise OSError("disk full (injected)")
+        real_write(name, payload)
+
+    kv._write_file = exploding_write
+    try:
+        kv.put(b"c", b"3")
+    except OSError:
+        pass
+    else:
+        raise AssertionError("injected failure did not propagate")
+    finally:
+        kv._write_file = real_write
+
+    # rename-is-commit-point: the failed put is invisible...
+    assert kv.get(b"c") is None
+    assert kv.get(b"a") == (b"1", 1)
+    # ...but its shard generation was written and is now an orphan,
+    # and the failure re-armed the sweep
+    orphans = {
+        fn
+        for fn in os.listdir(workdir)
+        if fn.startswith("kv-shard-")
+        and fn not in {
+            KVStore._shard_filename(b, g)
+            for b, g in kv._read_meta()["shards"].items()
+        }
+    }
+    assert orphans
+    assert not kv._swept
+    kv.put(b"d", b"4")  # same handle's next commit sweeps
+    live = {
+        KVStore._shard_filename(b, g)
+        for b, g in kv._read_meta()["shards"].items()
+    }
+    for fn in orphans:
+        assert fn not in live and not os.path.exists(os.path.join(workdir, fn))
+    # the crashed txn's revision bump never committed, so the next
+    # successful mutation takes revision 3 — no gap in the committed
+    # revision sequence
+    assert kv.get(b"d") == (b"4", 3)
+
+
 def test_cross_process_cas_serializes(workdir):
     """The linearizability claim (kv.py module docstring: transactions
     serialize through the driver-side fcntl lock, the same
