@@ -26,6 +26,14 @@ from elastic_stream_spark.sources.envelope import load_table_balanced
 
 SELF_MRR_MOD = 25  # probe docs: doc_id % 25 == 0
 SELF_MRR_TERMS = 4  # probe query = the doc's 4 smallest distinct tokens
+# Probe-count bound: a MODULUS selects a linear FRACTION of the corpus,
+# which stops being broadcastable somewhere around 10⁷ docs — an eval
+# needs a fixed probe budget, not a percentage.  The literal cap keeps
+# the probe table ≤ MAX_PROBES rows (id-prefix deterministic, so the
+# oracle derives the identical set); it binds only beyond
+# MOD·MAX_PROBES = 250k docs, far above every fixture (50k at sf0.1),
+# so fixture outputs are unchanged while the PLAN carries the bound.
+SELF_MRR_MAX_PROBES = 10_000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,9 +51,12 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     same index: an MRR collapse means the scoring/statistics pipeline is
     broken even when every individual operator is hash-green.
 
-    Plan notes (100 TB): probe terms derive from the corpus but the
-    probe table is tiny (|docs|/MOD rows) and BROADCASTS; postings/df
-    tables join token-partitioned exactly as ``bm25_search``.  The tf/df
+    Plan notes (100 TB): the probe set is hard-bounded at
+    ``SELF_MRR_MAX_PROBES`` rows (a bare modulus selects a linear
+    fraction of the corpus — a percentage, not an eval budget — and
+    stops being broadcastable at web scale), so the probe table always
+    BROADCASTS; postings/df tables join token-partitioned exactly as
+    ``bm25_search``.  The tf/df
     statistics are built ONLY for the probe-token slice of the
     vocabulary: the token stream is semi-joined against the broadcast
     distinct-probe-token set BEFORE the tf groupBy, which leaves the
@@ -80,7 +91,10 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_terms = F.slice(
         F.array_sort(F.array_distinct(F.col("t"))), 1, SELF_MRR_TERMS
     )
-    probes = d.where(F.col("doc_id") % SELF_MRR_MOD == 0).select(
+    probes = d.where(
+        (F.col("doc_id") % SELF_MRR_MOD == 0)
+        & (F.col("doc_id") < SELF_MRR_MOD * SELF_MRR_MAX_PROBES)
+    ).select(
         F.col("doc_id").alias("probe_id"),
         F.col("source").alias("probe_source"),
         probe_terms.alias("q_terms"),
@@ -319,6 +333,7 @@ def _oracles_r12() -> dict[str, str]:
           SELECT doc_id AS probe_id, source AS probe_source,
                  list_sort(list_distinct(t))[1:{SELF_MRR_TERMS}] AS q_terms
           FROM d WHERE doc_id % {SELF_MRR_MOD} = 0
+                   AND doc_id < {SELF_MRR_MOD * SELF_MRR_MAX_PROBES}
         ), qterms AS (
           SELECT DISTINCT probe_id, unnest(q_terms) AS token FROM probes
         ), scored AS (
