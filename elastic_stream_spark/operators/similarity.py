@@ -839,7 +839,12 @@ def ivf_pq_build(
     return index_dir
 
 
-def ivf_pq_append(spark: SparkSession, emb: DataFrame, index_dir: str) -> str:
+def ivf_pq_append(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    batch_id: int | None = None,
+) -> str:
     """Incremental ingest into a persisted IVF-PQ index (faiss ``add``
     on a trained index): encode the NEW batch with the index's frozen
     quantizer (centroids + codebooks from ``quantizer.json``) and append
@@ -854,9 +859,29 @@ def ivf_pq_append(spark: SparkSession, emb: DataFrame, index_dir: str) -> str:
     ``foreachBatch`` — each micro-batch of new embeddings becomes one
     appended ingest, visible to the next serving scan; callers own
     vec_id uniqueness across batches (the stream's offset is the natural
-    id, as in streaming/sink.py)."""
+    id, as in streaming/sink.py).
+
+    Retried micro-batches (r12): pass Spark's ``batch_id`` and a replay
+    becomes a no-op — a marker file per batch id is written AFTER the
+    append commits, so a batch whose checkpoint commit was lost is
+    re-applied at most once.  The one remaining crash window (append
+    committed, marker lost) duplicates that batch's code rows, which is
+    a storage-bloat concern only, never a correctness one: the ADC
+    scorer dedups candidates by vec_id in-batch (the same dedup the
+    spill index needs — ``ivf_pq_topk``), and the exact re-rank scores
+    each neighbor id once.  The parquet job commit itself is
+    all-or-nothing to readers (task files live under ``_temporary``
+    until job commit), so a torn append leaves no visible partials."""
+    import json as _json
     import os as _os
 
+    marker = (
+        _os.path.join(index_dir, "append-markers", f"{batch_id}.json")
+        if batch_id is not None
+        else None
+    )
+    if marker is not None and _os.path.exists(marker):
+        return index_dir  # replayed micro-batch — already applied
     quant = ivf_pq_quantizer(index_dir)
     ivf_pq_encode_corpus(
         emb,
@@ -866,6 +891,12 @@ def ivf_pq_append(spark: SparkSession, emb: DataFrame, index_dir: str) -> str:
     ).write.mode("append").partitionBy("cell").parquet(
         _os.path.join(index_dir, "codes")
     )
+    if marker is not None:
+        _os.makedirs(_os.path.dirname(marker), exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"batch_id": batch_id, "state": "committed"}, f)
+        _os.replace(tmp, marker)
     return index_dir
 
 

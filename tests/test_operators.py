@@ -1223,7 +1223,7 @@ def test_ivf_pq_append_streaming_foreach_batch(spark, workdir):
 
     def ingest(batch_df, batch_id):
         if batch_df.count():
-            ivf_pq_append(batch_df.sparkSession, batch_df, idx)
+            ivf_pq_append(batch_df.sparkSession, batch_df, idx, batch_id=batch_id)
             n_batches["n"] += 1
 
     (
@@ -1256,6 +1256,25 @@ def test_ivf_pq_append_streaming_foreach_batch(spark, workdir):
         (r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in rows
     }
     assert as_map(streamed) == as_map(oneshot)
+
+    # replayed micro-batch (checkpoint commit lost, batch re-delivered):
+    # the batchId marker makes the re-apply a no-op
+    replay = corpus.where(~half).limit(20)
+    ivf_pq_append(spark, replay, idx, batch_id=0)
+    assert spark.read.parquet(os.path.join(idx, "codes")).count() == corpus.count()
+
+    # the one unclosed window (append committed, marker lost) duplicates
+    # rows — storage bloat only: the ADC scorer dedups by vec_id, so the
+    # served result is unchanged
+    ivf_pq_append(spark, replay, idx)  # no batch_id → no marker guard
+    codes2 = spark.read.parquet(os.path.join(idx, "codes")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "code"
+    )
+    assert codes2.count() == corpus.count() + 20  # bloat is real...
+    dup_served = ivf_pq_topk(
+        corpus, queries, cents, IVF_CLUSTERED_NPROBE, books, codes=codes2
+    ).collect()
+    assert as_map(dup_served) == as_map(oneshot)  # ...correctness is not
 
 
 def test_source_cap_sample_cap_rank_and_priority(spark):
