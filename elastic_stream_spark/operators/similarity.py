@@ -817,8 +817,14 @@ def ivf_pq_build(
     every later batch identically."""
     import json as _json
     import os as _os
+    import shutil as _shutil
 
     codes_dir = _os.path.join(index_dir, "codes")
+    # a REBUILD invalidates every prior append: clear the batch markers,
+    # else a restarted stream whose fresh checkpoint reuses batch ids
+    # 0..k would see stale markers and silently skip real appends
+    # (review finding, r12)
+    _shutil.rmtree(_os.path.join(index_dir, "append-markers"), ignore_errors=True)
     ivf_pq_encode_corpus(emb, centroids, codebooks, spill=spill).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(codes_dir)
@@ -1049,27 +1055,44 @@ UA_EPS = 0.1
 UA_EPS_STEP = 0.02
 
 
+def append_twin_batch(
+    corpus: DataFrame,
+    twins: int,
+    id_base: int,
+    eps0: float,
+    eps_step: float,
+) -> DataFrame:
+    """Per-query near-twin batch over any (vec_id, u) corpus: for each
+    query vector (``vec_id < N_QUERIES``) emit ``twins`` copies with one
+    coordinate bumped by ``eps0 + j·eps_step`` and re-normalized, ids
+    offset above ``id_base``.  One builder for every post-append replay
+    fixture (the uniform and clustered-twin probes previously carried
+    near-identical inline copies — review finding, r12)."""
+    aq = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        "vec_id",
+        "u",
+        F.explode(F.array([F.lit(i) for i in range(twins)])).alias("j"),
+    )
+    kcol = ((F.col("vec_id") * twins + F.col("j")) % F.size("u")).cast("int")
+    eps = F.lit(eps0) + F.col("j").cast("double") * F.lit(eps_step)
+    bumped = F.transform(
+        F.col("u"), lambda x, i: x + F.when(i == kcol, eps).otherwise(F.lit(0.0))
+    )
+    # two-step select: same lateral-alias trap as pq_twin_corpus
+    return aq.select("vec_id", "j", unit(bumped).alias("u")).select(
+        (F.col("vec_id") * twins + F.col("j") + id_base).alias("vec_id"),
+        "u",
+    )
+
+
 def uniform_append_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query near-twins of the uniform fixture's query vectors
     (one-coordinate bump ``UA_EPS + j·UA_EPS_STEP``, re-normalized),
     ids above ``UA_ID_BASE`` — the batch ``ivf_pq_append`` ingests in
     the post-append recall replay (tools/recall_probe.py,
     tests/test_operators.py::test_refined_post_append_recall)."""
-    emb = _unit_emb(spark, sf_dir)
-    aq = emb.where(F.col("vec_id") < N_QUERIES).select(
-        "vec_id",
-        "u",
-        F.explode(F.array([F.lit(i) for i in range(UA_TWINS)])).alias("j"),
-    )
-    kcol = ((F.col("vec_id") * UA_TWINS + F.col("j")) % F.size("u")).cast("int")
-    eps = F.lit(UA_EPS) + F.col("j").cast("double") * F.lit(UA_EPS_STEP)
-    bumped = F.transform(
-        F.col("u"), lambda x, i: x + F.when(i == kcol, eps).otherwise(F.lit(0.0))
-    )
-    # two-step select: same lateral-alias trap as pq_twin_corpus
-    return aq.select("vec_id", "j", unit(bumped).alias("u")).select(
-        (F.col("vec_id") * UA_TWINS + F.col("j") + UA_ID_BASE).alias("vec_id"),
-        "u",
+    return append_twin_batch(
+        _unit_emb(spark, sf_dir), UA_TWINS, UA_ID_BASE, UA_EPS, UA_EPS_STEP
     )
 
 

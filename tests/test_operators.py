@@ -1276,6 +1276,16 @@ def test_ivf_pq_append_streaming_foreach_batch(spark, workdir):
     ).collect()
     assert as_map(dup_served) == as_map(oneshot)  # ...correctness is not
 
+    # an in-place REBUILD invalidates every prior append: the stale
+    # batch markers must not survive it, else a restarted stream whose
+    # fresh checkpoint reuses batch id 0 silently skips a real append
+    ivf_pq_build(spark, corpus.where(half), cents, books, idx)
+    ivf_pq_append(spark, replay, idx, batch_id=0)  # same id as before
+    assert (
+        spark.read.parquet(os.path.join(idx, "codes")).count()
+        == corpus.where(half).count() + 20
+    )
+
 
 def test_source_cap_sample_cap_rank_and_priority(spark):
     """Per-source quota: nobody exceeds SOURCE_CAP, ranks are contiguous

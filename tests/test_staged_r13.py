@@ -11,7 +11,9 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_staged_r13_hash_matches_duckdb(spark):
     """The staged query must already pass the driver-style comparator
     (row count + schema kinds + canonical value hash) against its DuckDB
-    oracle at BOTH the smoke scale and the driver's gate scale."""
+    oracle at ALL THREE committed scales — the registration claim is
+    "already-verified surface", so the largest fixture is pinned here
+    rather than left to a session log (review finding, r12)."""
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -23,7 +25,7 @@ def test_staged_r13_hash_matches_duckdb(spark):
 
     oracles = ORACLES_R13()
     assert set(QUERIES_R13) == set(oracles)
-    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         con = duck_con(sf_dir)
         try:
             for name, fn in QUERIES_R13.items():

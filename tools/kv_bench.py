@@ -7,11 +7,17 @@ full linear-hash catch-up, so probes measure the steady state a store
 grown to N serves), then
 
 - PROBES single-key updates → p50/p90 steady-state put latency;
-- GROWTH single-key INSERTS → the same percentiles plus the MAX, which
-  captures the puts that pay a bucket split (r11's wholesale reshard
-  made the trigger put rewrite the whole keyspace: measured 876 ms at
-  131k keys and 3.5 s at 524k on tmpfs; r12's linear hashing bounds it
-  to one bucket — worst_insert_ms pins that).
+- GROWTH single-key INSERTS → the same percentiles plus the MAX.  Note
+  the trigger arithmetic: below 131,072 keys (512 × 256 buckets) NO
+  split can fire, so the 1k/10k/100k worst_insert_ms is the plain
+  fsync tail; only the 1M point's growth phase pays real splits
+  (~1 per 1,536 inserts);
+- SPLIT-TRIGGER spikes → the direct measurement of the put that pays a
+  bucket split at each round boundary: preload to one key under the
+  boundary, then time puts until the split pointer advances.  This is
+  the number that was 876 ms (131k keys) / 3.5 s (524k keys) under
+  r11's wholesale reshard — linear hashing bounds it to one bucket
+  rewrite (split_trigger_put_ms per boundary).
 
 Usage: python tools/kv_bench.py [--json OUT.json]
 """
@@ -37,8 +43,12 @@ from elastic_stream_spark.kv import (  # noqa: E402
 
 SIZES = [1_000, 10_000, 100_000, 1_000_000]
 PROBES = 200
-GROWTH = 2_000  # fresh inserts: crosses >=1 split trigger at every size
+GROWTH = 2_000  # fresh inserts (splits fire only at the 1M point; see doc)
 VALUE = b"v" * 64
+
+# Round boundaries where a put triggers a split at the prior constants'
+# wholesale-reshard points: 512·256 and 512·1024 keys.
+SPIKE_BOUNDARIES = [512 * 256, 512 * 1024]
 
 
 def _stats(lat: list[float]) -> tuple[float, float, float]:
@@ -93,6 +103,36 @@ def bench_size(n: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def spike_point(boundary: int) -> dict:
+    """Preload to one key under a split boundary, then time single puts
+    until the split pointer advances — the direct cost of the put that
+    pays a bucket split at that keyspace size."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="kvspike-", dir=base)
+    try:
+        kv = KVStore(root)
+        with kv._txn() as st:
+            for i in range(boundary - 1):
+                st.set_entry(f"key:{i:08d}".encode(), VALUE)
+        before = kv._read_meta()
+        nextp0 = before.get("next", 0)
+        ns0 = before.get("nshards", KV_SHARDS)
+        for i in range(10):
+            t0 = time.perf_counter()
+            kv.put(f"spike:{i:02d}".encode(), VALUE)
+            dt = (time.perf_counter() - t0) * 1000
+            m = kv._read_meta()
+            if (m.get("nshards", KV_SHARDS), m.get("next", 0)) != (ns0, nextp0):
+                return {
+                    "boundary_keys": boundary,
+                    "split_trigger_put_ms": round(dt, 3),
+                    "puts_until_split": i + 1,
+                }
+        raise RuntimeError(f"no split fired within 10 puts at {boundary}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     out = {
         "initial_shards": KV_SHARDS,
@@ -100,12 +140,16 @@ def main() -> None:
         "probes": PROBES,
         "growth_inserts": GROWTH,
         "points": [bench_size(n) for n in SIZES],
+        "split_spikes": [spike_point(b) for b in SPIKE_BOUNDARIES],
     }
     p50 = {p["keys"]: p["put_ms_p50"] for p in out["points"]}
     out["p50_growth_100x_keys"] = round(p50[100_000] / p50[1_000], 2)
     out["p50_growth_1000x_keys"] = round(p50[1_000_000] / p50[1_000], 2)
     out["worst_insert_ms_any_size"] = max(
         p["worst_insert_ms"] for p in out["points"]
+    )
+    out["worst_split_trigger_put_ms"] = max(
+        s["split_trigger_put_ms"] for s in out["split_spikes"]
     )
     line = json.dumps(out)
     print(line)

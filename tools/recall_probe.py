@@ -144,11 +144,11 @@ def main() -> None:
     # the appended cells are read, not assumed.
     import tempfile
 
-    from elastic_stream_spark.functions.vectorfns import unit
     from elastic_stream_spark.operators.similarity import (
         PQT_EPS,
         PQT_EPS_STEP,
         _twin_pq_books,
+        append_twin_batch,
         ivf_pq_append,
         ivf_pq_build,
         ivf_pq_load,
@@ -164,27 +164,11 @@ def main() -> None:
     )
     APPEND_TWINS = 2
     APPEND_ID_BASE = 3_000_000
-    aq = tw_corpus.where(F.col("vec_id") < N_QUERIES).select(
-        "vec_id",
-        "u",
-        F.explode(F.array([F.lit(i) for i in range(APPEND_TWINS)])).alias("j"),
-    )
-    kcol = ((F.col("vec_id") * APPEND_TWINS + F.col("j")) % F.size("u")).cast("int")
-    eps = F.lit(PQT_EPS / 2) + F.col("j").cast("double") * F.lit(PQT_EPS_STEP / 2)
-    bumped = F.transform(
-        F.col("u"), lambda x, i: x + F.when(i == kcol, eps).otherwise(F.lit(0.0))
-    )
-    # two-step select: same lateral-alias trap as pq_twin_corpus
-    batch = (
-        aq.select("vec_id", "j", unit(bumped).alias("u"))
-        .select(
-            (F.col("vec_id") * APPEND_TWINS + F.col("j") + APPEND_ID_BASE).alias(
-                "vec_id"
-            ),
-            "u",
-        )
-        .localCheckpoint(eager=True)
-    )
+    # eps at HALF the planted-twin bumps: the appended vectors score
+    # strictly above every build-time twin, displacing exact top-5 slots
+    batch = append_twin_batch(
+        tw_corpus, APPEND_TWINS, APPEND_ID_BASE, PQT_EPS / 2, PQT_EPS_STEP / 2
+    ).localCheckpoint(eager=True)
     n_appended = batch.count()
     ivf_pq_append(spark, batch, idx)
 
