@@ -340,6 +340,42 @@ def test_failed_commit_rearms_orphan_sweep(workdir):
     assert kv.get(b"d") == (b"4", 3)
 
 
+def test_occupancy_tracks_trigger_under_organic_growth(workdir):
+    """The split budget (one bucket per KV_RESHARD_AT inserted entries,
+    min 1 per commit) must keep pace with single-put organic growth:
+    after EVERY commit the average occupancy may exceed the trigger by
+    at most the entries one commit can add before its own split lands.
+    With shrunken constants, grow through several full rounds and check
+    the invariant at each step."""
+    import json
+    import os
+
+    import elastic_stream_spark.kv as kvmod
+
+    saved = (kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS)
+    kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS = 4, 4, 256
+    try:
+        kv = KVStore(workdir)
+        for i in range(600):  # 4 buckets -> well past two x4 rounds
+            kv.put(f"k:{i:05d}".encode(), b"v")
+            with open(os.path.join(workdir, "kv-meta.json")) as f:
+                meta = json.load(f)
+            eff = meta["nshards"] + meta["next"] * (
+                kvmod.KV_RESHARD_FACTOR - 1
+            )
+            assert meta["n"] <= kvmod.KV_RESHARD_AT * eff + 1, (
+                i,
+                meta["n"],
+                eff,
+            )
+        assert meta["nshards"] >= 64  # really crossed >= 2 round boundaries
+        # data integrity after hundreds of splits
+        assert kv.get(b"k:00000") == (b"v", 1)
+        assert kv.get(b"k:00599") is not None
+    finally:
+        kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS = saved
+
+
 def test_cross_process_cas_serializes(workdir):
     """The linearizability claim (kv.py module docstring: transactions
     serialize through the driver-side fcntl lock, the same
