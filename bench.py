@@ -201,6 +201,9 @@ HEADLINE = [
     "retrieval_self_mrr",
     "dedup_cluster_density_audit",
     "stream_integrity_audit",
+    # round 13: cross-document attention-waste audit over the packed
+    # span manifest (two map-side-combinable rollups, no joins)
+    "pack_attention_waste_audit",
 ]
 
 # Session-memo builders, invoked ONCE (untimed) during warm-up: these
@@ -262,7 +265,12 @@ def _force_count(df) -> int:
 
 
 APPEND_PER_STREAM = 2_000
-APPEND_STREAMS = (1, 10, 100)
+# 1000-stream point added r13: the reference's flatness claim spans
+# 1 → 2000 streams (docs/benchmark.md:27-29); per-stream partitioning
+# (disjoint range directories, shared driver-side offset reservation
+# only) must hold the per-record cost flat at 1000 concurrent streams
+# too, not just 100.
+APPEND_STREAMS = (1, 10, 100, 1000)
 
 
 def _append_bench(spark) -> dict[str, float]:

@@ -32,6 +32,7 @@ def _modules():
         retrieval_fusion,
         scale_patterns,
         staged_r12,
+        staged_r13,
         text_pipeline,
         similarity,
         stream_ops,
@@ -42,6 +43,7 @@ def _modules():
 
     return [
         staged_r12,
+        staged_r13,
         retrieval,
         retrieval_fusion,
         stream_ops,
@@ -74,79 +76,23 @@ def _modules():
 # nothing is ever dark, only riding on its last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r12 rotation — registry 146 → 149.  The 47 queries whose last driver
-# row is r9 hit the ≤3-round staleness deadline and take their policy
-# slots; the 3 remaining slots go to the round's NEW queries
-# (retrieval_self_mrr, dedup_cluster_density_audit,
-# stream_integrity_audit — staged since r11 in operators/staged_r12.py,
-# never driver-checked, so they preempt per policy).  No r12 code touch
-# changes a registered query's plan or output (the KV/materialize/
-# recall work this round is off-gate), so no CHANGED re-entries.  At
-# 149 queries the window arithmetic saturates: r13's deadline class
-# (the 49 r10 rows) leaves 1 free slot, r14's and r15's (50 each)
-# leave 0 — the registry is intentionally complete, not still growing.
+# r13 rotation — registry 149 → 150 (the saturation plateau: r14 and
+# r15 windows are fully claimed by their staleness-deadline classes,
+# zero free slots).  The 49 queries whose last driver row is r10 hit
+# the ≤3-round staleness deadline and take their policy slots; the ONE
+# remaining slot goes to the round's NEW query
+# (pack_attention_waste_audit — staged since r12 in
+# operators/staged_r13.py, never driver-checked, so it preempts per
+# policy).  No r13 code touch changes a registered query's plan or
+# output (the KV span-scan / bench / fsync work this round is
+# off-gate), so no CHANGED re-entries.
 GATE_ORDER = [
-    # ---------------- r12 window (first 50 = the driver's gate) ---------
-    # --- new in r12: BM25 self-retrieval MRR gate; near-dup CC
-    # chaining-density audit; WAL-invariants-as-a-query log audit ---
-    "retrieval_self_mrr",
-    "dedup_cluster_density_audit",
-    "stream_integrity_audit",
-    # --- the 47 r9-stale driver rows (rotation policy's ≤3-round
-    # deadline: r12) ---
-    "cc_append",
-    "quality_model_score",
-    "stream_pipeline_replay",
-    "dedup_soft_weights",
-    "quality_calibration_audit",
-    "manifest_diff",
-    "pipeline_end_to_end",
-    "dedup_substring",
-    "substring_scrub_stats",
-    "pipeline_keep_list",
-    "dedup_simhash",
-    "dedup_exact",
-    "asof_join_purchase_click",
-    "list_resources",
-    "sim_ann_ivf",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q19_brand_quantity_revenue",
-    "fetch_range",
-    "describe_streams",
-    "list_ranges",
-    "trim_fetch",
-    "offset_accounting",
-    "list_objects",
-    "payload_decode",
-    "sim_topk_bruteforce",
-    "emb_label_centroids",
-    "text_quality_score",
-    "sim_ann_ivf_clustered",
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
-    "doc_chunking",
-    "token_heavy_hitters",
-    "text_pii_redact",
-    "dedup_incremental",
-    "chunk_dedup",
-    "text_unigram_logprob",
-    "ngram_counts",
-    # ---- 50-entry window boundary: every query below was hash-green
-    # in a prior driver window (r10 or r11 — noted per block) and is
-    # re-verified by the committed full-registry strict self-check at
-    # both sf every round (CORRECTNESS_FULL_r12*.json);
-    # tests/test_registry.py pins the policy.
-    # --- last driver row r10 (the r13 rotation pool; due r13) ---
+    # ---------------- r13 window (first 50 = the driver's gate) ---------
+    # --- new in r13: cross-document attention-waste audit over the
+    # packed-sequence span manifest (the window's single free slot) ---
+    "pack_attention_waste_audit",
+    # --- the 49 r10-stale driver rows (rotation policy's ≤3-round
+    # deadline: r13) ---
     "token_budget_trim",
     "quality_threshold_sweep",
     "cross_source_dup_matrix",
@@ -196,7 +142,12 @@ GATE_ORDER = [
     "resource_latest_state",
     "offset_for_timestamp",
     "pack_doc_spans",
-    # --- last driver row r11 (freshest; due r14 at the latest) ---
+    # ---- 50-entry window boundary: every query below was hash-green
+    # in a prior driver window (r11 or r12 — noted per block) and is
+    # re-verified by the committed full-registry strict self-check at
+    # both sf every round (CORRECTNESS_FULL_r13*.json);
+    # tests/test_registry.py pins the policy.
+    # --- last driver row r11 (the r14 rotation pool; due r14) ---
     "pack_fragmentation_audit",
     "curriculum_mix_allocation",
     "epoch_coverage",
@@ -247,6 +198,57 @@ GATE_ORDER = [
     "dedup_embedding_lsh",
     "dedup_clusters",
     "q1_pricing_summary",
+    # --- last driver row r12 (freshest; due r15 at the latest) ---
+    "retrieval_self_mrr",
+    "dedup_cluster_density_audit",
+    "stream_integrity_audit",
+    "cc_append",
+    "quality_model_score",
+    "stream_pipeline_replay",
+    "dedup_soft_weights",
+    "quality_calibration_audit",
+    "manifest_diff",
+    "pipeline_end_to_end",
+    "dedup_substring",
+    "substring_scrub_stats",
+    "pipeline_keep_list",
+    "dedup_simhash",
+    "dedup_exact",
+    "asof_join_purchase_click",
+    "list_resources",
+    "sim_ann_ivf",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q19_brand_quantity_revenue",
+    "fetch_range",
+    "describe_streams",
+    "list_ranges",
+    "trim_fetch",
+    "offset_accounting",
+    "list_objects",
+    "payload_decode",
+    "sim_topk_bruteforce",
+    "emb_label_centroids",
+    "text_quality_score",
+    "sim_ann_ivf_clustered",
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    "doc_chunking",
+    "token_heavy_hitters",
+    "text_pii_redact",
+    "dedup_incremental",
+    "chunk_dedup",
+    "text_unigram_logprob",
+    "ngram_counts",
 ]
 
 

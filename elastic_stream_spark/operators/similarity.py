@@ -877,7 +877,18 @@ def ivf_pq_append(
     spill index needs — ``ivf_pq_topk``), and the exact re-rank scores
     each neighbor id once.  The parquet job commit itself is
     all-or-nothing to readers (task files live under ``_temporary``
-    until job commit), so a torn append leaves no visible partials."""
+    until job commit), so a torn append leaves no visible partials.
+
+    Durability scope (r13): the marker tmp file is fsynced before the
+    rename and the markers directory after it (mirroring
+    ``KVStore._write_file``), so the marker can never reach disk as an
+    empty/torn file.  The no-SKIP guarantee (marker present ⇒ append
+    visible) is exact for process crashes; under power loss it
+    additionally relies on the parquet data files being durable, which
+    Spark's local committer does not fsync — so the power-loss scope is
+    "at most one duplicated batch OR one skipped batch per crash",
+    while process-crash replay remains exactly-once-or-duplicated,
+    never skipped."""
     import json as _json
     import os as _os
 
@@ -902,7 +913,18 @@ def ivf_pq_append(
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             _json.dump({"batch_id": batch_id, "state": "committed"}, f)
+            f.flush()
+            _os.fsync(f.fileno())
         _os.replace(tmp, marker)
+        # fsync the markers directory so the rename itself is durable
+        # (mirrors KVStore._write_file); without this a power loss can
+        # persist the marker while losing the append's data, silently
+        # skipping a real batch on restart
+        dfd = _os.open(_os.path.dirname(marker), _os.O_RDONLY)
+        try:
+            _os.fsync(dfd)
+        finally:
+            _os.close(dfd)
     return index_dir
 
 

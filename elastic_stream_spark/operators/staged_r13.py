@@ -1,13 +1,11 @@
-"""Operator STAGED for the round-13 gate window.
+"""Operator for the round-13 gate window (REGISTERED in r13).
 
 The rotation arithmetic saturates at the r12 registry (149 queries):
 the 49 r10-row queries take their staleness-deadline slots in r13,
-leaving exactly ONE free slot — this module holds that slot's
-candidate, built, DuckDB-oracled, and pytest-verified now (the same
-protocol that staged the r12 trio in ``staged_r12.py``).  It stays out
-of ``operators/__init__`` until registration so the rotation
-invariants ``tests/test_registry.py`` pins keep holding (a
-never-driver-checked query may not sit beyond the window).
+leaving exactly ONE free slot — this module holds that slot's query,
+built, DuckDB-oracled, and pytest-verified one round ahead (the same
+protocol that staged the r12 trio in ``staged_r12.py``), and merged
+into ``operators/__init__`` at the top of the r13 window.
 
 Reference framing: no reference-engine counterpart (the opcode enum
 components/protocol/fbs/rpc.fbs:111-182 is stream ops only); this is
@@ -75,9 +73,12 @@ def pack_attention_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES_R13 = {
+# Registry entries (merged into operators/__init__ since r13 — the
+# rotation's single free slot that round).
+QUERIES = {
     "pack_attention_waste_audit": pack_attention_waste_audit,
 }
+QUERIES_R13 = QUERIES  # r12-era alias kept for tests/test_staged_r13.py
 
 
 def _oracles_r13() -> dict[str, str]:
@@ -132,3 +133,15 @@ def _oracles_r13() -> dict[str, str]:
 
 def ORACLES_R13() -> dict[str, str]:  # callable: curation import stays lazy
     return _oracles_r13()
+
+
+_ORACLES_CACHE: dict[str, str] | None = None
+
+
+def __getattr__(name: str):  # PEP 562: registry reads m.ORACLES lazily
+    global _ORACLES_CACHE
+    if name == "ORACLES":
+        if _ORACLES_CACHE is None:
+            _ORACLES_CACHE = _oracles_r13()
+        return _ORACLES_CACHE
+    raise AttributeError(name)
