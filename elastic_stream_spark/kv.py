@@ -42,6 +42,22 @@ manifest and retries (the new generation is always resolvable).
 
 A legacy monolithic ``kv.json`` (pre-shard layout) is read transparently
 and migrated to shards by the first write transaction.
+
+ORDERED layout (r13, opt-in — ``KVStore(root, layout="ordered")`` on a
+fresh store): hash placement makes point ops O(1) but span scans
+O(keyspace) — a narrow prefix scan at 1M keys reads every bucket file
+because any key can hash anywhere (r12 VERDICT "what's wrong" item 2).
+The ordered layout range-partitions instead: the manifest carries
+``oranges`` — an ordered list of ``[bucket, upper_bound)`` boundary
+keys (the same role as etcd's B-tree page boundaries) — so placement is
+a binary search, span scans and DeleteRange read ONLY the overlapping
+buckets (O(selectivity)), and growth splits an oversize bucket at its
+median key (self-balancing under any key skew, including the
+shared-prefix skew that breaks static prefix sharding).  Same commit
+protocol, same crash-safety, same lock-free readers; the manifest's
+``layout`` field is authoritative on reopen, and stores without it
+(every pre-r13 manifest) read as hash, unchanged.
+tools/kv_bench.py records the hash-vs-ordered span-scan A/B at 1M keys.
 """
 
 from __future__ import annotations
@@ -88,6 +104,22 @@ KV_RESHARD_AT = 512
 KV_RESHARD_FACTOR = 4
 KV_MAX_SHARDS = 4096  # 3 hex digits — bucket filename format unchanged
 
+# The linear-hashing round wrap multiplies nshards by KV_RESHARD_FACTOR
+# whole-sale (kv.py _split_one), so the cap is only respected exactly if
+# it sits on a round boundary: KV_MAX_SHARDS must be KV_SHARDS times a
+# power of KV_RESHARD_FACTOR, or a round in progress overshoots the cap
+# and bucket ids exceed the 3-hex-digit filename space (r12 advice).
+def _cap_on_round_boundary() -> bool:
+    n = KV_MAX_SHARDS
+    while n % KV_RESHARD_FACTOR == 0 and n > KV_SHARDS:
+        n //= KV_RESHARD_FACTOR
+    return n == KV_SHARDS
+
+
+assert _cap_on_round_boundary(), (
+    "KV_MAX_SHARDS must equal KV_SHARDS * KV_RESHARD_FACTOR**k"
+)
+
 
 def prefix_end(key: bytes) -> bytes:
     """etcd prefix convention: smallest key greater than every key with
@@ -122,6 +154,12 @@ class _State:
         self.revision: int = self.meta["revision"]
         self.nshards: int = self.meta.get("nshards", KV_SHARDS)
         self.nextp: int = self.meta.get("next", 0)  # linear-hash pointer
+        # layout is manifest-authoritative (the constructor arg only
+        # seeds a FRESH store via _read_meta); hash stores never carry
+        # the field, so every pre-r13 manifest reads as hash unchanged
+        self.layout: str = self.meta.get("layout", "hash")
+        self.oranges: list = [list(x) for x in self.meta.get("oranges", [])]
+        self.onext: int = self.meta.get("onext", 0)
         # total entry count, maintained incrementally for the reshard
         # trigger; None = pre-r11 manifest without the field (recounted
         # once at the next commit)
@@ -159,14 +197,28 @@ class _State:
 
     # ------------------------------------------------------- mutations
 
+    def _place(self, key: bytes, allocate: bool = False) -> str | None:
+        """The bucket a key lives in under this txn's (possibly already
+        split) layout state.  ``allocate`` seeds the ordered layout's
+        first bucket on the first write (reads never allocate)."""
+        if self.layout == "ordered":
+            b = KVStore._obucket_at({"oranges": self.oranges}, key)
+            if b is None and allocate:
+                b = f"o{self.onext:03x}"
+                self.onext += 1
+                self.oranges = [[b, None]]
+            return b
+        return self._store._bucket_of(key, self.nshards, self.nextp)
+
     def get_entry(self, key: bytes):
-        return self.bucket(
-            self._store._bucket_of(key, self.nshards, self.nextp)
-        ).get(self._store._enc(key))
+        b = self._place(key)
+        if b is None:
+            return None
+        return self.bucket(b).get(self._store._enc(key))
 
     def set_entry(self, key: bytes, value: bytes) -> int:
         self.revision += 1
-        b = self._store._bucket_of(key, self.nshards, self.nextp)
+        b = self._place(key, allocate=True)
         data = self.bucket(b)
         ek = self._store._enc(key)
         if self._n is not None and ek not in data:
@@ -180,7 +232,16 @@ class _State:
 
     def delete_span(self, key: bytes, range_end: bytes | None) -> int:
         n = 0
-        for b in set(list(self.meta["shards"]) + list(self._buckets)):
+        if self.layout == "ordered":
+            # prune to the buckets whose spans intersect [key, range_end)
+            # — the ordered layout's reason to exist; the hash layout
+            # must visit every bucket (any key can live anywhere)
+            names = set(
+                KVStore._ospan_names({"oranges": self.oranges}, key, range_end)
+            )
+        else:
+            names = set(list(self.meta["shards"]) + list(self._buckets))
+        for b in names:
             data = self.bucket(b)
             victims = [
                 ek
@@ -217,8 +278,18 @@ class KVStore:
             return k >= key
         return key <= k < range_end
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, layout: str = "hash"):
+        """``layout`` applies to a FRESH store only (no manifest yet):
+        "hash" (default — point ops O(1), span scans O(keyspace)) or
+        "ordered" (range-partitioned buckets with manifest-carried
+        boundary keys — span scans read only the overlapping buckets,
+        the B-tree-style layout for scan-heavy prefixes; r12 VERDICT
+        "what's wrong" item 2).  An existing manifest is authoritative:
+        reopening an ordered store with the default arg stays ordered."""
+        if layout not in ("hash", "ordered"):
+            raise ValueError(f"unknown layout: {layout}")
         self.root = root
+        self._layout_req = layout
         os.makedirs(root, exist_ok=True)
         self._legacy_path = os.path.join(root, "kv.json")
         self._meta_path = os.path.join(root, "kv-meta.json")
@@ -254,6 +325,53 @@ class KVStore:
     def _bucket_of_enc(cls, ek: str, nshards: int = KV_SHARDS, nextp: int = 0) -> str:
         return cls._bucket_of(cls._dec(ek), nshards, nextp)
 
+    # ---------------------------------------------- ordered-layout placement
+    # ``oranges`` (ordered ranges): a manifest-carried list of
+    # ``[bucket_name, upper_bound_b64_or_None]`` with strictly ascending
+    # exclusive upper bounds, the last None (open).  Bucket i spans
+    # [prev_upper, upper) — binary-searchable, so point ops stay O(1)
+    # and a span scan touches only the overlapping buckets instead of
+    # the whole keyspace (the hash layout's one degrading op class).
+
+    @classmethod
+    def _obucket_at(cls, meta: dict, key: bytes) -> str | None:
+        """The ordered-layout bucket whose span holds ``key`` (None on a
+        store with no committed buckets yet)."""
+        oranges = meta.get("oranges") or []
+        if not oranges:
+            return None
+        lo, hi = 0, len(oranges) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            upper = oranges[mid][1]
+            if upper is not None and cls._dec(upper) <= key:
+                lo = mid + 1
+            else:
+                hi = mid
+        return oranges[lo][0]
+
+    @classmethod
+    def _ospan_names(
+        cls, meta: dict, key: bytes, range_end: bytes | None
+    ) -> list[str]:
+        """Ordered-layout bucket names whose spans intersect the query
+        span ``[key, range_end)`` (etcd conventions: None → point,
+        FROM_KEY/b"" → all keys >= key) — the span-scan pruning the
+        hash layout structurally cannot do."""
+        if range_end is None:
+            b = cls._obucket_at(meta, key)
+            return [] if b is None else [b]
+        open_upper = range_end == cls.FROM_KEY or range_end == b""
+        names: list[str] = []
+        lower: str | None = None
+        for name, upper in meta.get("oranges") or []:
+            above = upper is None or cls._dec(upper) > key
+            below = open_upper or lower is None or cls._dec(lower) < range_end
+            if above and below:
+                names.append(name)
+            lower = upper
+        return names
+
     def _read_meta(self) -> dict:
         """Manifest: {"revision": R, "shards": {bucket: filename}}.
         ``_legacy`` marks a pre-shard kv.json that the next write
@@ -264,7 +382,10 @@ class KVStore:
         if os.path.exists(self._legacy_path):
             legacy = self._read_legacy()
             return {"revision": legacy["revision"], "shards": {}, "_legacy": True}
-        return {"revision": 0, "shards": {}}
+        fresh: dict = {"revision": 0, "shards": {}}
+        if self._layout_req == "ordered":
+            fresh.update({"layout": "ordered", "oranges": [], "onext": 0})
+        return fresh
 
     def _read_legacy(self) -> dict:
         with open(self._legacy_path) as f:
@@ -332,11 +453,14 @@ class KVStore:
         if not st._dirty and st.revision == st.meta["revision"]:
             return  # read-only txn (e.g. failed CAS with no failure ops)
         n_total = st._n if st._n is not None else len(st.all_items())
-        # pre-r11 manifests carry no entry count: allow a full catch-up
-        # (they predate splitting, so occupancy may be far past trigger)
-        prev_n = st.meta.get("n")
-        added = n_total if prev_n is None else max(0, n_total - prev_n)
-        self._split_steps(st, n_total, added)
+        if st.layout == "ordered":
+            self._osplit_steps(st)
+        else:
+            # pre-r11 manifests carry no entry count: allow a full catch-up
+            # (they predate splitting, so occupancy may be far past trigger)
+            prev_n = st.meta.get("n")
+            added = n_total if prev_n is None else max(0, n_total - prev_n)
+            self._split_steps(st, n_total, added)
         old_meta = st.meta
         shards = dict(old_meta["shards"])
         replaced: list[str] = []
@@ -352,16 +476,18 @@ class KVStore:
                 shards.pop(b, None)  # bucket emptied
         # THE commit point: one atomic manifest replace covers every
         # bucket this txn touched
-        self._write_file(
-            os.path.basename(self._meta_path),
-            {
-                "revision": st.revision,
-                "shards": shards,
-                "nshards": st.nshards,
-                "next": st.nextp,
-                "n": n_total,
-            },
-        )
+        meta_payload: dict = {
+            "revision": st.revision,
+            "shards": shards,
+            "n": n_total,
+        }
+        if st.layout == "ordered":
+            meta_payload.update(
+                {"layout": "ordered", "oranges": st.oranges, "onext": st.onext}
+            )
+        else:
+            meta_payload.update({"nshards": st.nshards, "next": st.nextp})
+        self._write_file(os.path.basename(self._meta_path), meta_payload)
         # GC: the replaced generations directly (O(dirty), not
         # O(keyspace)) + the migrated legacy snapshot.  Crash ORPHANS
         # (shard writes without a manifest commit) are swept lazily once
@@ -444,21 +570,85 @@ class KVStore:
             st._dirty.add(cb)
         st.nextp += 1
         if st.nextp == st.nshards:
-            st.nshards *= KV_RESHARD_FACTOR
+            # clamp belt-and-braces: the module-level assert pins the cap
+            # to a round boundary, so min() never actually truncates
+            st.nshards = min(st.nshards * KV_RESHARD_FACTOR, KV_MAX_SHARDS)
             st.nextp = 0
 
-    def _snapshot(self) -> tuple[int, dict]:
-        """Lock-free consistent read of (revision, all entries): resolve
+    # ------------------------------------------------- ordered-layout splits
+
+    def _osplit_steps(self, st: _State) -> None:
+        """Ordered-layout growth: split any DIRTY bucket holding more
+        than 2·KV_RESHARD_AT entries at its median key, repeating until
+        none is oversize.  A bucket only grows when written, so every
+        growth moment is a dirty moment — no standing bucket can be
+        oversize without having paid its split in the txn that grew it.
+        Cost stays O(txn): a single put pays at most one median split of
+        one bucket (same bound as the hash layout's linear-hash step); a
+        bulk load catches up inside its own already-O(txn)-sized commit.
+        Median splits self-balance ANY key distribution — the skew that
+        breaks static prefix partitioning (all metadata keys sharing
+        "streams/...") just yields finer boundaries there."""
+        changed = True
+        while changed:
+            changed = False
+            for b in list(st._dirty):
+                data = st._buckets.get(b)
+                if data is None or len(data) <= 2 * KV_RESHARD_AT:
+                    continue
+                self._osplit_one(st, b, data)
+                changed = True
+
+    def _osplit_one(self, st: _State, b: str, data: dict) -> None:
+        """Split ordered bucket ``b`` at its median key: the left half
+        keeps the name (its lower bound is implicit in the predecessor),
+        the right half gets a freshly allocated name holding
+        [median, old_upper).  Both halves + the boundary insert ride the
+        txn's atomic manifest swap, so readers see either layout, never
+        a torn one."""
+        keys = sorted(self._dec(ek) for ek in data)
+        boundary = keys[len(keys) // 2]
+        idx = next(i for i, (name, _) in enumerate(st.oranges) if name == b)
+        old_upper = st.oranges[idx][1]
+        new = f"o{st.onext:03x}"
+        st.onext += 1
+        enc_b = self._enc(boundary)
+        left: dict = {}
+        right: dict = {}
+        for ek, ent in data.items():
+            (left if self._dec(ek) < boundary else right)[ek] = ent
+        st.oranges[idx] = [b, enc_b]
+        st.oranges.insert(idx + 1, [new, old_upper])
+        st._buckets[b] = left
+        st._buckets[new] = right
+        st._dirty.add(b)
+        st._dirty.add(new)
+
+    def _snapshot(
+        self, key: bytes | None = None, range_end: bytes | None = None
+    ) -> tuple[int, dict]:
+        """Lock-free consistent read of (revision, entries): resolve
         manifest → bucket files, retrying if a concurrent commit GC'd a
         generation file between the two reads (the new manifest always
-        resolves)."""
+        resolves).  With a span ``(key, range_end)`` on an ORDERED-layout
+        store, only the buckets whose ranges intersect the span are read
+        (O(selectivity)); a hash-layout store must read every bucket —
+        any key can live anywhere — so there the span is just a hint."""
         for _ in range(64):
             meta = self._read_meta()
             try:
                 out: dict = {}
                 if meta.get("_legacy"):
                     out.update(self._read_legacy()["data"])
-                for b in meta["shards"]:
+                if key is not None and meta.get("layout") == "ordered":
+                    names: list | set = [
+                        b
+                        for b in self._ospan_names(meta, key, range_end)
+                        if b in meta["shards"]
+                    ]
+                else:
+                    names = meta["shards"]
+                for b in names:
                     out.update(self._read_bucket_file(meta, b))
                 return meta["revision"], out
             except FileNotFoundError:
@@ -473,9 +663,15 @@ class KVStore:
         would read the wrong — possibly empty — bucket)."""
         for _ in range(64):
             meta = self._read_meta()
-            b = self._bucket_of(
-                key, meta.get("nshards", KV_SHARDS), meta.get("next", 0)
-            )
+            if meta.get("layout") == "ordered":
+                ob = self._obucket_at(meta, key)
+                if ob is None:
+                    return {}
+                b = ob
+            else:
+                b = self._bucket_of(
+                    key, meta.get("nshards", KV_SHARDS), meta.get("next", 0)
+                )
             try:
                 return self._read_bucket_file(meta, b)
             except FileNotFoundError:
@@ -509,7 +705,9 @@ class KVStore:
                 [(key, self._dec(ent["value"]), ent["version"])] if ent else []
             )
         else:
-            _, data = self._snapshot()
+            # span form: on an ordered store this reads only the buckets
+            # overlapping [key, range_end); on a hash store, all of them
+            _, data = self._snapshot(key, range_end)
             items = sorted(
                 (self._dec(k), self._dec(v["value"]), v["version"])
                 for k, v in data.items()

@@ -495,3 +495,166 @@ def test_reshard_crash_window_leaves_store_unchanged(workdir):
         meta_after = json.load(f)
     assert meta_after["nshards"] == meta_before.get("nshards", 256)
     assert meta_after["n"] == 21
+
+
+# ---------------------------------------------------------------- ordered
+# Opt-in ordered (range-partitioned) layout, r13: span scans must read
+# only the overlapping buckets instead of the whole keyspace (the hash
+# layout's one O(keyspace) op class — r12 VERDICT "what's wrong" item 2).
+
+
+def _apply_ops(kv: KVStore):
+    """One op sequence exercised identically on both layouts."""
+    for i in range(40):
+        kv.put(f"app/{i:03d}".encode(), f"v{i}".encode())
+    kv.put(b"app/007", b"overwritten")
+    kv.delete_range(b"app/030", b"app/035")
+    kv.txn(
+        compare=[Compare(b"app/001", "exists", "==", True)],
+        success=[("put", b"cas/won", b"yes")],
+    )
+    out = {
+        "prefix": kv.range(b"app/00", prefix_end(b"app/00"))[0],
+        "limited": kv.range(b"app/", prefix_end(b"app/"), limit=7),
+        "from_key": kv.range(b"app/036", KVStore.FROM_KEY)[0],
+        "point": kv.range(b"app/007")[0],
+        "get": kv.get(b"app/012"),
+        "missing": kv.get(b"app/031"),
+    }
+    # versions differ only if op ordering diverged; strip them for the
+    # cross-layout comparison but keep relative structure
+    return {
+        k: [(it[0], it[1]) for it in v] if isinstance(v, list) else v
+        for k, v in out.items()
+        if k not in ("limited", "get", "missing")
+    }, out
+
+
+def test_ordered_layout_semantics_match_hash(workdir):
+    """The layout is a storage choice, not an API change: an identical
+    op sequence must produce identical results on both layouts."""
+    h = KVStore(workdir + "/hash")
+    o = KVStore(workdir + "/ordered", layout="ordered")
+    rh, full_h = _apply_ops(h)
+    ro, full_o = _apply_ops(o)
+    assert rh == ro
+    assert [it[:2] for it in full_h["limited"][0]] == [
+        it[:2] for it in full_o["limited"][0]
+    ]
+    assert full_h["limited"][1] == full_o["limited"][1]  # `more` flag
+    assert full_h["get"][0] == full_o["get"][0]
+    assert full_h["missing"] is None and full_o["missing"] is None
+
+
+def test_ordered_layout_splits_balance_and_preserve_data(workdir):
+    """Bulk-loading past the per-bucket threshold must median-split into
+    multiple buckets with strictly ascending boundaries, every key still
+    readable, and no bucket left oversize."""
+    import json as _json
+    import os as _os
+
+    from elastic_stream_spark.kv import KV_RESHARD_AT
+
+    kv = KVStore(workdir, layout="ordered")
+    n = 10_000
+    with kv._txn() as st:
+        for i in range(n):
+            st.set_entry(f"k:{i:06d}".encode(), b"v")
+    with open(_os.path.join(workdir, "kv-meta.json")) as f:
+        meta = _json.load(f)
+    assert meta["layout"] == "ordered"
+    assert len(meta["oranges"]) >= 8  # 10k keys / (2*512) cap → ≥ 9 leaves
+    # boundaries strictly ascending, last open
+    uppers = [u for _, u in meta["oranges"]]
+    assert uppers[-1] is None
+    decoded = [KVStore._dec(u) for u in uppers[:-1]]
+    assert decoded == sorted(decoded) and len(set(decoded)) == len(decoded)
+    # no bucket oversize; union of buckets is exactly the keyspace
+    seen = 0
+    for b, gen in meta["shards"].items():
+        with open(_os.path.join(workdir, KVStore._shard_filename(b, gen))) as f:
+            data = _json.load(f)
+        assert len(data) <= 2 * KV_RESHARD_AT
+        seen += len(data)
+    assert seen == n
+    # point reads across the whole range
+    for i in (0, 1, 4_999, 5_000, 9_999):
+        assert kv.get(f"k:{i:06d}".encode()) is not None
+    # full scan ordered and complete
+    items, _ = kv.range(b"k:", prefix_end(b"k:"))
+    assert len(items) == n
+    assert [k for k, _, _ in items] == sorted(k for k, _, _ in items)
+
+
+def test_ordered_span_scan_reads_only_overlapping_buckets(workdir, monkeypatch):
+    """THE point of the layout: a narrow prefix scan at a grown keyspace
+    touches O(selectivity) bucket files, not O(keyspace) — the hash
+    layout structurally reads every bucket for the same scan."""
+    kv = KVStore(workdir, layout="ordered")
+    with kv._txn() as st:
+        for i in range(10_000):
+            st.set_entry(f"k:{i:06d}".encode(), b"v")
+    n_buckets = len(kv._read_meta()["shards"])
+    assert n_buckets >= 8
+    reads: list[str] = []
+    orig = KVStore._read_bucket_file
+
+    def counting(self, meta, b):
+        reads.append(b)
+        return orig(self, meta, b)
+
+    monkeypatch.setattr(KVStore, "_read_bucket_file", counting)
+    # 10-key span out of 10k
+    items, _ = kv.range(b"k:00001", prefix_end(b"k:00001"))
+    assert [k for k, _, _ in items] == [
+        f"k:{i:06d}".encode() for i in range(10, 20)
+    ]
+    assert len(reads) <= 2, (
+        f"narrow span read {len(reads)} of {n_buckets} buckets: {reads}"
+    )
+    # pruned DeleteRange too
+    reads.clear()
+    assert kv.delete_range(b"k:00002", prefix_end(b"k:00002")) == 10
+    assert len(reads) <= 2
+    # hash layout contrast: the same scan must read every bucket
+    hv = KVStore(workdir + "/hash")
+    with hv._txn() as st:
+        for i in range(2_000):
+            st.set_entry(f"k:{i:06d}".encode(), b"v")
+    n_hash_buckets = len(hv._read_meta()["shards"])
+    reads.clear()
+    hv.range(b"k:00001", prefix_end(b"k:00001"))
+    assert len(reads) == n_hash_buckets
+
+
+def test_ordered_layout_survives_reopen_and_skewed_keys(workdir):
+    """The manifest's layout field is authoritative on reopen (default
+    constructor arg must NOT flip an ordered store back to hash), and
+    median splits self-balance keys sharing a long common prefix — the
+    skew that breaks static prefix sharding."""
+    kv = KVStore(workdir, layout="ordered")
+    with kv._txn() as st:
+        for i in range(5_000):
+            st.set_entry(f"streams/very/common/prefix/{i:06d}".encode(), b"v")
+    # reopen with the DEFAULT arg: layout comes from the manifest
+    kv2 = KVStore(workdir)
+    meta = kv2._read_meta()
+    assert meta["layout"] == "ordered"
+    from elastic_stream_spark.kv import KV_RESHARD_AT
+
+    import json as _json
+    import os as _os
+
+    for b, gen in meta["shards"].items():
+        with open(_os.path.join(workdir, KVStore._shard_filename(b, gen))) as f:
+            assert len(_json.load(f)) <= 2 * KV_RESHARD_AT
+    assert kv2.get(b"streams/very/common/prefix/004999") == (b"v", 5_000)
+    items, _ = kv2.range(
+        b"streams/very/common/prefix/00001",
+        prefix_end(b"streams/very/common/prefix/00001"),
+    )
+    assert len(items) == 10
+    # writes through the reopened handle keep splitting correctly
+    for i in range(5_000, 5_100):
+        kv2.put(f"streams/very/common/prefix/{i:06d}".encode(), b"w")
+    assert kv2.get(b"streams/very/common/prefix/005050") is not None
