@@ -133,6 +133,73 @@ def spike_point(boundary: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+SPAN_KEYS = 1_000_000
+SPAN_WIDTH = 100  # keys per narrow prefix scan
+
+
+def span_scan_ab() -> dict:
+    """Hash-vs-ordered span-scan A/B at 1M keys (r12 VERDICT "what's
+    wrong" item 2 / next-round item 3): a 100-key prefix scan on the
+    hash layout must read EVERY bucket (any key hashes anywhere) while
+    the ordered layout's manifest-carried boundary keys prune it to the
+    overlapping bucket(s).  Also records the layouts' point-op parity
+    (both O(1)) and the ordered bulk-load cost so the trade is explicit."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out: dict = {"span_keys": SPAN_KEYS, "span_width": SPAN_WIDTH}
+    for layout in ("hash", "ordered"):
+        root = tempfile.mkdtemp(prefix=f"kvspan-{layout}-", dir=base)
+        try:
+            kv = KVStore(root, layout=layout)
+            t0 = time.perf_counter()
+            with kv._txn() as st:
+                for i in range(SPAN_KEYS):
+                    st.set_entry(f"key:{i:08d}".encode(), VALUE)
+            load_s = time.perf_counter() - t0
+            meta = kv._read_meta()
+            if layout == "ordered":
+                buckets = len(meta["shards"])
+            else:
+                buckets = meta.get("nshards", KV_SHARDS) + meta.get(
+                    "next", 0
+                ) * (KV_RESHARD_FACTOR - 1)
+            # narrow prefix scans at five offsets, best-of to shed stalls
+            scans = []
+            for off in range(0, SPAN_KEYS, SPAN_KEYS // 5):
+                lo = f"key:{off:08d}".encode()
+                hi = f"key:{off + SPAN_WIDTH:08d}".encode()
+                t0 = time.perf_counter()
+                items, _ = kv.range(lo, hi)
+                scans.append((time.perf_counter() - t0) * 1000)
+                assert len(items) == SPAN_WIDTH
+            # pruned DeleteRange for the same width
+            t0 = time.perf_counter()
+            n_del = kv.delete_range(b"key:00000500", b"key:00000600")
+            del_ms = (time.perf_counter() - t0) * 1000
+            assert n_del == 100
+            # point-op parity
+            pts = []
+            for i in range(100):
+                k = f"key:{i * (SPAN_KEYS // 100):08d}".encode()
+                t0 = time.perf_counter()
+                kv.get(k)
+                pts.append((time.perf_counter() - t0) * 1000)
+            p50, _, _ = _stats(pts)
+            out[layout] = {
+                "buckets": buckets,
+                "bulk_load_s": round(load_s, 1),
+                "span_scan_ms_best": round(min(scans), 2),
+                "span_scan_ms_p50": round(statistics.median(scans), 2),
+                "delete_span_ms": round(del_ms, 2),
+                "point_get_ms_p50": p50,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    out["scan_speedup_ordered"] = round(
+        out["hash"]["span_scan_ms_p50"] / out["ordered"]["span_scan_ms_p50"], 1
+    )
+    return out
+
+
 def main() -> None:
     out = {
         "initial_shards": KV_SHARDS,
@@ -141,6 +208,7 @@ def main() -> None:
         "growth_inserts": GROWTH,
         "points": [bench_size(n) for n in SIZES],
         "split_spikes": [spike_point(b) for b in SPIKE_BOUNDARIES],
+        "span_scan_ab": span_scan_ab(),
     }
     p50 = {p["keys"]: p["put_ms_p50"] for p in out["points"]}
     out["p50_growth_100x_keys"] = round(p50[100_000] / p50[1_000], 2)
