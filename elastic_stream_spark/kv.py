@@ -600,29 +600,39 @@ class KVStore:
                 changed = True
 
     def _osplit_one(self, st: _State, b: str, data: dict) -> None:
-        """Split ordered bucket ``b`` at its median key: the left half
-        keeps the name (its lower bound is implicit in the predecessor),
-        the right half gets a freshly allocated name holding
-        [median, old_upper).  Both halves + the boundary insert ride the
-        txn's atomic manifest swap, so readers see either layout, never
-        a torn one."""
+        """Split ordered bucket ``b``.  Organic growth (a put nudging it
+        just past the threshold) splits at the MEDIAN key — the left
+        half keeps the name (its lower bound is implicit in the
+        predecessor), the right half gets a freshly allocated name.
+        A bulk load that left the bucket far oversize (> 4·KV_RESHARD_AT)
+        splits MULTI-WAY in one pass instead — one sort + slice into
+        ~KV_RESHARD_AT-entry leaves, the same fixpoint the median
+        recursion reaches but without re-partitioning every key once
+        per recursion level (O(n) vs O(n log n/T) dict passes).  All new
+        buckets + boundary inserts ride the txn's atomic manifest swap,
+        so readers see either layout, never a torn one."""
         keys = sorted(self._dec(ek) for ek in data)
-        boundary = keys[len(keys) // 2]
+        n = len(keys)
+        if n > 4 * KV_RESHARD_AT:
+            nparts = -(-n // KV_RESHARD_AT)
+            bounds = [keys[(n * p) // nparts] for p in range(1, nparts)]
+        else:
+            bounds = [keys[n // 2]]
         idx = next(i for i, (name, _) in enumerate(st.oranges) if name == b)
         old_upper = st.oranges[idx][1]
-        new = f"o{st.onext:03x}"
-        st.onext += 1
-        enc_b = self._enc(boundary)
-        left: dict = {}
-        right: dict = {}
+        names = [b] + [f"o{st.onext + j:03x}" for j in range(len(bounds))]
+        st.onext += len(bounds)
+        parts: list[dict] = [{} for _ in names]
+        import bisect
+
         for ek, ent in data.items():
-            (left if self._dec(ek) < boundary else right)[ek] = ent
-        st.oranges[idx] = [b, enc_b]
-        st.oranges.insert(idx + 1, [new, old_upper])
-        st._buckets[b] = left
-        st._buckets[new] = right
-        st._dirty.add(b)
-        st._dirty.add(new)
+            parts[bisect.bisect_right(bounds, self._dec(ek))][ek] = ent
+        st.oranges[idx : idx + 1] = [
+            [name, self._enc(bd)] for name, bd in zip(names, bounds)
+        ] + [[names[-1], old_upper]]
+        for name, part in zip(names, parts):
+            st._buckets[name] = part
+            st._dirty.add(name)
 
     def _snapshot(
         self, key: bytes | None = None, range_end: bytes | None = None

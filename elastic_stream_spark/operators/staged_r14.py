@@ -39,19 +39,24 @@ def pack_loader_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       skew from there on);
     - ``all_ok`` — the loader's go/no-go bit.
 
-    Plan (100 TB): the manifest is O(docs + cuts), never O(tokens).
-    One lag window partitioned by (source, doc_id) gives fragment
-    contiguity; two map-side-combinable rollups give the per-doc and
-    per-seq views; the corpus join is doc-cardinality on the same
-    (source, doc_id) key the manifest rollup just grouped by.  No
-    second corpus traversal, no all-pairs anything."""
+    Plan (100 TB): the manifest is O(docs + cuts), never O(tokens), and
+    it is MATERIALIZED once before the doc-side / seq-side branches —
+    without that, each branch would re-derive the corpus placement
+    window (the exact double-traversal the r11 review caught in
+    ``pack_fragmentation_audit``'s original two-branch form).  One lag
+    window partitioned by (source, doc_id) gives fragment contiguity;
+    two map-side-combinable rollups give the per-doc and per-seq views;
+    the corpus join is doc-cardinality on the same (source, doc_id) key
+    the manifest rollup just grouped by.  No second corpus traversal,
+    no all-pairs anything."""
+    from elastic_stream_spark.functions.materialize import materialize
     from elastic_stream_spark.operators.curation import (
         PACK_BUDGET,
         _docs,
         pack_doc_spans,
     )
 
-    spans = pack_doc_spans(spark, sf_dir)
+    spans = materialize(pack_doc_spans(spark, sf_dir))
 
     # fragment-chain contiguity per document (exact, order by seq)
     w = Window.partitionBy("source", "doc_id").orderBy("seq")

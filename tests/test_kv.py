@@ -658,3 +658,41 @@ def test_ordered_layout_survives_reopen_and_skewed_keys(workdir):
     for i in range(5_000, 5_100):
         kv2.put(f"streams/very/common/prefix/{i:06d}".encode(), b"w")
     assert kv2.get(b"streams/very/common/prefix/005050") is not None
+
+
+def test_ordered_split_crash_window_leaves_store_unchanged(workdir):
+    """The ordered layout rides the same commit protocol, so the same
+    crash window must hold: new-generation bucket files on disk with the
+    manifest still pointing at the pre-split generation leave every read
+    serving the old layout; the next commit sweeps the orphans."""
+    import json as _json
+    import os as _os
+
+    kv = KVStore(workdir, layout="ordered")
+    with kv._txn() as st:
+        for i in range(3_000):
+            st.set_entry(f"k:{i:06d}".encode(), b"v")
+    with open(_os.path.join(workdir, "kv-meta.json")) as f:
+        meta_before = _json.load(f)
+    assert len(meta_before["oranges"]) >= 2  # splits actually happened
+    # simulate a crashed follow-up split: orphan generation files for an
+    # existing bucket and a never-committed fresh one
+    victims = [meta_before["oranges"][0][0], "o7ff"]
+    for b in victims:
+        with open(
+            _os.path.join(workdir, f"kv-shard-{b}.000000099999.json"), "w"
+        ) as f:
+            f.write('{"bogus": {"value": "eA==", "version": 9}}')
+    kv2 = KVStore(workdir)  # post-crash open (default arg; manifest wins)
+    items, _ = kv2.range(b"k:", prefix_end(b"k:"))
+    assert len(items) == 3_000  # old generation serves, no bogus key
+    assert kv2.get(b"bogus") is None
+    kv2.put(b"k:999999", b"new")  # first commit sweeps the orphans
+    for b in victims:
+        assert not _os.path.exists(
+            _os.path.join(workdir, f"kv-shard-{b}.000000099999.json")
+        )
+    with open(_os.path.join(workdir, "kv-meta.json")) as f:
+        meta_after = _json.load(f)
+    assert meta_after["layout"] == "ordered"
+    assert meta_after["n"] == 3_001

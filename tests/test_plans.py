@@ -659,3 +659,38 @@ def test_r12_operator_plans(spark):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert p.count("Window") == 0  # rollup chains only
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_r13_operator_plans(spark):
+    """Plan shapes for the r13 registration and the staged r14 audit.
+    The attention-waste audit must be the span manifest's ONE placement
+    window followed by pure map-side-combinable rollups — no joins of
+    any kind.  The staged round-trip audit must read its span manifest
+    from the materialized cache in BOTH branches (InMemoryTableScan ≥ 2)
+    instead of re-deriving the corpus placement window per branch — the
+    double-traversal shape the r11 review caught in the fragmentation
+    audit's original form."""
+    from elastic_stream_spark.operators.staged_r13 import (
+        pack_attention_waste_audit,
+    )
+    from elastic_stream_spark.operators.staged_r14 import (
+        pack_loader_roundtrip_audit,
+    )
+
+    def plan(fn):
+        return (
+            fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    waste = plan(pack_attention_waste_audit)
+    assert "CartesianProduct" not in waste
+    assert "BatchEvalPython" not in waste and "ArrowEvalPython" not in waste
+    assert waste.count("Window") == 1  # the shared span placement sum
+    assert "Join" not in waste  # rollup chain only — no join of any kind
+    assert "partial" in waste.lower()  # map-side combine in the rollups
+
+    rt = plan(pack_loader_roundtrip_audit)
+    assert "CartesianProduct" not in rt
+    assert "BatchEvalPython" not in rt and "ArrowEvalPython" not in rt
+    assert rt.count("InMemoryTableScan") >= 2  # manifest materialized once
+    assert "BroadcastNestedLoopJoin" not in rt  # all joins keyed
