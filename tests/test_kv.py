@@ -696,3 +696,51 @@ def test_ordered_split_crash_window_leaves_store_unchanged(workdir):
         meta_after = _json.load(f)
     assert meta_after["layout"] == "ordered"
     assert meta_after["n"] == 3_001
+
+
+def test_ordered_readers_resolve_during_concurrent_splits(workdir):
+    """The ordered layout's median splits ride the same manifest-swap
+    commit, so lock-free point reads AND pruned span scans must stay
+    consistent while a concurrent writer pushes a bucket through its
+    split threshold — the reader always resolves (manifest-churn retry)
+    and never sees a missing value or a torn boundary list."""
+    import multiprocessing as mp
+
+    from elastic_stream_spark.kv import KV_RESHARD_AT
+
+    kv = KVStore(workdir, layout="ordered")
+    base = 2 * KV_RESHARD_AT - 4  # one bucket, just under its threshold
+    with kv._txn() as st:
+        for i in range(base):
+            st.set_entry(f"k:{i:07d}".encode(), b"v")
+
+    def writer(root: str) -> None:
+        w = KVStore(root)
+        for i in range(300):  # crosses several median-split commits
+            w.put(f"k:{base + i:07d}".encode(), b"g")
+
+    def reader(root: str, q) -> None:
+        r = KVStore(root)
+        try:
+            for i in range(400):
+                k = f"k:{(i * 131) % base:07d}".encode()
+                got = r.get(k)
+                assert got is not None and got[0] == b"v", k
+                if i % 20 == 0:  # pruned span scan mid-split
+                    lo = f"k:{(i * 53) % (base - 10):07d}".encode()
+                    items, _ = r.range(lo, KVStore.FROM_KEY, limit=5)
+                    assert items and items[0][0] >= lo
+            q.put("ok")
+        except BaseException as e:  # surfaced to the asserting parent
+            q.put(f"reader failed: {e!r}")
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    pw = ctx.Process(target=writer, args=(workdir,))
+    pr = ctx.Process(target=reader, args=(workdir, q))
+    pr.start(); pw.start()
+    pw.join(120); pr.join(120)
+    assert pw.exitcode == 0 and pr.exitcode == 0
+    assert q.get(timeout=10) == "ok"
+    meta = kv._read_meta()
+    assert len(meta["oranges"]) > 1  # the writer really split mid-read

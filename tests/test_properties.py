@@ -323,3 +323,81 @@ def test_kv_matches_model_across_reshards(ops):
                 assert eff > 4  # grew past the shrunken base round
     finally:
         kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS = saved
+
+
+_KV_LAYOUT_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("put"), st.integers(0, 99), st.integers(0, 99)),
+        st.tuples(st.just("delete"), st.integers(0, 99), st.just(0)),
+        st.tuples(st.just("span"), st.integers(0, 9), st.just(0)),
+        st.tuples(st.just("delspan"), st.integers(0, 9), st.just(0)),
+    ),
+    min_size=20,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(ops=_KV_LAYOUT_OPS)
+def test_kv_layouts_are_observationally_equivalent(ops):
+    """The ordered layout (r13) is a storage choice, not an API change:
+    under ANY schedule of put / point-delete / prefix-scan /
+    prefix-delete — with the split constants shrunk so the schedule
+    crosses median-split boundaries — the hash and ordered stores must
+    return IDENTICAL results from every op, byte-for-byte including
+    versions (both stores see the same revision history), and the
+    ordered manifest must keep strictly ascending boundary keys with no
+    oversize bucket."""
+    import json
+    import os
+
+    import elastic_stream_spark.kv as kvmod
+
+    saved = (kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS)
+    kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS = 4, 4, 64
+    try:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        with tempfile.TemporaryDirectory(prefix="ess-kvlay-", dir=base) as root:
+            h = KVStore(os.path.join(root, "h"))
+            o = KVStore(os.path.join(root, "o"), layout="ordered")
+            for op in ops:
+                kind = op[0]
+                if kind == "put":
+                    key = f"k{op[1]:04d}".encode()
+                    val = f"v{op[2]}".encode()
+                    assert h.put(key, val) == o.put(key, val)  # revisions
+                elif kind == "delete":
+                    key = f"k{op[1]:04d}".encode()
+                    assert h.delete_range(key, key + b"\x00") == o.delete_range(
+                        key, key + b"\x00"
+                    )
+                elif kind == "span":
+                    pre = f"k{op[1]:02d}".encode()  # 10-key decimal prefix
+                    from elastic_stream_spark.kv import prefix_end
+
+                    assert h.range(pre, prefix_end(pre)) == o.range(
+                        pre, prefix_end(pre)
+                    )
+                else:  # delspan
+                    pre = f"k{op[1]:02d}".encode()
+                    from elastic_stream_spark.kv import prefix_end
+
+                    assert h.delete_range(pre, prefix_end(pre)) == o.delete_range(
+                        pre, prefix_end(pre)
+                    )
+            assert h.range(b"", KVStore.FROM_KEY) == o.range(b"", KVStore.FROM_KEY)
+            with open(os.path.join(root, "o", "kv-meta.json")) as f:
+                meta = json.load(f)
+            if meta.get("oranges"):
+                uppers = [u for _, u in meta["oranges"]]
+                assert uppers[-1] is None
+                dec = [KVStore._dec(u) for u in uppers[:-1]]
+                assert dec == sorted(dec) and len(set(dec)) == len(dec)
+                for b, gen in meta["shards"].items():
+                    fn = KVStore._shard_filename(b, gen)
+                    with open(os.path.join(root, "o", fn)) as bf:
+                        assert len(json.load(bf)) <= 2 * kvmod.KV_RESHARD_AT
+    finally:
+        kvmod.KV_SHARDS, kvmod.KV_RESHARD_AT, kvmod.KV_MAX_SHARDS = saved
