@@ -53,10 +53,13 @@ keys (the same role as etcd's B-tree page boundaries) — so placement is
 a binary search, span scans and DeleteRange read ONLY the overlapping
 buckets (O(selectivity)), and growth splits an oversize bucket at its
 median key (self-balancing under any key skew, including the
-shared-prefix skew that breaks static prefix sharding).  Same commit
-protocol, same crash-safety, same lock-free readers; the manifest's
-``layout`` field is authoritative on reopen, and stores without it
-(every pre-r13 manifest) read as hash, unchanged.
+shared-prefix skew that breaks static prefix sharding); bulk loads
+split multi-way in one sort-and-slice pass, and ranges a txn EMPTIES
+compact out of the boundary list at the same commit (successor
+inherits the span), so the manifest tracks live data in both
+directions.  Same commit protocol, same crash-safety, same lock-free
+readers; the manifest's ``layout`` field is authoritative on reopen,
+and stores without it (every pre-r13 manifest) read as hash, unchanged.
 tools/kv_bench.py records the hash-vs-ordered span-scan A/B at 1M keys.
 """
 
@@ -598,6 +601,35 @@ class KVStore:
                     continue
                 self._osplit_one(st, b, data)
                 changed = True
+        self._ocompact(st)
+
+    def _ocompact(self, st: _State) -> None:
+        """Drop boundary entries whose bucket this txn left EMPTY,
+        merging their span into the successor (or, for the open-ended
+        last entry, into the predecessor) — without this, delete-heavy
+        schedules grow ``oranges`` monotonically with dead ranges the
+        binary search must keep stepping over.  Only DIRTY-empty buckets
+        compact (an untouched bucket with data on disk never moves), so
+        the pass is O(txn), and the dropped names simply leave the
+        manifest — the same atomic swap that removes their files."""
+        if len(st.oranges) <= 1:
+            return
+        live: list = []
+        for name, upper in st.oranges:
+            data = st._buckets.get(name)
+            if name in st._dirty and data is not None and not data:
+                # empty: successor inherits the span implicitly; if this
+                # was the LAST entry, re-open the predecessor instead
+                if upper is None and live:
+                    live[-1][1] = None
+                continue
+            live.append([name, upper])
+        if not live:  # everything deleted: keep one open-ended bucket
+            live = [st.oranges[-1][:]]
+            live[0][1] = None
+        if live[-1][1] is not None:  # dropped tail: predecessor re-opens
+            live[-1][1] = None
+        st.oranges = live
 
     def _osplit_one(self, st: _State, b: str, data: dict) -> None:
         """Split ordered bucket ``b``.  Organic growth (a put nudging it

@@ -744,3 +744,47 @@ def test_ordered_readers_resolve_during_concurrent_splits(workdir):
     assert q.get(timeout=10) == "ok"
     meta = kv._read_meta()
     assert len(meta["oranges"]) > 1  # the writer really split mid-read
+
+
+def test_ordered_compaction_shrinks_emptied_ranges(workdir):
+    """Delete-heavy schedules must not grow the boundary list forever:
+    a span delete that empties interior buckets drops their entries at
+    commit (successor inherits the span), an emptied TAIL re-opens the
+    predecessor, and emptying everything leaves exactly one open-ended
+    bucket that serves subsequent writes."""
+    import json as _json
+    import os as _os
+
+    kv = KVStore(workdir, layout="ordered")
+    with kv._txn() as st:
+        for i in range(10_000):
+            st.set_entry(f"k:{i:06d}".encode(), b"v")
+    n0 = len(kv._read_meta()["oranges"])
+    assert n0 >= 8
+    # empty a wide interior band (≥ several whole buckets)
+    assert kv.delete_range(b"k:002000", b"k:008000") == 6_000
+    meta = kv._read_meta()
+    assert len(meta["oranges"]) < n0  # interior entries compacted away
+    uppers = [u for _, u in meta["oranges"]]
+    dec = [KVStore._dec(u) for u in uppers[:-1]]
+    assert dec == sorted(dec) and uppers[-1] is None
+    # survivors intact, deleted band gone, scans correct across the merge
+    items, _ = kv.range(b"k:", prefix_end(b"k:"))
+    assert len(items) == 4_000
+    assert kv.get(b"k:001999") is not None and kv.get(b"k:002000") is None
+    # empty EVERYTHING: one open-ended bucket remains and still serves
+    assert kv.delete_range(b"k:", prefix_end(b"k:")) == 4_000
+    meta = kv._read_meta()
+    assert len(meta["oranges"]) == 1 and meta["oranges"][0][1] is None
+    assert meta["shards"] == {}
+    kv.put(b"fresh", b"x")
+    assert kv.get(b"fresh") == (b"x", kv._read_meta()["revision"])
+    # no orphaned bucket files beyond the manifest's
+    meta = kv._read_meta()
+    live = {
+        KVStore._shard_filename(b, g) for b, g in meta["shards"].items()
+    }
+    on_disk = {
+        fn for fn in _os.listdir(workdir) if fn.startswith("kv-shard-")
+    }
+    assert on_disk == live
