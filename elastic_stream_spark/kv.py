@@ -591,10 +591,22 @@ class KVStore:
         bulk load catches up inside its own already-O(txn)-sized commit.
         Median splits self-balance ANY key distribution — the skew that
         breaks static prefix partitioning (all metadata keys sharing
-        "streams/...") just yields finer boundaries there."""
+        "streams/...") just yields finer boundaries there.
+
+        The boundary list is CAPPED at KV_MAX_SHARDS entries — the same
+        trade the hash layout makes at its round cap: the manifest
+        (rewritten + fsynced on every commit, each ordered entry
+        carrying a b64 boundary key) stays a few thousand entries and
+        per-put latency stays flat in keyspace, while buckets past the
+        cap grow beyond the occupancy target.  Without the cap the
+        boundary list grows ∝ keys/1024 and every put pays an
+        O(keyspace) manifest serialization — the exact cost class this
+        layout exists to remove from scans (review finding, r13)."""
         changed = True
         while changed:
             changed = False
+            if len(st.oranges) >= KV_MAX_SHARDS:
+                break
             for b in list(st._dirty):
                 data = st._buckets.get(b)
                 if data is None or len(data) <= 2 * KV_RESHARD_AT:
@@ -647,6 +659,8 @@ class KVStore:
         n = len(keys)
         if n > 4 * KV_RESHARD_AT:
             nparts = -(-n // KV_RESHARD_AT)
+            # respect the boundary-list cap (manifest stays O(1) in keys)
+            nparts = min(nparts, KV_MAX_SHARDS - len(st.oranges) + 1)
             bounds = [keys[(n * p) // nparts] for p in range(1, nparts)]
         else:
             bounds = [keys[n // 2]]

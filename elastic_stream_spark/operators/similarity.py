@@ -916,10 +916,14 @@ def ivf_pq_append(
             f.flush()
             _os.fsync(f.fileno())
         _os.replace(tmp, marker)
-        # fsync the markers directory so the rename itself is durable
-        # (mirrors KVStore._write_file); without this a power loss can
-        # persist the marker while losing the append's data, silently
-        # skipping a real batch on restart
+        # the tmp fsync above guarantees a marker is never READ torn or
+        # empty after a crash (a half-written marker would fail the
+        # restart's json load); the directory fsync makes the rename
+        # itself durable, mirroring KVStore._write_file.  Neither can
+        # order the marker AFTER parquet data Spark never fsyncs — the
+        # power-loss scope stays exactly as the docstring states (a
+        # durable marker with lost data is a skipped batch; a lost
+        # marker with durable data is a duplicate the scorer tolerates)
         dfd = _os.open(_os.path.dirname(marker), _os.O_RDONLY)
         try:
             _os.fsync(dfd)

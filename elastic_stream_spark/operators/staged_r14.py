@@ -33,7 +33,10 @@ def pack_loader_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       fragment chain, not the sum==span shortcut, which compensating
       gap+overlap pairs can fool);
     - ``n_docs_length_ok`` — reconstructed length == the corpus token
-      count (the round-trip itself);
+      count (the round-trip itself); ``n_docs`` counts CORPUS documents
+      and the manifest side joins in from the LEFT, so a document the
+      manifest lost entirely fails both checks instead of silently
+      dropping out of the denominator (review finding, r13);
     - ``n_seq_tiling_violations`` — non-final sequences whose fragments
       do not fill exactly ``PACK_BUDGET`` tokens (position ids would
       skew from there on);
@@ -80,11 +83,13 @@ def pack_loader_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
     )
     doc_side = (
-        per_doc.join(docs, ["source", "doc_id"])
+        docs.join(per_doc, ["source", "doc_id"], "left")
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_frags").cast("bigint").alias("n_frags"),
+            F.sum(F.coalesce(F.col("n_frags"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_frags"),
             F.sum(
                 F.when(
                     (F.col("first_offset") == 0) & (F.col("chain_breaks") == 0),
@@ -191,18 +196,21 @@ def _oracles_r14() -> dict[str, str]:
                  min(doc_offset) AS first_offset,
                  sum(span_len) AS rebuilt_len,
                  sum(CASE WHEN doc_offset <> expected_offset THEN 1
-                     ELSE 0 END) AS chain_breaks,
-                 any_value(n_tokens) AS n_tokens
+                     ELSE 0 END) AS chain_breaks
           FROM chained GROUP BY source, doc_id
         ), doc_side AS (
-          SELECT source,
+          -- corpus-side LEFT join: a document the manifest lost entirely
+          -- still counts in n_docs and fails both checks
+          SELECT t.source,
                  CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(n_frags) AS BIGINT) AS n_frags,
-                 CAST(sum(CASE WHEN first_offset = 0 AND chain_breaks = 0
+                 CAST(sum(coalesce(p.n_frags, 0)) AS BIGINT) AS n_frags,
+                 CAST(sum(CASE WHEN p.first_offset = 0 AND p.chain_breaks = 0
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_contiguous,
-                 CAST(sum(CASE WHEN rebuilt_len = n_tokens
+                 CAST(sum(CASE WHEN p.rebuilt_len = t.n_tokens
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_length_ok
-          FROM per_doc GROUP BY source
+          FROM toks t LEFT JOIN per_doc p
+            ON t.source = p.source AND t.doc_id = p.doc_id
+          GROUP BY t.source
         ), per_seq AS (
           SELECT source, seq, sum(span_len) AS filled
           FROM frags GROUP BY source, seq

@@ -788,3 +788,38 @@ def test_ordered_compaction_shrinks_emptied_ranges(workdir):
         fn for fn in _os.listdir(workdir) if fn.startswith("kv-shard-")
     }
     assert on_disk == live
+
+
+def test_ordered_boundary_list_respects_shard_cap(workdir, monkeypatch):
+    """The ordered boundary list is capped at KV_MAX_SHARDS — the same
+    manifest-size trade the hash layout makes at its round cap: past
+    the cap, buckets grow beyond the occupancy target instead of the
+    manifest growing with the keyspace.  With shrunken constants a
+    bulk load far past the cap must stop at it, keep every key
+    readable, and keep boundaries strictly ascending."""
+    import json as _json
+    import os as _os
+
+    import elastic_stream_spark.kv as kvmod
+
+    monkeypatch.setattr(kvmod, "KV_RESHARD_AT", 4)
+    monkeypatch.setattr(kvmod, "KV_MAX_SHARDS", 8)
+    kv = KVStore(workdir, layout="ordered")
+    with kv._txn() as st:
+        for i in range(1_000):
+            st.set_entry(f"k:{i:05d}".encode(), b"v")
+    with open(_os.path.join(workdir, "kv-meta.json")) as f:
+        meta = _json.load(f)
+    assert len(meta["oranges"]) <= 8
+    uppers = [u for _, u in meta["oranges"]]
+    dec = [KVStore._dec(u) for u in uppers[:-1]]
+    assert dec == sorted(dec) and uppers[-1] is None
+    items, _ = kv.range(b"k:", prefix_end(b"k:"))
+    assert len(items) == 1_000
+    # organic growth past the cap must also not split further
+    for i in range(1_000, 1_050):
+        kv.put(f"k:{i:05d}".encode(), b"w")
+    with open(_os.path.join(workdir, "kv-meta.json")) as f:
+        meta = _json.load(f)
+    assert len(meta["oranges"]) <= 8
+    assert kv.get(b"k:01049") is not None

@@ -670,12 +670,21 @@ def test_r13_operator_plans(spark):
     instead of re-deriving the corpus placement window per branch — the
     double-traversal shape the r11 review caught in the fragmentation
     audit's original form."""
+    from elastic_stream_spark.functions.materialize import (
+        unpersist_materialized,
+    )
     from elastic_stream_spark.operators.staged_r13 import (
         pack_attention_waste_audit,
     )
     from elastic_stream_spark.operators.staged_r14 import (
         pack_loader_roundtrip_audit,
     )
+
+    # hermetic: an earlier test's materialize() of the span manifest
+    # would substitute an InMemoryRelation here and change the plan
+    # strings (the cached definition prints its own Window)
+    spark.catalog.clearCache()
+    unpersist_materialized(spark)
 
     def plan(fn):
         return (

@@ -60,18 +60,23 @@ def test_roundtrip_audit_invariants(spark):
 
 
 def test_roundtrip_audit_catches_a_broken_manifest(spark, monkeypatch):
-    """The audit must FAIL on a corrupted layout, not just pass on a
-    good one: drop one fragment row from the manifest (a lost span) and
-    both the contiguity and length checks must flag the victim doc."""
+    """The audit must FAIL on every corruption class it claims to
+    detect, not just pass on a good layout: (a) a lost TAIL fragment —
+    the chain stays contiguous so only the length round-trip can flag
+    it; (b) a SHIFTED fragment offset with length preserved — only the
+    chain-contiguity lag check can flag it (the fixture's ~100-token
+    docs never span three sequences, so a droppable middle fragment
+    does not exist — the offset perturbation isolates the same check);
+    (c) a document the manifest lost ENTIRELY — the corpus-side LEFT
+    join must keep it in n_docs and fail both checks (with an inner
+    join it silently left the denominator — review finding, r13)."""
     from elastic_stream_spark.operators import curation
     from elastic_stream_spark.operators import staged_r14 as mod
     from pyspark.sql import functions as F
 
     real = curation.pack_doc_spans
     good = real(spark, SF_DIR)
-    # victim: a doc with >1 fragment; drop its LAST fragment (tail loss
-    # keeps the chain contiguous, so only the length check can catch
-    # it) — run once more dropping a MIDDLE one (chain check catches)
+    # victim: a boundary-cut doc (two fragments)
     multi = (
         good.groupBy("source", "doc_id")
         .agg(F.count("*").alias("nf"), F.max("seq").alias("last"))
@@ -80,18 +85,69 @@ def test_roundtrip_audit_catches_a_broken_manifest(spark, monkeypatch):
         .collect()[0]
     )
 
-    def broken(spark_, sf_dir_):
-        df = real(spark_, sf_dir_)
-        return df.where(
-            ~(
-                (F.col("source") == multi.source)
-                & (F.col("doc_id") == multi.doc_id)
-                & (F.col("seq") == multi.last)
+    def corrupting(transform):
+        def broken(spark_, sf_dir_):
+            df = real(spark_, sf_dir_)
+            victim_row = (F.col("source") == multi.source) & (
+                F.col("doc_id") == multi.doc_id
             )
-        )
+            return transform(df, victim_row)
 
-    monkeypatch.setattr(curation, "pack_doc_spans", broken)
-    rows = {r.source: r for r in mod.pack_loader_roundtrip_audit(spark, SF_DIR).collect()}
-    victim = rows[multi.source]
-    assert not victim.all_ok
-    assert victim.n_docs_length_ok == victim.n_docs - 1
+        return broken
+
+    def audit():
+        rows = {
+            r.source: r
+            for r in mod.pack_loader_roundtrip_audit(spark, SF_DIR).collect()
+        }
+        return rows[multi.source]
+
+    # (a) tail loss → length check fails, chain stays contiguous
+    monkeypatch.setattr(
+        curation,
+        "pack_doc_spans",
+        corrupting(
+            lambda df, v: df.where(~(v & (F.col("seq") == multi.last)))
+        ),
+    )
+    v = audit()
+    assert not v.all_ok
+    assert v.n_docs_length_ok == v.n_docs - 1
+    assert v.n_docs_contiguous == v.n_docs  # tail loss is chain-invisible
+
+    # (b) shifted second-fragment offset, length preserved → ONLY the
+    # chain check can fire (rebuilt_len and first_offset are unchanged)
+    monkeypatch.setattr(
+        curation,
+        "pack_doc_spans",
+        corrupting(
+            lambda df, v: df.withColumn(
+                "doc_offset",
+                F.when(
+                    v & (F.col("seq") == multi.last),
+                    F.col("doc_offset") + 1,
+                ).otherwise(F.col("doc_offset")),
+            )
+        ),
+    )
+    v = audit()
+    assert not v.all_ok
+    assert v.n_docs_contiguous == v.n_docs - 1
+    assert v.n_docs_length_ok == v.n_docs  # length check must NOT fire
+
+    # (c) whole-document loss → the doc must stay in the denominator
+    from elastic_stream_spark.operators.curation import _docs
+
+    corpus_n = (
+        _docs(spark, SF_DIR)
+        .where(F.col("source") == multi.source)
+        .count()
+    )
+    monkeypatch.setattr(
+        curation, "pack_doc_spans", corrupting(lambda df, v: df.where(~v))
+    )
+    v = audit()
+    assert not v.all_ok
+    assert v.n_docs == corpus_n  # inner join would have dropped the doc
+    assert v.n_docs_contiguous == v.n_docs - 1
+    assert v.n_docs_length_ok == v.n_docs - 1
