@@ -823,3 +823,50 @@ def test_ordered_boundary_list_respects_shard_cap(workdir, monkeypatch):
         meta = _json.load(f)
     assert len(meta["oranges"]) <= 8
     assert kv.get(b"k:01049") is not None
+
+
+def test_ordered_cross_process_cas_serializes_under_splits(workdir):
+    """The linearizability claim holds on the ordered layout too, and
+    WHILE the CAS target's bucket keeps splitting: 4 workers bump a
+    shared counter via CAS-retry as each also inserts filler keys that
+    push buckets through median splits; every increment lands exactly
+    once and failed CAS txns stay revision-silent."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    import elastic_stream_spark.kv as kvmod
+
+    N_PROCS, N_INCR = 4, 25
+
+    def worker(root: str, wid: int, n: int) -> None:
+        # shrink the split threshold so the filler keys force splits
+        kvmod.KV_RESHARD_AT = 8
+        kv = KVStore(root)
+        for i in range(n):
+            kv.put(f"filler/{wid:02d}/{i:04d}".encode(), b"f")
+            while True:
+                got = kv.get(b"counter")
+                cur, ver = (int(got[0]), got[1]) if got else (0, 0)
+                if kv.cas(b"counter", ver, str(cur + 1).encode()):
+                    break
+
+    kv = KVStore(workdir, layout="ordered")
+    kv.put(b"seed", b"s")  # COMMIT once so the ordered manifest exists
+    ctx = mp.get_context("fork")
+    procs = [
+        ctx.Process(target=worker, args=(workdir, w, N_INCR))
+        for w in range(N_PROCS)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    val, _ = kv.get(b"counter")
+    assert int(val) == N_PROCS * N_INCR  # no lost update, no double-apply
+    with open(os.path.join(workdir, "kv-meta.json")) as f:
+        meta = json.load(f)
+    assert meta["layout"] == "ordered"
+    assert len(meta["oranges"]) > 1  # splits really happened mid-CAS
+    assert meta["n"] == N_PROCS * N_INCR + 2  # fillers + counter + seed
