@@ -329,6 +329,26 @@ class KVStore:
         return cls._bucket_of(cls._dec(ek), nshards, nextp)
 
     # ---------------------------------------------- ordered-layout placement
+
+    @staticmethod
+    def _separator(left_max: bytes, bound: bytes) -> bytes:
+        """Shortest prefix of ``bound`` strictly greater than
+        ``left_max`` (B-tree separator/suffix truncation): valid as an
+        exclusive upper bound because every left key ≤ left_max < sep ≤
+        bound ≤ every right key — a strict prefix sorts before its
+        extension.  Honest scope (measured r13): adjacent SORTED keys
+        share their longest prefixes, so on a dense same-prefix
+        keyspace separators stay near-full-length (4.5M sequential
+        keys: mean 11.9 of 12 bytes) and the CAP is what bounds the
+        manifest; truncation pays off only at boundaries where key
+        families diverge early ("objects/…"|"streams/…") and for long
+        suffix tails, and it never costs more than O(len) at split
+        time."""
+        for i in range(len(bound)):
+            p = bound[: i + 1]
+            if p > left_max:
+                return p
+        return bound
     # ``oranges`` (ordered ranges): a manifest-carried list of
     # ``[bucket_name, upper_bound_b64_or_None]`` with strictly ascending
     # exclusive upper bounds, the last None (open).  Bucket i spans
@@ -661,9 +681,12 @@ class KVStore:
             nparts = -(-n // KV_RESHARD_AT)
             # respect the boundary-list cap (manifest stays O(1) in keys)
             nparts = min(nparts, KV_MAX_SHARDS - len(st.oranges) + 1)
-            bounds = [keys[(n * p) // nparts] for p in range(1, nparts)]
+            cuts = [(n * p) // nparts for p in range(1, nparts)]
         else:
-            bounds = [keys[n // 2]]
+            cuts = [n // 2]
+        # truncated separators, not raw keys: strictly ascending because
+        # sep_p > keys[cut_p - 1] >= keys[cut_{p-1}] >= sep_{p-1}
+        bounds = [self._separator(keys[c - 1], keys[c]) for c in cuts]
         idx = next(i for i, (name, _) in enumerate(st.oranges) if name == b)
         old_upper = st.oranges[idx][1]
         names = [b] + [f"o{st.onext + j:03x}" for j in range(len(bounds))]
