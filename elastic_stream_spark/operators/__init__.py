@@ -86,6 +86,14 @@ def _modules():
 # policy).  No r13 code touch changes a registered query's plan or
 # output (the KV span-scan / bench / fsync work this round is
 # off-gate), so no CHANGED re-entries.
+#
+# Post-saturation escape hatch (policy, stated for future rounds): a
+# registered query may be RETIRED — removed here together with its
+# oracle and bench entry — when a staged successor strictly supersedes
+# it; the retirement frees that query's future deadline slots and the
+# successor enters as NEW inside the same window.  Until then, new
+# operators queue fully verified in operators/staged_r{N}.py
+# (currently: pack_loader_roundtrip_audit, curriculum_ramp_drift_audit).
 GATE_ORDER = [
     # ---------------- r13 window (first 50 = the driver's gate) ---------
     # --- new in r13: cross-document attention-waste audit over the
