@@ -204,62 +204,70 @@ AT_CAP_KEYS = 4_500_000  # > 2*KV_RESHARD_AT * KV_MAX_SHARDS = 4.19M
 
 
 def ordered_at_cap() -> dict:
-    """The ordered layout's boundary-list cap, MEASURED (r13 review
-    finding: the cap was asserted but unbenched): load past
-    2·KV_RESHARD_AT·KV_MAX_SHARDS keys so the cap binds, then record
-    that the boundary list stopped at KV_MAX_SHARDS, how far bucket
-    occupancy overshot the target, and that point puts and narrow span
-    scans stay flat — the same manifest-bounded trade the hash layout
-    makes at its round cap."""
+    """BOTH layouts at the cap-binding keyspace, apples-to-apples (r13
+    review finding: the ordered cap was asserted but unbenched, and an
+    ordered-at-cap number against a hash-at-1M number flattered hash):
+    load past 2·KV_RESHARD_AT·KV_MAX_SHARDS keys so the ordered
+    boundary cap binds (hash reaches its round cap far earlier), then
+    record per layout the manifest size, point-put percentiles, and the
+    narrow span scan.  The expected read: ordered pays ~2× per put for
+    the manifest's boundary list and buys 3 orders of magnitude on
+    span scans; both manifests are CAP-BOUNDED, so neither grows with
+    further keyspace."""
     import json as _json
 
     from elastic_stream_spark.kv import KV_MAX_SHARDS
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    root = tempfile.mkdtemp(prefix="kvcap-", dir=base)
-    try:
-        kv = KVStore(root, layout="ordered")
-        t0 = time.perf_counter()
-        with kv._txn() as st:
-            for i in range(AT_CAP_KEYS):
-                st.set_entry(f"key:{i:08d}".encode(), VALUE)
-        load_s = time.perf_counter() - t0
-        with open(os.path.join(root, "kv-meta.json")) as f:
-            meta = _json.load(f)
-        max_bucket = 0
-        for b, g in meta["shards"].items():
-            p = os.path.join(root, KVStore._shard_filename(b, g))
-            # entry count without parsing: count '"value"' occurrences
-            with open(p) as bf:
-                max_bucket = max(max_bucket, bf.read().count('"value"'))
-        puts = []
-        for i in range(50):
-            k = f"key:{i * (AT_CAP_KEYS // 50):08d}".encode()
+    out: dict = {"keys": AT_CAP_KEYS, "boundary_cap": KV_MAX_SHARDS}
+    for layout in ("hash", "ordered"):
+        root = tempfile.mkdtemp(prefix=f"kvcap-{layout}-", dir=base)
+        try:
+            kv = KVStore(root, layout=layout)
             t0 = time.perf_counter()
-            kv.put(k, VALUE + b"u")
-            puts.append((time.perf_counter() - t0) * 1000)
-        scans = []
-        for off in range(0, AT_CAP_KEYS, AT_CAP_KEYS // 5):
-            lo = f"key:{off:08d}".encode()
-            hi = f"key:{off + SPAN_WIDTH:08d}".encode()
-            t0 = time.perf_counter()
-            items, _ = kv.range(lo, hi)
-            scans.append((time.perf_counter() - t0) * 1000)
-            assert len(items) == SPAN_WIDTH
-        p50, p90, _ = _stats(puts)
-        return {
-            "keys": AT_CAP_KEYS,
-            "bulk_load_s": round(load_s, 1),
-            "boundaries": len(meta["oranges"]),
-            "boundary_cap": KV_MAX_SHARDS,
-            "cap_bound": len(meta["oranges"]) <= KV_MAX_SHARDS,
-            "max_bucket_entries": max_bucket,
-            "put_ms_p50": p50,
-            "put_ms_p90": p90,
-            "span_scan_ms_p50": round(statistics.median(scans), 2),
-        }
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+            with kv._txn() as st:
+                for i in range(AT_CAP_KEYS):
+                    st.set_entry(f"key:{i:08d}".encode(), VALUE)
+            load_s = time.perf_counter() - t0
+            meta_path = os.path.join(root, "kv-meta.json")
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            max_bucket = 0
+            for b, g in meta["shards"].items():
+                p = os.path.join(root, KVStore._shard_filename(b, g))
+                # entry count without parsing: '"value"' per entry
+                with open(p) as bf:
+                    max_bucket = max(max_bucket, bf.read().count('"value"'))
+            puts = []
+            for i in range(50):
+                k = f"key:{i * (AT_CAP_KEYS // 50):08d}".encode()
+                t0 = time.perf_counter()
+                kv.put(k, VALUE + b"u")
+                puts.append((time.perf_counter() - t0) * 1000)
+            scans = []
+            for off in range(0, AT_CAP_KEYS, AT_CAP_KEYS // 5):
+                lo = f"key:{off:08d}".encode()
+                hi = f"key:{off + SPAN_WIDTH:08d}".encode()
+                t0 = time.perf_counter()
+                items, _ = kv.range(lo, hi)
+                scans.append((time.perf_counter() - t0) * 1000)
+                assert len(items) == SPAN_WIDTH
+            p50, p90, _ = _stats(puts)
+            row = {
+                "bulk_load_s": round(load_s, 1),
+                "manifest_bytes": os.path.getsize(meta_path),
+                "max_bucket_entries": max_bucket,
+                "put_ms_p50": p50,
+                "put_ms_p90": p90,
+                "span_scan_ms_p50": round(statistics.median(scans), 2),
+            }
+            if layout == "ordered":
+                row["boundaries"] = len(meta["oranges"])
+                row["cap_bound"] = len(meta["oranges"]) <= KV_MAX_SHARDS
+            out[layout] = row
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def main() -> None:
