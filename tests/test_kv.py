@@ -870,3 +870,18 @@ def test_ordered_cross_process_cas_serializes_under_splits(workdir):
     assert meta["layout"] == "ordered"
     assert len(meta["oranges"]) > 1  # splits really happened mid-CAS
     assert meta["n"] == N_PROCS * N_INCR + 2  # fillers + counter + seed
+
+
+def test_to_df_on_ordered_store_across_splits(spark, workdir):
+    """The ``_kv`` DataFrame view reads the full snapshot regardless of
+    layout: an ordered store that has split several times must expose
+    every (key, value, version) row exactly once."""
+    kv = KVStore(workdir, layout="ordered")
+    with kv._txn() as st:
+        for i in range(3_000):
+            st.set_entry(f"k:{i:05d}".encode(), str(i).encode())
+    assert len(kv._read_meta()["oranges"]) > 1
+    df = kv.to_df(spark)
+    assert df.count() == 3_000
+    got = {bytes(r.key): bytes(r.value) for r in df.collect()}
+    assert got[b"k:02999"] == b"2999" and len(got) == 3_000
