@@ -306,6 +306,64 @@ def _append_bench(spark) -> dict[str, float]:
     return out
 
 
+def _canary_bench() -> dict[str, float]:
+    """Pinned pure-host canary, run BEFORE the Spark session exists.
+
+    Motivation (r13 VERDICT "what's wrong" #1): the driver-window total
+    has repeatedly landed ×1.2–1.5 over the committed calm number, and
+    the attribution to shared-host drift relied on a morning-calm
+    denominator measured hours earlier.  This canary gives every bench
+    run — calm AND driver-window — a same-window host-speed reading that
+    shares ZERO code path with the engine (no Spark, no JVM, none of the
+    package's modules): a fixed-size seeded BLAS matmul (CPU
+    availability) and a fixed-size real-disk write/read/hash
+    (I/O availability).  Band verdicts divide driver-window canary by
+    calm canary first; whatever ratio remains after normalizing is
+    attributable to code, not host.
+
+    Deterministic shapes, best-of-3 compute / best-of-2 I/O — same
+    hiccup hygiene as the query timings."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+
+    rng = np.random.default_rng(20260214)
+    a = rng.standard_normal((1536, 1536))
+    b = rng.standard_normal((1536, 1536))
+    compute = None
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(8):
+            a = a @ b
+            a /= np.abs(a).max()  # keep finite; also defeats lazy eval
+        dt = time.time() - t0
+        compute = dt if compute is None else min(compute, dt)
+    blob = rng.integers(0, 256, size=192 * 1024 * 1024, dtype=np.uint8).tobytes()
+    io_mb = len(blob) / 1e6
+    write_s = read_s = None
+    for _ in range(2):
+        with tempfile.NamedTemporaryFile(prefix="esspark-canary-") as f:
+            t0 = time.time()
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+            w = time.time() - t0
+            os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
+            t0 = time.time()
+            f.seek(0)
+            hashlib.sha256(f.read()).hexdigest()
+            r = time.time() - t0
+        write_s = w if write_s is None else min(write_s, w)
+        read_s = r if read_s is None else min(read_s, r)
+    return {
+        "compute_sec": round(compute, 3),
+        "io_write_mb_per_sec": round(io_mb / write_s, 1),
+        "io_read_mb_per_sec": round(io_mb / read_s, 1),
+        "io_mb": round(io_mb, 1),
+    }
+
+
 BULK_RECORDS = 400_000
 BULK_PAYLOAD = 1024  # bytes per record → ~400 MB of payload
 
@@ -385,6 +443,10 @@ def _bulk_throughput_bench(spark) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # same-window host canary FIRST — before the JVM exists, so the
+    # reading is pure host, not warm-up (see _canary_bench docstring)
+    canary = _canary_bench()
+    print(f"# canary: {canary}", file=sys.stderr, flush=True)
     from elastic_stream_spark.operators import all_queries
     from elastic_stream_spark.functions.materialize import unpersist_materialized
     from elastic_stream_spark.session import get_spark
@@ -490,6 +552,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "canary": canary,
         "append": append,
         "bulk": bulk,
         "spread_max_over_min": spreads,
@@ -533,6 +596,7 @@ def main() -> None:
         "unit": "sec",
         "sf": payload["sf"],
         "n_queries": len(timings),
+        "canary": canary,
         "append": append,
         "bulk": bulk,
         "families_sec": families,
