@@ -76,16 +76,17 @@ def _modules():
 # nothing is ever dark, only riding on its last driver round + the
 # reproducible local gate.  Changed and never-checked queries always
 # preempt a window slot.
-# r13 rotation — registry 149 → 150 (the saturation plateau: r14 and
-# r15 windows are fully claimed by their staleness-deadline classes,
-# zero free slots).  The 49 queries whose last driver row is r10 hit
-# the ≤3-round staleness deadline and take their policy slots; the ONE
-# remaining slot goes to the round's NEW query
-# (pack_attention_waste_audit — staged since r12 in
-# operators/staged_r13.py, never driver-checked, so it preempts per
-# policy).  No r13 code touch changes a registered query's plan or
-# output (the KV span-scan / bench / fsync work this round is
-# off-gate), so no CHANGED re-entries.
+# r14 rotation — registry stays 150 (saturation; the r14 window is
+# fully claimed by its staleness-deadline class, zero free slots, no
+# NEW entries — the staged candidates pack_loader_roundtrip_audit and
+# curriculum_ramp_drift_audit stay queued).  The 50 queries whose last
+# driver row is r11 hit the ≤3-round staleness deadline and take ALL 50
+# window slots.  No r14 code touch changes a registered query's plan or
+# output: the KV boundary-manifest paging / migrate_layout work is
+# storage-format-internal (the hypothesis equivalence property pins
+# hash/ordered/migrated observational equivalence, and kv_range_scan —
+# the one KV-backed registry query — builds its store fresh per run),
+# and the bench canary is off-gate.  So no CHANGED re-entries.
 #
 # Post-saturation escape hatch (policy, stated for future rounds): a
 # registered query may be RETIRED — removed here together with its
@@ -95,67 +96,9 @@ def _modules():
 # operators queue fully verified in operators/staged_r{N}.py
 # (currently: pack_loader_roundtrip_audit, curriculum_ramp_drift_audit).
 GATE_ORDER = [
-    # ---------------- r13 window (first 50 = the driver's gate) ---------
-    # --- new in r13: cross-document attention-waste audit over the
-    # packed-sequence span manifest (the window's single free slot) ---
-    "pack_attention_waste_audit",
-    # --- the 49 r10-stale driver rows (rotation policy's ≤3-round
-    # deadline: r13) ---
-    "token_budget_trim",
-    "quality_threshold_sweep",
-    "cross_source_dup_matrix",
-    "lsh_band_audit",
-    "corpus_novelty_curve",
-    "epoch_schedule",
-    "epoch_sample",
-    "corpus_drift_audit",
-    "tfidf_topk_per_doc",
-    "emb_covariance",
-    "sim_ann_ivf_pq_served",
-    "q21_waiting_supplier",
-    "kv_range_scan",
-    "sim_ann_ivf_pq",
-    "q9_product_type_profit",
-    "q12_priority_by_lateness",
-    "q16_supplier_variety",
-    "dedup_semantic",
-    "stream_heavy_hitters_replay",
-    "text_langid",
-    "text_fingerprint",
-    "top3_orders_per_customer",
-    "running_revenue",
-    "rollup_revenue",
-    "semi_anti_customers",
-    "setops_nations",
-    "pivot_status_by_flag",
-    "approx_distinct_parts",
-    "above_avg_orders",
-    "order_count_distribution",
-    "top_balance_per_nation",
-    "purchase_click_burst",
-    "cube_revenue",
-    "price_quantiles_by_flag",
-    "acctbal_quartiles",
-    "text_boilerplate",
-    "pipeline_pack_sequences",
-    "skew_salted_join_revenue",
-    "decontaminate_ngrams",
-    "mm_byte_features",
-    "mm_frame_sample",
-    "mm_metadata_stats",
-    "tumbling_window_counts",
-    "sliding_window_stats",
-    "session_windows",
-    "stream_dedup_events",
-    "resource_latest_state",
-    "offset_for_timestamp",
-    "pack_doc_spans",
-    # ---- 50-entry window boundary: every query below was hash-green
-    # in a prior driver window (r11 or r12 — noted per block) and is
-    # re-verified by the committed full-registry strict self-check at
-    # both sf every round (CORRECTNESS_FULL_r13*.json);
-    # tests/test_registry.py pins the policy.
-    # --- last driver row r11 (the r14 rotation pool; due r14) ---
+    # ---------------- r14 window (first 50 = the driver's gate) ---------
+    # --- the 50 r11-stale driver rows (rotation policy's ≤3-round
+    # deadline: r14) ---
     "pack_fragmentation_audit",
     "curriculum_mix_allocation",
     "epoch_coverage",
@@ -206,7 +149,12 @@ GATE_ORDER = [
     "dedup_embedding_lsh",
     "dedup_clusters",
     "q1_pricing_summary",
-    # --- last driver row r12 (freshest; due r15 at the latest) ---
+    # ---- 50-entry window boundary: every query below was hash-green
+    # in a prior driver window (r12 or r13 — noted per block) and is
+    # re-verified by the committed full-registry strict self-check at
+    # both sf every round (CORRECTNESS_FULL_r14*.json);
+    # tests/test_registry.py pins the policy.
+    # --- last driver row r12 (the r15 rotation pool; due r15) ---
     "retrieval_self_mrr",
     "dedup_cluster_density_audit",
     "stream_integrity_audit",
@@ -257,6 +205,57 @@ GATE_ORDER = [
     "chunk_dedup",
     "text_unigram_logprob",
     "ngram_counts",
+    # --- last driver row r13 (freshest; due r16 at the latest) ---
+    "pack_attention_waste_audit",
+    "token_budget_trim",
+    "quality_threshold_sweep",
+    "cross_source_dup_matrix",
+    "lsh_band_audit",
+    "corpus_novelty_curve",
+    "epoch_schedule",
+    "epoch_sample",
+    "corpus_drift_audit",
+    "tfidf_topk_per_doc",
+    "emb_covariance",
+    "sim_ann_ivf_pq_served",
+    "q21_waiting_supplier",
+    "kv_range_scan",
+    "sim_ann_ivf_pq",
+    "q9_product_type_profit",
+    "q12_priority_by_lateness",
+    "q16_supplier_variety",
+    "dedup_semantic",
+    "stream_heavy_hitters_replay",
+    "text_langid",
+    "text_fingerprint",
+    "top3_orders_per_customer",
+    "running_revenue",
+    "rollup_revenue",
+    "semi_anti_customers",
+    "setops_nations",
+    "pivot_status_by_flag",
+    "approx_distinct_parts",
+    "above_avg_orders",
+    "order_count_distribution",
+    "top_balance_per_nation",
+    "purchase_click_burst",
+    "cube_revenue",
+    "price_quantiles_by_flag",
+    "acctbal_quartiles",
+    "text_boilerplate",
+    "pipeline_pack_sequences",
+    "skew_salted_join_revenue",
+    "decontaminate_ngrams",
+    "mm_byte_features",
+    "mm_frame_sample",
+    "mm_metadata_stats",
+    "tumbling_window_counts",
+    "sliding_window_stats",
+    "session_windows",
+    "stream_dedup_events",
+    "resource_latest_state",
+    "offset_for_timestamp",
+    "pack_doc_spans",
 ]
 
 

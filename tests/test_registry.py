@@ -1,23 +1,22 @@
 """Gate-registry invariants: the driver records correctness rows for the
 first 50 registry entries only, so the order is load-bearing.
 
-Round-13 policy (operators/__init__.py GATE_ORDER): the registry
-(``len(GATE_ORDER)`` queries — 150 as of r13, the saturation plateau:
-the 50-slot window / ≤3-round staleness arithmetic leaves 0 free slots
-in r14 and r15) ALTERNATES over ~3 rounds — a query may sit beyond the
-window only if it was hash-green in a prior driver window (r11 or r12);
-changed / never-checked queries always occupy a slot; the 49 queries
-whose last driver row was r10 take their policy-deadline slots
-(staleness ≤ 3 rounds); the one remaining slot hosts the round's NEW
-query (the r12-staged attention-waste audit).  Every query is
-additionally re-verified each round by the committed strict
-full-registry self-check at both sf.
+Round-14 policy (operators/__init__.py GATE_ORDER): the registry
+(``len(GATE_ORDER)`` queries — 150, saturated since r13: the 50-slot
+window / ≤3-round staleness arithmetic leaves 0 free slots) ALTERNATES
+over exactly 3 rounds — a query may sit beyond the window only if it
+was hash-green in a prior driver window (r12 or r13); changed /
+never-checked queries always occupy a slot; the 50 queries whose last
+driver row was r11 take ALL 50 policy-deadline slots this round
+(staleness ≤ 3 rounds), so r14 has no free slot and no NEW entries.
+Every query is additionally re-verified each round by the committed
+strict full-registry self-check at both sf.
 
 Refactor convention (FP_TERM_MOD precedent, r10): code touches that
 provably change neither the plan nor the output on the gate fixtures do
-NOT preempt window slots; the full self-check covers them.  No r13 code
-touch changes a registered query's plan or output (the KV span-scan /
-bench / fsync work is off-gate), so r13 has no CHANGED re-entries.
+NOT preempt window slots; the full self-check covers them.  No r14 code
+touch changes a registered query's plan or output (the KV paging /
+migration / canary work is off-gate), so r14 has no CHANGED re-entries.
 """
 
 from __future__ import annotations
@@ -27,70 +26,71 @@ import os
 
 from elastic_stream_spark.operators import GATE_ORDER, all_oracles, all_queries
 
-# New in round 13 — never driver-checked, so it must sit inside the
-# window until it accumulates a green round.  Staged (built + oracled +
-# pytest-verified) since r12 in operators/staged_r13.py.
-NEW_R13 = {
-    "pack_attention_waste_audit",
-}
+# New in round 14 — none: the registry is saturated (zero free slots);
+# the staged candidates (pack_loader_roundtrip_audit,
+# curriculum_ramp_drift_audit) stay queued in operators/staged_r14/r15.
+NEW_R14: set[str] = set()
 
-# Changed in round 13 — none: no r13 code touch alters a registered
-# query's plan or output on the gate fixtures.
-CHANGED_R13: set[str] = set()
+# Changed in round 14 — none: the KV boundary-manifest paging and
+# migrate_layout work is storage-format-internal (hypothesis
+# equivalence property pins observational equivalence; kv_range_scan
+# builds its store fresh per run), and the bench canary is off-gate.
+CHANGED_R14: set[str] = set()
 
-# The 49 queries whose last driver row is CORRECTNESS_r10 (they sat out
-# r11 and r12): round 13 is the ≤3-round staleness policy's deadline, so
+# The 50 queries whose last driver row is CORRECTNESS_r11 (they sat out
+# r12 and r13): round 14 is the ≤3-round staleness policy's deadline, so
 # ALL of them must occupy window slots this round.
-STALE_R10 = {
-    "token_budget_trim",
-    "quality_threshold_sweep",
-    "cross_source_dup_matrix",
-    "lsh_band_audit",
-    "corpus_novelty_curve",
-    "epoch_schedule",
-    "epoch_sample",
-    "corpus_drift_audit",
-    "tfidf_topk_per_doc",
-    "emb_covariance",
-    "sim_ann_ivf_pq_served",
-    "q21_waiting_supplier",
-    "kv_range_scan",
-    "sim_ann_ivf_pq",
-    "q9_product_type_profit",
-    "q12_priority_by_lateness",
-    "q16_supplier_variety",
-    "dedup_semantic",
-    "stream_heavy_hitters_replay",
-    "text_langid",
-    "text_fingerprint",
-    "top3_orders_per_customer",
-    "running_revenue",
-    "rollup_revenue",
-    "semi_anti_customers",
-    "setops_nations",
-    "pivot_status_by_flag",
-    "approx_distinct_parts",
-    "above_avg_orders",
-    "order_count_distribution",
-    "top_balance_per_nation",
-    "purchase_click_burst",
-    "cube_revenue",
-    "price_quantiles_by_flag",
-    "acctbal_quartiles",
-    "text_boilerplate",
-    "pipeline_pack_sequences",
-    "skew_salted_join_revenue",
-    "decontaminate_ngrams",
-    "mm_byte_features",
-    "mm_frame_sample",
-    "mm_metadata_stats",
-    "tumbling_window_counts",
-    "sliding_window_stats",
-    "session_windows",
-    "stream_dedup_events",
-    "resource_latest_state",
-    "offset_for_timestamp",
-    "pack_doc_spans",
+STALE_R11 = {
+    "pack_fragmentation_audit",
+    "curriculum_mix_allocation",
+    "epoch_coverage",
+    "corpus_split_by_source",
+    "dedup_survivorship",
+    "approx_quantile_audit",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "neardup_lookup",
+    "neardup_lookup_served",
+    "event_gaps_lag",
+    "event_funnel",
+    "key_skew_audit",
+    "column_profile",
+    "winsorized_event_stats",
+    "daily_anomaly_zscore",
+    "source_distinctive_tokens",
+    "vocab_coverage",
+    "source_ngram_overlap",
+    "text_token_stats",
+    "pipeline_sample_mix",
+    "text_repetition",
+    "mix_temperature_weights",
+    "pipeline_curation_verdict",
+    "source_cap_sample",
+    "emb_random_project",
+    "corpus_split_shards",
+    "quality_buckets",
+    "emb_quantize_int8",
+    "bm25_search",
+    "bigram_pmi",
+    "stream_join_replay",
+    "split_leakage_check",
+    "emb_norm_outliers",
+    "window_unique_users",
+    "retention_cohorts",
+    "hybrid_rrf_search",
+    "filtered_vector_search",
+    "ts_gapfill_locf",
+    "rolling_revenue_7d",
+    "event_transitions",
+    "fuzzy_name_match",
+    "rfm_segments",
+    "scd2_user_history",
+    "pit_feature_join",
+    "jsonl_roundtrip_audit",
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "q1_pricing_summary",
 }
 
 
@@ -114,35 +114,37 @@ def test_registry_matches_gate_order():
 def test_new_changed_and_deadline_queries_inside_window():
     names = list(all_queries())
     window = set(names[:50])
-    assert NEW_R13 <= window
-    assert CHANGED_R13 <= window
-    assert STALE_R10 <= window, (
-        "r13 is the rotation policy's ≤3-round staleness deadline for the "
-        f"r10-row queries; missing: {STALE_R10 - window}"
+    assert NEW_R14 <= window
+    assert CHANGED_R14 <= window
+    assert STALE_R11 <= window, (
+        "r14 is the rotation policy's ≤3-round staleness deadline for the "
+        f"r11-row queries; missing: {STALE_R11 - window}"
     )
 
 
 def test_window_fills_remaining_slots_with_stalest_rows():
     """Alternation: after new/deadline queries claim their slots, every
-    remaining window slot goes to a query whose last driver row is r10 —
-    never to an r11/r12-green query while an r10-row query waits."""
+    remaining window slot goes to a query whose last driver row is r11 —
+    never to an r12/r13-green query while an r11-row query waits.  (In
+    r14 the deadline class claims all 50 slots, so fillers must be
+    empty.)"""
     names = list(all_queries())
     window = names[:50]
-    fresh = set(_load("CORRECTNESS_r11.json")) | set(_load("CORRECTNESS_r12.json"))
-    fillers = [n for n in window if n not in NEW_R13 | CHANGED_R13 | STALE_R10]
+    fresh = set(_load("CORRECTNESS_r12.json")) | set(_load("CORRECTNESS_r13.json"))
+    fillers = [n for n in window if n not in NEW_R14 | CHANGED_R14 | STALE_R11]
     in_fresh = [n for n in fillers if n in fresh]
     assert not in_fresh, (
-        f"window fillers that already have fresh r11/r12 rows: {in_fresh}"
+        f"window fillers that already have fresh r12/r13 rows: {in_fresh}"
     )
 
 
 def test_beyond_window_queries_were_green_in_a_prior_window():
     """A query may sit beyond the window only if it carries a hash-green
-    row from a prior driver window (r11 or r12 — the alternation cycle is
-    ~3 rounds at the current registry size)."""
+    row from a prior driver window (r12 or r13 — the alternation cycle is
+    exactly 3 rounds at the saturated registry size)."""
     names = list(all_queries())
     beyond = names[50:]
-    green = _greens("CORRECTNESS_r11.json") | _greens("CORRECTNESS_r12.json")
+    green = _greens("CORRECTNESS_r12.json") | _greens("CORRECTNESS_r13.json")
     stragglers = [n for n in beyond if n not in green]
     assert not stragglers, (
         f"beyond-window queries without a prior green driver row: {stragglers}"
@@ -150,12 +152,12 @@ def test_beyond_window_queries_were_green_in_a_prior_window():
 
 
 def test_no_registry_query_older_than_three_rounds():
-    """The staleness invariant itself: with the r13 window as planned, no
-    registry query's most recent driver row may predate r11 (checked
+    """The staleness invariant itself: with the r14 window as planned, no
+    registry query's most recent driver row may predate r12 (checked
     against the union of all committed driver artifacts, excluding the
-    current window which gets fresh r13 rows)."""
+    current window which gets fresh r14 rows)."""
     last: dict[str, int] = {}
-    for r in range(1, 13):
+    for r in range(1, 14):
         art = f"CORRECTNESS_r{r:02d}.json"
         try:
             rows = _load(art)
@@ -165,8 +167,8 @@ def test_no_registry_query_older_than_three_rounds():
             last[n] = r
     names = list(all_queries())
     beyond = names[50:]
-    too_old = [n for n in beyond if last.get(n, 0) < 11]
-    assert not too_old, f"beyond-window queries with pre-r11 rows: {too_old}"
+    too_old = [n for n in beyond if last.get(n, 0) < 12]
+    assert not too_old, f"beyond-window queries with pre-r12 rows: {too_old}"
 
 
 def test_every_query_has_an_oracle():
