@@ -61,6 +61,30 @@ directions.  Same commit protocol, same crash-safety, same lock-free
 readers; the manifest's ``layout`` field is authoritative on reopen,
 and stores without it (every pre-r13 manifest) read as hash, unchanged.
 tools/kv_bench.py records the hash-vs-ordered span-scan A/B at 1M keys.
+
+Boundary side-file (r14; r13 VERDICT "what's wrong" item 2): inlining
+``oranges`` in the manifest made EVERY ordered-layout commit serialize +
+fsync the full boundary list (192 KB at the 4096-entry cap — put p90
+125.5 ms vs hash 14.0).  But a plain put never changes boundaries:
+only splits and compactions do, amortized one per KV_RESHARD_AT
+inserts.  So past ``OR_INLINE_MAX`` entries the boundary list lives in
+its own generation file ``kv-oranges.<rev>.json``; the manifest carries
+just the generation int, boundary-preserving commits reuse it verbatim
+(zero boundary serialization — put cost equals the hash layout's), and
+boundary-changing commits write a new generation that rides the SAME
+atomic manifest swap (readers resolve manifest → boundary file with the
+same retry-on-GC loop as bucket files; the parsed list is cached per
+generation, so warm point-gets stay at one manifest + one bucket read).
+Small stores (≤ OR_INLINE_MAX boundaries) stay inline — one file, no
+extra read — and every pre-r14 inline manifest reads unchanged; the
+form migrates automatically at the next boundary-changing commit.
+
+``migrate_layout("ordered")`` converts a populated hash (or legacy)
+store offline: one sort-and-slice pass into occupancy-target leaves,
+written as new generation files behind the same single-rename commit
+point — a crash at any step leaves the hash layout fully live, and
+revisions/versions survive byte-for-byte (the hypothesis equivalence
+property in tests/test_kv.py runs straight across the migration).
 """
 
 from __future__ import annotations
@@ -105,7 +129,21 @@ KV_SHARDS = 256  # initial bucket count (adaptive from r11 — see below)
 # absent → 256) read unchanged.
 KV_RESHARD_AT = 512
 KV_RESHARD_FACTOR = 4
-KV_MAX_SHARDS = 4096  # 3 hex digits — bucket filename format unchanged
+# 4096 = 3 hex digits for HASH bucket ids (filename format unchanged).
+# Ordered-layout names ("o" + %03x of a never-reclaimed allocation
+# counter) can legitimately exceed 3 hex digits on long-lived
+# delete-heavy stores — compaction frees names without reusing them, so
+# the counter outruns 0xfff while live boundaries stay ≤ KV_MAX_SHARDS.
+# %03x zero-PADS, it does not truncate: names simply widen to 4+ digits,
+# no collision (r13 advice — documented as intended).
+KV_MAX_SHARDS = 4096
+
+# Ordered layout: boundary lists at or below this size stay inline in
+# the manifest (one file, no extra read for tiny stores); above it they
+# move to the kv-oranges.<gen>.json side file so the per-commit
+# manifest stays O(buckets-touched), not O(boundaries) (r14 — see
+# module docstring).
+OR_INLINE_MAX = 64
 
 # The linear-hashing round wrap multiplies nshards by KV_RESHARD_FACTOR
 # whole-sale (kv.py _split_one), so the cap is only respected exactly if
@@ -161,7 +199,13 @@ class _State:
         # seeds a FRESH store via _read_meta); hash stores never carry
         # the field, so every pre-r13 manifest reads as hash unchanged
         self.layout: str = self.meta.get("layout", "hash")
-        self.oranges: list = [list(x) for x in self.meta.get("oranges", [])]
+        # resolve inline-or-side-file form (under the txn lock, so the
+        # referenced generation cannot be GC'd concurrently); keep the
+        # original for the commit's changed-check — entries are mutated
+        # in place (compaction re-opens bounds), so tuple-copy
+        self.oranges: list = [list(x) for x in store._oranges(self.meta)]
+        self._oranges_orig: list = [tuple(x) for x in self.oranges]
+        self._oranges_gen: int | None = self.meta.get("oranges_gen")
         self.onext: int = self.meta.get("onext", 0)
         # total entry count, maintained incrementally for the reshard
         # trigger; None = pre-r11 manifest without the field (recounted
@@ -298,6 +342,10 @@ class KVStore:
         self._meta_path = os.path.join(root, "kv-meta.json")
         self._lock_path = os.path.join(root, "kv.lock")
         self._swept = False  # crash-orphan sweep pending (once per open)
+        # (gen, parsed list) of the last boundary side-file read — a
+        # generation file's content is immutable, so the cache can never
+        # serve stale boundaries; a new gen simply misses and re-reads
+        self._oranges_cache: tuple[int, list] | None = None
 
     # ------------------------------------------------------------- state
 
@@ -394,6 +442,28 @@ class KVStore:
                 names.append(name)
             lower = upper
         return names
+
+    @staticmethod
+    def _oranges_file(gen: int) -> str:
+        return f"kv-oranges.{gen:012d}.json"
+
+    def _oranges(self, meta: dict) -> list:
+        """Resolve the boundary list: inline (``oranges``, stores at or
+        below OR_INLINE_MAX and every pre-r14 manifest) or the
+        generation side file (``oranges_gen``).  Raises FileNotFoundError
+        if a concurrent commit GC'd the generation between the manifest
+        read and this one — callers' existing retry loops handle it."""
+        if "oranges" in meta:
+            return meta["oranges"]
+        gen = meta.get("oranges_gen")
+        if gen is None:
+            return []
+        if self._oranges_cache is not None and self._oranges_cache[0] == gen:
+            return self._oranges_cache[1]
+        with open(os.path.join(self.root, self._oranges_file(gen))) as f:
+            lst = json.load(f)["oranges"]
+        self._oranges_cache = (gen, lst)
+        return lst
 
     def _read_meta(self) -> dict:
         """Manifest: {"revision": R, "shards": {bucket: filename}}.
@@ -504,10 +574,28 @@ class KVStore:
             "shards": shards,
             "n": n_total,
         }
+        old_ogen = new_ogen = None
         if st.layout == "ordered":
-            meta_payload.update(
-                {"layout": "ordered", "oranges": st.oranges, "onext": st.onext}
-            )
+            meta_payload.update({"layout": "ordered", "onext": st.onext})
+            old_ogen = st._oranges_gen
+            if len(st.oranges) <= OR_INLINE_MAX:
+                # small store: inline, one file, no extra reader hop
+                meta_payload["oranges"] = st.oranges
+            elif (
+                old_ogen is not None
+                and [tuple(x) for x in st.oranges] == st._oranges_orig
+            ):
+                # the common case — no split/compaction this txn: reuse
+                # the standing generation verbatim; the commit serializes
+                # ZERO boundary data (put cost = hash layout's)
+                meta_payload["oranges_gen"] = new_ogen = old_ogen
+            else:
+                new_ogen = st.revision
+                self._write_file(
+                    self._oranges_file(new_ogen), {"oranges": st.oranges}
+                )
+                meta_payload["oranges_gen"] = new_ogen
+                self._oranges_cache = (new_ogen, [list(x) for x in st.oranges])
         else:
             meta_payload.update({"nshards": st.nshards, "next": st.nextp})
         self._write_file(os.path.basename(self._meta_path), meta_payload)
@@ -521,26 +609,38 @@ class KVStore:
             p = os.path.join(self.root, fn)
             if os.path.exists(p):
                 os.unlink(p)
+        # GC the superseded boundary generation (replaced by a new gen
+        # or re-inlined); a reader mid-resolve hits FileNotFoundError
+        # and retries against the new manifest, same as bucket files
+        if old_ogen is not None and old_ogen != new_ogen:
+            p = os.path.join(self.root, self._oranges_file(old_ogen))
+            if os.path.exists(p):
+                os.unlink(p)
         # the manifest is authoritative from here: a kv.json is either
         # the just-migrated snapshot or debris from a crash between a
         # previous migration's manifest commit and its GC — gone either way
         if os.path.exists(self._legacy_path):
             os.unlink(self._legacy_path)
-        self._sweep_orphans(shards)
+        self._sweep_orphans(shards, new_ogen)
 
-    def _sweep_orphans(self, shards: dict) -> None:
+    def _sweep_orphans(self, shards: dict, oranges_gen: int | None = None) -> None:
         """Unlink generation files the manifest does not reference —
         debris from a crash between shard writes and the manifest
-        commit, or from a crashed pre-GC window.  Runs once per store
-        open (inside the first committing txn, under the lock) and
-        after every reshard; normal commits GC their replaced files
+        commit, or from a crashed pre-GC window.  Covers bucket files
+        and boundary side files alike.  Runs once per store open
+        (inside the first committing txn, under the lock) and after
+        every reshard; normal commits GC their replaced files
         directly."""
         if self._swept:
             return
         self._swept = True
         live = {self._shard_filename(b, g) for b, g in shards.items()}
+        if oranges_gen is not None:
+            live.add(self._oranges_file(oranges_gen))
         for fn in os.listdir(self.root):
-            if fn.startswith("kv-shard-") and fn not in live:
+            if (
+                fn.startswith("kv-shard-") or fn.startswith("kv-oranges.")
+            ) and fn not in live:
                 try:
                     os.unlink(os.path.join(self.root, fn))
                 except FileNotFoundError:
@@ -625,9 +725,14 @@ class KVStore:
         changed = True
         while changed:
             changed = False
-            if len(st.oranges) >= KV_MAX_SHARDS:
-                break
             for b in list(st._dirty):
+                # cap check per SPLIT, not per pass: a txn with several
+                # organically-oversize buckets just below the cap would
+                # otherwise split them all in one pass and overshoot
+                # KV_MAX_SHARDS (r13 advice — reproduced at cap 8 → 9)
+                if len(st.oranges) >= KV_MAX_SHARDS:
+                    changed = False
+                    break
                 data = st._buckets.get(b)
                 if data is None or len(data) <= 2 * KV_RESHARD_AT:
                     continue
@@ -703,6 +808,83 @@ class KVStore:
             st._buckets[name] = part
             st._dirty.add(name)
 
+    def migrate_layout(self, to: str = "ordered") -> None:
+        """Offline hash→ordered migration (r13 VERDICT "what's wrong"
+        item 3): an existing hash store that develops scan-heavy
+        prefixes previously had no path to the ordered layout short of
+        a manual dump/reload — the constructor's ``layout`` arg only
+        seeds FRESH stores.
+
+        One sort-and-slice pass (the same multi-way fixpoint a bulk
+        load's median splits reach) into ~KV_RESHARD_AT-entry leaves,
+        riding the standard commit protocol: every new bucket file and
+        the boundary side file are generation files written BEFORE the
+        single manifest rename — THE commit point — so a crash at any
+        step leaves the hash layout fully live and the half-written
+        ordered files to the orphan sweep.  Revision and every key's
+        version are preserved byte-for-byte (the migration is a layout
+        change, not a mutation), which lets the hypothesis equivalence
+        property in tests/test_kv.py run one schedule straight across a
+        mid-schedule migration.  Legacy monolithic ``kv.json`` stores
+        migrate directly.  Ordered→hash is not supported (nothing needs
+        it: hash placement never beats ordered on any measured op —
+        KV_BENCH.json — it only predates it)."""
+        if to != "ordered":
+            raise ValueError("only hash→ordered migration is supported")
+        import bisect
+
+        with open(self._lock_path, "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            st = _State(self)
+            if st.layout == "ordered":
+                return  # idempotent
+            items = st.all_items()
+            rev = st.revision
+            keys = sorted(self._dec(ek) for ek in items)
+            n = len(keys)
+            nparts = max(1, min(-(-n // KV_RESHARD_AT), KV_MAX_SHARDS))
+            cuts = [(n * p) // nparts for p in range(1, nparts)]
+            bounds = [self._separator(keys[c - 1], keys[c]) for c in cuts]
+            names = [f"o{j:03x}" for j in range(nparts)]
+            parts: list[dict] = [{} for _ in names]
+            for ek, ent in items.items():
+                parts[bisect.bisect_right(bounds, self._dec(ek))][ek] = ent
+            oranges = [
+                [nm, self._enc(bd)] for nm, bd in zip(names, bounds)
+            ] + [[names[-1], None]]
+            shards: dict = {}
+            for nm, part in zip(names, parts):
+                if part:
+                    self._write_file(self._shard_filename(nm, rev), part)
+                    shards[nm] = rev
+            meta_payload: dict = {
+                "revision": rev,
+                "shards": shards,
+                "n": n,
+                "layout": "ordered",
+                "onext": nparts,
+            }
+            if len(oranges) <= OR_INLINE_MAX:
+                new_ogen = None
+                meta_payload["oranges"] = oranges
+            else:
+                new_ogen = rev
+                self._write_file(self._oranges_file(rev), {"oranges": oranges})
+                meta_payload["oranges_gen"] = rev
+            old_files = [
+                self._shard_filename(b, g) for b, g in st.meta["shards"].items()
+            ]
+            # THE commit point: one rename flips the whole layout
+            self._write_file(os.path.basename(self._meta_path), meta_payload)
+            for fn in old_files:
+                p = os.path.join(self.root, fn)
+                if os.path.exists(p):
+                    os.unlink(p)
+            if os.path.exists(self._legacy_path):
+                os.unlink(self._legacy_path)
+            self._swept = False  # crash debris from older windows may remain
+            self._sweep_orphans(shards, new_ogen)
+
     def _snapshot(
         self, key: bytes | None = None, range_end: bytes | None = None
     ) -> tuple[int, dict]:
@@ -720,9 +902,12 @@ class KVStore:
                 if meta.get("_legacy"):
                     out.update(self._read_legacy()["data"])
                 if key is not None and meta.get("layout") == "ordered":
+                    # boundary resolution may race a concurrent GC just
+                    # like bucket reads — it sits inside the retry loop
+                    oranges = {"oranges": self._oranges(meta)}
                     names: list | set = [
                         b
-                        for b in self._ospan_names(meta, key, range_end)
+                        for b in self._ospan_names(oranges, key, range_end)
                         if b in meta["shards"]
                     ]
                 else:
@@ -742,16 +927,18 @@ class KVStore:
         would read the wrong — possibly empty — bucket)."""
         for _ in range(64):
             meta = self._read_meta()
-            if meta.get("layout") == "ordered":
-                ob = self._obucket_at(meta, key)
-                if ob is None:
-                    return {}
-                b = ob
-            else:
-                b = self._bucket_of(
-                    key, meta.get("nshards", KV_SHARDS), meta.get("next", 0)
-                )
             try:
+                if meta.get("layout") == "ordered":
+                    # side-file resolution can race a concurrent GC —
+                    # retried exactly like a GC'd bucket generation
+                    ob = self._obucket_at({"oranges": self._oranges(meta)}, key)
+                    if ob is None:
+                        return {}
+                    b = ob
+                else:
+                    b = self._bucket_of(
+                        key, meta.get("nshards", KV_SHARDS), meta.get("next", 0)
+                    )
                 return self._read_bucket_file(meta, b)
             except FileNotFoundError:
                 continue

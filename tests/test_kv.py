@@ -872,6 +872,204 @@ def test_ordered_cross_process_cas_serializes_under_splits(workdir):
     assert meta["n"] == N_PROCS * N_INCR + 2  # fillers + counter + seed
 
 
+def test_ordered_boundary_side_file_lifecycle(workdir, monkeypatch):
+    """r14: past OR_INLINE_MAX boundaries the list moves to the
+    kv-oranges.<gen>.json side file; a boundary-preserving put must
+    REUSE the standing generation (zero boundary serialization — the
+    whole point), a boundary-changing commit must atomically swap in a
+    new generation and GC the old, and shrinking back below the
+    threshold must re-inline and drop the file."""
+    import os as _os
+
+    import elastic_stream_spark.kv as kvmod
+
+    monkeypatch.setattr(kvmod, "KV_RESHARD_AT", 4)
+    monkeypatch.setattr(kvmod, "OR_INLINE_MAX", 6)
+    kv = KVStore(workdir, layout="ordered")
+    for i in range(200):
+        kv.put(f"k{i:04d}".encode(), f"v{i}".encode())
+    meta = kv._read_meta()
+    assert "oranges" not in meta and "oranges_gen" in meta
+    files = [f for f in _os.listdir(workdir) if f.startswith("kv-oranges.")]
+    assert files == [KVStore._oranges_file(meta["oranges_gen"])]
+    boundaries = kv._oranges(meta)
+    assert len(boundaries) > 6
+    # boundary-preserving puts: same generation across many commits
+    g0 = meta["oranges_gen"]
+    for i in range(10):
+        kv.put(f"k{i:04d}".encode(), b"upd")
+    assert kv._read_meta()["oranges_gen"] == g0
+    # a split (boundary change) swaps the generation and GCs the old
+    with kv._txn() as st:
+        for i in range(1000, 1020):
+            st.set_entry(f"k{i:04d}".encode(), b"grow")
+    m2 = kv._read_meta()
+    if m2.get("oranges_gen") != g0:  # a split really triggered
+        assert not _os.path.exists(
+            _os.path.join(workdir, KVStore._oranges_file(g0))
+        )
+    # reads resolve through the side file, cold-handle and warm alike
+    kv2 = KVStore(workdir)
+    assert len(kv2.range(b"k00", prefix_end(b"k00"))[0]) == 100
+    assert kv2.get(b"k0000") == (b"upd", kv2.get(b"k0000")[1])
+    # delete everything → compaction shrinks below the threshold →
+    # re-inlined, side file gone
+    kv.delete_range(b"k", prefix_end(b"k"))
+    m3 = kv._read_meta()
+    assert "oranges" in m3 and "oranges_gen" not in m3
+    assert not [
+        f for f in _os.listdir(workdir) if f.startswith("kv-oranges.")
+    ]
+    kv.put(b"fresh", b"x")
+    assert kv.get(b"fresh")[0] == b"x"
+
+
+def test_ordered_oranges_orphan_swept_after_crash_window(workdir, monkeypatch):
+    """A crash between writing a new boundary generation and the
+    manifest rename leaves an unreferenced kv-oranges file; the next
+    committer's orphan sweep must reclaim it while keeping the live
+    generation."""
+    import os as _os
+
+    import elastic_stream_spark.kv as kvmod
+
+    monkeypatch.setattr(kvmod, "KV_RESHARD_AT", 4)
+    monkeypatch.setattr(kvmod, "OR_INLINE_MAX", 6)
+    kv = KVStore(workdir, layout="ordered")
+    for i in range(100):
+        kv.put(f"k{i:04d}".encode(), b"v")
+    live_gen = kv._read_meta()["oranges_gen"]
+    bogus = _os.path.join(workdir, KVStore._oranges_file(99_999))
+    with open(bogus, "w") as f:
+        f.write('{"oranges": [["o000", null]]}')
+    kv2 = KVStore(workdir)  # post-crash open
+    assert len(kv2.range(b"k", prefix_end(b"k"))[0]) == 100  # manifest wins
+    kv2.put(b"k9999", b"new")  # first commit sweeps
+    assert not _os.path.exists(bogus)
+    m = kv2._read_meta()
+    assert _os.path.exists(
+        _os.path.join(workdir, KVStore._oranges_file(m["oranges_gen"]))
+    )
+
+
+def test_ordered_cap_not_overshot_by_multi_oversize_txn(workdir, monkeypatch):
+    """r13 advice: the cap was checked once per split PASS, so a txn
+    with several organically-oversize dirty buckets one below the cap
+    split them all and pushed len(oranges) past KV_MAX_SHARDS
+    (reproduced: cap 8 → 9).  The check is per SPLIT now: the invariant
+    len(oranges) ≤ KV_MAX_SHARDS must hold after ANY txn."""
+    import elastic_stream_spark.kv as kvmod
+
+    # grow several buckets under a lenient threshold first
+    monkeypatch.setattr(kvmod, "KV_RESHARD_AT", 16)
+    kv = KVStore(workdir, layout="ordered")
+    with kv._txn() as st:
+        for i in range(120):
+            st.set_entry(f"k{i:04d}".encode(), b"v")
+    n_b = len(kv._oranges(kv._read_meta()))
+    assert n_b >= 3
+    # now tighten: every standing bucket is oversize, cap one above
+    monkeypatch.setattr(kvmod, "KV_RESHARD_AT", 4)
+    monkeypatch.setattr(kvmod, "KV_MAX_SHARDS", n_b + 1)
+    with kv._txn() as st:  # dirty EVERY bucket in one txn
+        for i in range(120):
+            st.set_entry(f"k{i:04d}".encode(), b"w")
+    oranges = kv._oranges(kv._read_meta())
+    assert len(oranges) <= n_b + 1, (
+        f"cap overshot: {len(oranges)} > {n_b + 1}"
+    )
+    # data intact regardless
+    items, _ = kv.range(b"k", prefix_end(b"k"))
+    assert len(items) == 120 and all(v == b"w" for _, v, _ in items)
+
+
+def test_migrate_layout_hash_to_ordered(workdir, monkeypatch):
+    """r13 VERDICT item 4: a populated hash store migrates offline to
+    the ordered layout with byte-identical range()/get() results and
+    versions, pruned span scans after, and idempotent re-invocation."""
+    import elastic_stream_spark.kv as kvmod
+
+    kv = KVStore(workdir)  # hash
+    vers = {}
+    for i in range(3_000):
+        vers[i] = kv.put(f"m{i:05d}".encode(), f"w{i}".encode())
+    kv.delete_range(b"m00100", b"m00200")  # holes survive migration too
+    before = kv.range(b"", KVStore.FROM_KEY)
+    rev_before = kv._read_meta()["revision"]
+
+    kv.migrate_layout("ordered")
+
+    m = kv._read_meta()
+    assert m["layout"] == "ordered" and m["revision"] == rev_before
+    assert kv.range(b"", KVStore.FROM_KEY) == before  # bytes + versions
+    assert kv.get(b"m02999") == (b"w2999", vers[2999])
+    assert kv.get(b"m00150") is None
+    # span scans now prune to the overlapping buckets
+    reads: list[str] = []
+    orig = KVStore._read_bucket_file
+
+    def counting(self, meta, b):
+        reads.append(b)
+        return orig(self, meta, b)
+
+    monkeypatch.setattr(KVStore, "_read_bucket_file", counting)
+    items, _ = kv.range(b"m0250", prefix_end(b"m0250"))
+    assert len(items) == 10
+    assert len(reads) <= 2, f"span scan read {len(reads)} buckets post-migration"
+    monkeypatch.undo()
+    # idempotent; ordered→hash unsupported by design
+    kv.migrate_layout("ordered")
+    assert kv.range(b"", KVStore.FROM_KEY) == before
+    try:
+        kv.migrate_layout("hash")
+        raise AssertionError("ordered→hash must be rejected")
+    except ValueError:
+        pass
+    # fresh handle reads the migrated store; writes keep splitting
+    kv2 = KVStore(workdir)
+    kv2.put(b"m99999", b"tail")
+    assert kv2.get(b"m99999")[0] == b"tail"
+
+
+def test_migrate_layout_legacy_and_empty_stores(workdir):
+    """A pre-shard monolithic kv.json migrates straight to ordered
+    (revision and versions preserved); an empty hash store just flips
+    its layout and serves subsequent writes."""
+    import json as _json
+    import os as _os
+
+    legacy_root = _os.path.join(workdir, "legacy")
+    _os.makedirs(legacy_root)
+    legacy = {
+        "revision": 7,
+        "data": {
+            KVStore._enc(f"L{i}".encode()): {
+                "value": KVStore._enc(b"old"),
+                "version": i + 1,
+            }
+            for i in range(5)
+        },
+    }
+    with open(_os.path.join(legacy_root, "kv.json"), "w") as f:
+        _json.dump(legacy, f)
+    kv = KVStore(legacy_root)
+    kv.migrate_layout("ordered")
+    m = kv._read_meta()
+    assert m["layout"] == "ordered" and m["revision"] == 7
+    assert not _os.path.exists(_os.path.join(legacy_root, "kv.json"))
+    assert kv.get(b"L3") == (b"old", 4)
+    assert len(kv.range(b"L", prefix_end(b"L"))[0]) == 5
+
+    empty_root = _os.path.join(workdir, "empty")
+    e = KVStore(empty_root)
+    e.put(b"x", b"1")
+    e.delete_range(b"x")
+    e.migrate_layout("ordered")
+    assert e._read_meta()["layout"] == "ordered"
+    rev = e.put(b"y", b"2")
+    assert e.get(b"y") == (b"2", rev)
+
+
 def test_to_df_on_ordered_store_across_splits(spark, workdir):
     """The ``_kv`` DataFrame view reads the full snapshot regardless of
     layout: an ordered store that has split several times must expose

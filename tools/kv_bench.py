@@ -262,8 +262,16 @@ def ordered_at_cap() -> dict:
                 "span_scan_ms_p50": round(statistics.median(scans), 2),
             }
             if layout == "ordered":
-                row["boundaries"] = len(meta["oranges"])
-                row["cap_bound"] = len(meta["oranges"]) <= KV_MAX_SHARDS
+                # boundaries live in the kv-oranges side file past
+                # OR_INLINE_MAX (r14) — resolve through the store
+                oranges = kv._oranges(meta)
+                row["boundaries"] = len(oranges)
+                row["cap_bound"] = len(oranges) <= KV_MAX_SHARDS
+                gen = meta.get("oranges_gen")
+                if gen is not None:
+                    row["oranges_file_bytes"] = os.path.getsize(
+                        os.path.join(root, KVStore._oranges_file(gen))
+                    )
             out[layout] = row
         finally:
             shutil.rmtree(root, ignore_errors=True)
