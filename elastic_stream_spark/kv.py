@@ -200,11 +200,14 @@ class _State:
         # the field, so every pre-r13 manifest reads as hash unchanged
         self.layout: str = self.meta.get("layout", "hash")
         # resolve inline-or-side-file form (under the txn lock, so the
-        # referenced generation cannot be GC'd concurrently); keep the
-        # original for the commit's changed-check — entries are mutated
-        # in place (compaction re-opens bounds), so tuple-copy
-        self.oranges: list = [list(x) for x in store._oranges(self.meta)]
-        self._oranges_orig: list = [tuple(x) for x in self.oranges]
+        # referenced generation cannot be GC'd concurrently).  ALIASED,
+        # not copied: the put path must stay O(1) in boundaries, so the
+        # cached/inline list is shared read-only and every mutator
+        # (_place allocate, _osplit_one, _ocompact) copies-on-write and
+        # raises ``_oranges_mut`` — which is also the commit's
+        # boundary-changed check (no O(boundaries) compare per put)
+        self.oranges: list = store._oranges(self.meta)
+        self._oranges_mut = False
         self._oranges_gen: int | None = self.meta.get("oranges_gen")
         self.onext: int = self.meta.get("onext", 0)
         # total entry count, maintained incrementally for the reshard
@@ -254,6 +257,7 @@ class _State:
                 b = f"o{self.onext:03x}"
                 self.onext += 1
                 self.oranges = [[b, None]]
+                self._oranges_mut = True
             return b
         return self._store._bucket_of(key, self.nshards, self.nextp)
 
@@ -581,10 +585,7 @@ class KVStore:
             if len(st.oranges) <= OR_INLINE_MAX:
                 # small store: inline, one file, no extra reader hop
                 meta_payload["oranges"] = st.oranges
-            elif (
-                old_ogen is not None
-                and [tuple(x) for x in st.oranges] == st._oranges_orig
-            ):
+            elif old_ogen is not None and not st._oranges_mut:
                 # the common case — no split/compaction this txn: reuse
                 # the standing generation verbatim; the commit serializes
                 # ZERO boundary data (put cost = hash layout's)
@@ -748,13 +749,23 @@ class KVStore:
         binary search must keep stepping over.  Only DIRTY-empty buckets
         compact (an untouched bucket with data on disk never moves), so
         the pass is O(txn), and the dropped names simply leave the
-        manifest — the same atomic swap that removes their files."""
+        manifest — the same atomic swap that removes their files.
+
+        The no-victim case exits after an O(dirty) set probe — the
+        common put never walks the boundary list at all (r14: the put
+        path is O(1) in boundaries; see _State.oranges COW note)."""
         if len(st.oranges) <= 1:
+            return
+        doomed = {
+            b
+            for b in st._dirty
+            if (d := st._buckets.get(b)) is not None and not d
+        }
+        if not doomed:
             return
         live: list = []
         for name, upper in st.oranges:
-            data = st._buckets.get(name)
-            if name in st._dirty and data is not None and not data:
+            if name in doomed:
                 # empty: successor inherits the span implicitly; if this
                 # was the LAST entry, re-open the predecessor instead
                 if upper is None and live:
@@ -762,11 +773,14 @@ class KVStore:
                 continue
             live.append([name, upper])
         if not live:  # everything deleted: keep one open-ended bucket
-            live = [st.oranges[-1][:]]
+            live = [list(st.oranges[-1])]
             live[0][1] = None
         if live[-1][1] is not None:  # dropped tail: predecessor re-opens
             live[-1][1] = None
+        # `live` is built from fresh sublists, so assigning it is safe
+        # even when st.oranges aliased the reader cache
         st.oranges = live
+        st._oranges_mut = True
 
     def _osplit_one(self, st: _State, b: str, data: dict) -> None:
         """Split ordered bucket ``b``.  Organic growth (a put nudging it
@@ -780,6 +794,11 @@ class KVStore:
         per recursion level (O(n) vs O(n log n/T) dict passes).  All new
         buckets + boundary inserts ride the txn's atomic manifest swap,
         so readers see either layout, never a torn one."""
+        if not st._oranges_mut:
+            # copy-on-write: st.oranges may alias the reader cache /
+            # inline manifest list (see _State.oranges note)
+            st.oranges = [list(x) for x in st.oranges]
+            st._oranges_mut = True
         keys = sorted(self._dec(ek) for ek in data)
         n = len(keys)
         if n > 4 * KV_RESHARD_AT:

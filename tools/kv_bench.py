@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import gc
 import statistics
 import sys
 import tempfile
@@ -68,6 +69,10 @@ def bench_size(n: int) -> dict:
         with kv._txn() as st:
             for i in range(n):
                 st.set_entry(f"key:{i:08d}".encode(), VALUE)
+        del st  # release the bulk-load state BEFORE probing: it holds the
+        gc.collect()  # whole keyspace, and gen-2 scans of it would charge
+        # ~100 ms harness-GC pauses to store puts (r14 finding — the r13
+        # ordered-at-cap p90 was dominated by exactly this artifact)
         # steady-state updates (no keyspace growth, no splits)
         upd = []
         for i in range(PROBES):
@@ -114,6 +119,8 @@ def spike_point(boundary: int) -> dict:
         with kv._txn() as st:
             for i in range(boundary - 1):
                 st.set_entry(f"key:{i:08d}".encode(), VALUE)
+        del st
+        gc.collect()  # same harness-GC hygiene as bench_size
         before = kv._read_meta()
         nextp0 = before.get("next", 0)
         ns0 = before.get("nshards", KV_SHARDS)
@@ -155,6 +162,8 @@ def span_scan_ab() -> dict:
                 for i in range(SPAN_KEYS):
                     st.set_entry(f"key:{i:08d}".encode(), VALUE)
             load_s = time.perf_counter() - t0
+            del st
+            gc.collect()  # same harness-GC hygiene as bench_size
             meta = kv._read_meta()
             if layout == "ordered":
                 buckets = len(meta["shards"])
@@ -229,6 +238,10 @@ def ordered_at_cap() -> dict:
                 for i in range(AT_CAP_KEYS):
                     st.set_entry(f"key:{i:08d}".encode(), VALUE)
             load_s = time.perf_counter() - t0
+            del st
+            gc.collect()  # same harness-GC hygiene as bench_size; at 4.5M
+            # live entry dicts a gen-2 pass measured ~105 ms, and 8 of 50
+            # put probes paid it in the r13 artifact
             meta_path = os.path.join(root, "kv-meta.json")
             with open(meta_path) as f:
                 meta = _json.load(f)
