@@ -1031,6 +1031,53 @@ def test_migrate_layout_hash_to_ordered(workdir, monkeypatch):
     assert kv2.get(b"m99999")[0] == b"tail"
 
 
+def test_migrate_layout_crash_window_leaves_hash_store_live(workdir, monkeypatch):
+    """The migration's commit point is the single manifest rename: a
+    crash AFTER the ordered bucket + boundary files are written but
+    BEFORE the rename must leave the hash layout fully serving (reads
+    and writes), with the half-written ordered files reclaimed by the
+    next committer's orphan sweep."""
+    import os as _os
+
+    kv = KVStore(workdir)
+    for i in range(2_000):
+        kv.put(f"c{i:05d}".encode(), f"v{i}".encode())
+    before = kv.range(b"", KVStore.FROM_KEY)
+
+    orig = KVStore._write_file
+
+    def dying(self, name, payload):
+        if name == "kv-meta.json":
+            raise OSError("simulated crash before the manifest rename")
+        orig(self, name, payload)
+
+    monkeypatch.setattr(KVStore, "_write_file", dying)
+    try:
+        kv.migrate_layout("ordered")
+        raise AssertionError("migration should have crashed")
+    except OSError:
+        pass
+    monkeypatch.undo()
+    # debris exists, but the store still serves the hash layout
+    debris = [
+        f
+        for f in _os.listdir(workdir)
+        if f.startswith("kv-shard-o") or f.startswith("kv-oranges.")
+    ]
+    assert debris  # the crash really left half-written ordered files
+    kv2 = KVStore(workdir)  # post-crash open
+    assert kv2._read_meta().get("layout", "hash") == "hash"
+    assert kv2.range(b"", KVStore.FROM_KEY) == before
+    kv2.put(b"c99999", b"after")  # first commit sweeps the debris
+    for f in debris:
+        assert not _os.path.exists(_os.path.join(workdir, f)), f
+    # and a RETRIED migration completes cleanly on the same store
+    kv2.migrate_layout("ordered")
+    assert kv2._read_meta()["layout"] == "ordered"
+    assert kv2.get(b"c99999")[0] == b"after"
+    assert len(kv2.range(b"c", prefix_end(b"c"))[0]) == 2_001
+
+
 def test_migrate_layout_legacy_and_empty_stores(workdir):
     """A pre-shard monolithic kv.json migrates straight to ordered
     (revision and versions preserved); an empty hash store just flips
