@@ -292,7 +292,12 @@ def ordered_at_cap() -> dict:
 
 
 def main() -> None:
+    from bench import _canary_bench
+
     out = {
+        # same-window host reading (bench.py canary): put/scan numbers
+        # across rounds are only comparable modulo this denominator
+        "canary": _canary_bench(),
         "initial_shards": KV_SHARDS,
         "reshard_at": KV_RESHARD_AT,
         "probes": PROBES,
