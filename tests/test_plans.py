@@ -703,3 +703,20 @@ def test_r13_operator_plans(spark):
     assert "BatchEvalPython" not in rt and "ArrowEvalPython" not in rt
     assert rt.count("InMemoryTableScan") >= 2  # manifest materialized once
     assert "BroadcastNestedLoopJoin" not in rt  # all joins keyed
+
+
+def test_staged_decontamination_plans_have_no_scale_killers(spark):
+    """The staged r16/r17 candidates sit outside the registry plan
+    sweep until registered, so their 100 TB contract is pinned here:
+    candidate generation must stay an equi-join (no cartesian / no
+    nested-loop product), and the only Python boundary allowed is the
+    Arrow mapInPandas signature matmul (no row-at-a-time
+    BatchEvalPython anywhere)."""
+    from elastic_stream_spark.operators.staged_r16 import decontaminate_neardup
+    from elastic_stream_spark.operators.staged_r17 import decontaminate_semantic
+
+    for q in (decontaminate_neardup, decontaminate_semantic):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
