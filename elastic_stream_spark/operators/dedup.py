@@ -77,12 +77,27 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verify_jaccard(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact-Jaccard ≥ 0.8 verification of ``candidates`` (doc_a < doc_b,
-    distinct).  Work ∝ |candidates|: each doc's shingle *set* is collected
-    once (one shuffle), candidate pairs join to the two set sides, and the
-    intersection size is computed in-place with ``array_intersect`` — no
-    shingle=shingle self-join anywhere in the plan.  Integer-ratio
-    comparison (common·5 ≥ 4·union) avoids float threshold effects."""
-    sets_ = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    distinct).  Work ∝ |candidates|: the shingle index is first
+    semi-joined to the docs that actually appear in a candidate pair
+    (r15 — set-collection was the one stage here still ∝ CORPUS: it
+    aggregated every document's shingle set only for the candidate join
+    to discard all but the colliding docs; dropping a doc keeps or drops
+    its set WHOLE, so the surviving sets are identical), then each
+    candidate doc's shingle *set* is collected once (one shuffle),
+    candidate pairs join to the two set sides, and the intersection size
+    is computed in-place with ``array_intersect`` — no shingle=shingle
+    self-join anywhere in the plan.  Integer-ratio comparison
+    (common·5 ≥ 4·union) avoids float threshold effects."""
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_ = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("s"))
+    )
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     pairs = (

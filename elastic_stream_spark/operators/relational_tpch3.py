@@ -127,17 +127,28 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the previous formulation) made Catalyst insert an Expand that
     DOUBLED the lineitem-sized aggregation input in the shuffle; the
     pre-aggregation shuffles each input row once and every later stage
-    operates on the far smaller pair table.  All stages key on
-    l_orderkey, no correlated re-scans — the formulation that survives
-    100 TB."""
+    operates on the far smaller pair table.  r15: the pair
+    pre-aggregation now runs BEFORE the orders join — ``max(late)``
+    over a pair's lineitems equals ``max(l_shipdate) > o_orderdate +
+    60d`` because the threshold is constant within an order, so the
+    lineitem side collapses to distinct pairs (map-side-combinable
+    max) first and the orders join streams pair-sized rows instead of
+    lineitem-sized ones (guide §2.3 "aggregate before you shuffle").
+    All stages key on l_orderkey, no correlated re-scans — the
+    formulation that survives 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+    pair_ship = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    late = F.col("max_ship") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {Q21_LATE_DAYS} DAYS"
     )
-    j = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
-    pairs = j.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("is_late"))
+    pairs = pair_ship.join(
+        o.select("o_orderkey", "o_orderdate"),
+        pair_ship.l_orderkey == o.o_orderkey,
+    ).select("l_orderkey", "l_suppkey", late.alias("is_late"))
     profile = pairs.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),
         F.count(F.when(F.col("is_late"), 1)).alias("n_late_supp"),

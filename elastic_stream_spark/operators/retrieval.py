@@ -59,19 +59,30 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored with the classic Robertson/Sparck-Jones formula
     (k1=1.2, b=0.75, idf = ln((N - df + 0.5)/(df + 0.5) + 1)).
 
-    Plan: one (doc, token) aggregation builds the postings list, one
-    token aggregation the document frequencies; the probe terms
-    broadcast onto the postings (token equi-join), per-(query, doc)
-    scores come from a doc-keyed sum, and the top-k is the two-phase
+    Plan: the token stream is semi-joined against the broadcast probe
+    vocabulary BEFORE the tf aggregation (r15 — the
+    ``retrieval_self_mrr`` slice, applied to the operator it was copied
+    from: a token's posting rows are kept or dropped WHOLE, so per-token
+    tf/df over the slice equal the full-vocabulary values for every
+    token that can reach the output, while the postings build shrinks by
+    the vocabulary-to-probe-token ratio); the probe terms broadcast onto
+    the sliced postings (token equi-join), per-(query, doc) scores come
+    from a doc-keyed sum, and the top-k is the two-phase
     per-partition-then-global prune described in the module docstring.
     Every corpus-sized join is token- or doc-partitioned."""
     d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("t"))
     dl = d.select("doc_id", F.size("t").alias("dl"))
     toks = d.select("doc_id", F.explode("t").alias("token"))
+    probe_tokens = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, ts in BM25_QUERIES for t in ts})],
+        "token string",
+    )
     # materialized: dfreq re-derives from tf, and without the persist
     # both subtrees recompute the postings aggregation from the scan
     tf = materialize(
-        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+        toks.join(F.broadcast(probe_tokens), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = dl.agg(

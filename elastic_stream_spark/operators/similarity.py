@@ -660,9 +660,22 @@ def ivf_pq_topk(
     # probe-side cell scoring through the same numpy path as the build
     # side (see ivf_probe_cells) — mixed arithmetic could flip near-ties
     probes = ivf_probe_cells(queries, centroids, nprobe)
-    cands = cand.join(F.broadcast(probes), "cell").select(
-        "query_id", "qu", "vec_id", "code"
-    )
+    # the candidate rows carry ONLY (query_id, vec_id, code): the query
+    # vector is per-QUERY state and the ADC group ships ∝ CANDIDATES
+    # rows, so attaching qu as a column duplicated a 64-double payload
+    # onto every candidate crossing the Python boundary (r15 — guide
+    # §2.3/§4.1: shuffle keys and codes, move per-query payloads once).
+    # The probe set is bounded by construction (the registered callers
+    # pass ≤ N_QUERIES probe vectors; the module-wide broadcast-the-
+    # queries discipline), so the vectors travel via one bounded
+    # collect into the task closure instead.
+    cands = cand.join(
+        F.broadcast(probes.select("query_id", "cell")), "cell"
+    ).select("query_id", "vec_id", "code")
+    qvecs = {
+        r["query_id"]: [float(x) for x in r["qu"]]
+        for r in queries.select("query_id", "qu").collect()
+    }
     top_n = k * refine
 
     def adc(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -673,7 +686,7 @@ def ivf_pq_topk(
         # cell-independent, so dedupe by vec_id before scoring (in-batch
         # pandas — no extra shuffle)
         pdf = pdf.drop_duplicates(subset=["vec_id"])
-        q = np.array(pdf["qu"].iloc[0], dtype=np.float64)
+        q = np.array(qvecs[pdf["query_id"].iloc[0]], dtype=np.float64)
         dsub = len(q) // m
         # LUT[mi][code] = q_mi · c_mi,code (unit vectors ⇒ cosine adds)
         lut = np.stack([B[mi] @ q[mi * dsub : (mi + 1) * dsub] for mi in range(m)])

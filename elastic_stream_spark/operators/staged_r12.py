@@ -121,7 +121,12 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    # materialized (r15): TWO consumers read the per-(probe, doc) score
+    # table — the self-score extraction and the rank count-aggregate —
+    # and without the persist each re-ran the whole five-way score join
+    # from the token stream (the plan contained the scoring subtree
+    # twice); the persisted table is ∝ probe-candidate pairs, ≪ corpus
+    scored = materialize(
         F.broadcast(qterms)
         .join(tf, "token")
         .join(dfreq, "token")

@@ -76,10 +76,17 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_eval, F.col("vec_a")).otherwise(F.col("vec_b")).alias("eval_vec"),
     )
     ut = corpus.select(F.col("vec_id"), F.col("u").alias("ut"))
-    ue = corpus.select(F.col("vec_id").alias("eval_vec"), F.col("u").alias("ue"))
+    # the eval side is the fixed holdout slice — filter it down and state
+    # the broadcast explicitly (the 100 TB physical plan the docstring
+    # promises, matching staged_r16's F.broadcast(eval_b)); the filter
+    # cannot change the join result (cross only emits eval_vec ids with
+    # eval_vec % SEM_EVAL_MOD == 0)
+    ue = corpus.where(F.col("vec_id") % SEM_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_vec"), F.col("u").alias("ue")
+    )
     verified = (
         cross.join(ut, "vec_id")
-        .join(ue, "eval_vec")
+        .join(F.broadcast(ue), "eval_vec")
         .select(
             "vec_id",
             "eval_vec",

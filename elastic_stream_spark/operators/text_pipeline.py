@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elastic_stream_spark.functions.materialize import materialize
 from elastic_stream_spark.functions.textfns import shingles, tokens
 from elastic_stream_spark.sources.envelope import load_table_balanced
 
@@ -334,7 +335,11 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast.  Per-source sizes (|sources| rows) broadcast to the verify.
     """
     d = _docs(spark, sf_dir)
-    sg = (
+    # materialized (r15): three consumers read this table — the sizes
+    # rollup and BOTH sides of the shingle self-join — and without the
+    # persist each re-derives the interpreted shingle explode + distinct
+    # from the corpus scan (the _doc_shingles rationale)
+    sg = materialize(
         d.select("source", F.explode(shingles("text", OVERLAP_N)).alias("shingle"))
         .distinct()
     )
@@ -379,10 +384,19 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard stop-crawling / dedup-pressure signal).  A gram is
     novel in exactly one doc: the minimum doc_id that contains it.
 
-    Plan: one exploded distinct-shingle scan, ONE groupBy(gram) for the
-    first-seen doc (map-side-combinable min), a semi-join-shaped equi
-    join back on (gram, doc_id = first) to count novel grams per doc,
-    and a tiny bucket rollup.  Both shuffles key on the gram —
+    Plan (r15 — the gram-keyed join-back is GONE): one exploded
+    distinct-shingle scan feeds TWO independent map-side-combinable
+    aggregations — groupBy(gram) → min(doc_id) for first-seen, and
+    groupBy(doc_id) → count for per-doc gram totals.  Novel counts then
+    need no join against the gram table at all: a gram is novel in
+    exactly one doc (its min), so per-bucket novelty is just
+    groupBy(first_doc div 50) → count over the FIRST-SEEN table (∝
+    distinct grams), left-joined onto the per-bucket doc rollup (|
+    buckets| rows).  The previous shape joined the full gram table back
+    to first-seen on the gram key — a second corpus-sized shuffle that
+    carried every gram occurrence only to test doc_id = first; the
+    replacement aggregates the same information in the pass that
+    already exists.  Both aggregations key on gram/doc —
     inverted-index shape, same scale story as dedup; nothing keys on a
     single global partition.
 
@@ -394,29 +408,28 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOVELTY_N tokens) — a shorter doc contributes no grams, hence no
     novelty signal, and is excluded identically by both engines (Spark:
     empty-array explode; oracle: WHERE len(t) >= N)."""
-    grams = (
+    grams = materialize(
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(shingles("text", NOVELTY_N)).alias("g"))
     )
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        grams.join(first, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)).alias(
-                "n_novel"
-            ),
-        )
+    novel = first.groupBy(
+        F.expr(f"first_doc div {NOVELTY_BUCKET}").cast("bigint").alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_novel"))
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    buckets = per_doc.groupBy(
+        F.expr(f"doc_id div {NOVELTY_BUCKET}").cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
     )
     return (
-        per_doc.groupBy(
-            F.expr(f"doc_id div {NOVELTY_BUCKET}").cast("bigint").alias("bucket")
-        )
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_grams").cast("bigint").alias("n_grams"),
-            F.sum("n_novel").cast("bigint").alias("n_novel"),
+        buckets.join(novel, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
         )
         .orderBy("bucket")
     )

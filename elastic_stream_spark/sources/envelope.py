@@ -42,12 +42,39 @@ TABLES = (
 RANGE_SIZE = 1000  # offsets per range in the derived fixture (FIXTURES.md B.1)
 
 
+# Table-HANDLE memo (r15): every operator used to call
+# ``spark.read.parquet`` afresh — each call re-lists the path and
+# re-reads the parquet footer on the DRIVER and pays several py4j round
+# trips, and a single query invokes its loaders 3-6 times.  The memo
+# returns the same lazy DataFrame handle per (application, sf_dir,
+# table): no data is cached (every action still computes from the
+# parquet files — the plan is identical), only the relation/schema
+# resolution is reused, exactly what ``spark.table`` on a catalog table
+# gives a production job.  Keyed by applicationId so a restarted
+# session can never be served a dead handle (the dedup._PAIR_CACHE
+# convention); corpus immutability per (application, dir) holds by
+# construction (testdata is read-only; tests write one corpus per tmp
+# workdir).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table.  ``events.ts`` is stored as parquet
     TIMESTAMP(NANOS), which Spark has no native type for — it is read as
     a long (``spark.sql.legacy.parquet.nanosAsLong``) and floored to
     microseconds here; the DuckDB oracle applies the identical
     ``epoch_ns // 1000`` normalization (EVENTS_NORM_SQL)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for stale in [k for k in _TABLE_CACHE if k[0] != key[0]]:
+        del _TABLE_CACHE[stale]
+    _TABLE_CACHE[key] = out = _load_table(spark, sf_dir, name)
+    return out
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # runtime-settable; guards entry() running under a driver-created
         # session that didn't go through get_spark()
@@ -68,15 +95,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_BALANCED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table_balanced(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``load_table`` + rebalance: the fixture parquet is one input split,
     which would serialize any explode/join/UDF pipeline built on it onto a
     single core.  Split count comes from driver-side file metadata (no
     job, no RDD conversion); a real 100 TB scan arrives already
-    multi-split and skips the shuffle entirely."""
+    multi-split and skips the shuffle entirely.  Handle-memoized like
+    ``load_table`` (the ``inputFiles()`` metadata probe is itself a py4j
+    + file-listing round trip per call)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _BALANCED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for stale in [k for k in _BALANCED_CACHE if k[0] != key[0]]:
+        del _BALANCED_CACHE[stale]
     df = load_table(spark, sf_dir, name)
     if len(df.inputFiles()) < 8:
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    _BALANCED_CACHE[key] = df
     return df
 
 

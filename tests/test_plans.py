@@ -720,3 +720,9 @@ def test_staged_decontamination_plans_have_no_scale_killers(spark):
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+    # r15: the semantic leg's eval side is now EXPLICITLY broadcast
+    # (F.broadcast(ue) — the 100 TB physical plan its docstring promises,
+    # matching staged_r16's F.broadcast(eval_b)): the verified join's
+    # eval side must be a BroadcastHashJoin, not left to size estimates
+    sem = plan_of(decontaminate_semantic(spark, SF_DIR))
+    assert "BroadcastHashJoin" in sem
