@@ -102,15 +102,21 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: eval-side distinct n-grams (small by construction — the eval
     set is a fixed holdout) equi-join the train-side inverted scan, then
-    a per-doc count.  Catalyst broadcasts the eval side at real-world
-    sizes; no pair explosion is possible (join key is the n-gram, output
-    ∝ true overlap)."""
-    ng = _word_ngrams(_docs(spark, sf_dir), NGRAM_N)
+    a per-doc count.  r15: the exploded n-gram table is persisted (its
+    two consumers — eval slice and train slice — each re-ran the
+    interpreted n-gram transform; the _doc_shingles rationale) and the
+    eval side is broadcast EXPLICITLY instead of left to size estimates
+    (the staged_r16/r17 convention — the 100 TB physical plan in code,
+    not in a comment); no pair explosion is possible (join key is the
+    n-gram, output ∝ true overlap)."""
+    from elastic_stream_spark.functions.materialize import materialize
+
+    ng = materialize(_word_ngrams(_docs(spark, sf_dir), NGRAM_N))
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_ng = ng.where(is_eval).select("g").distinct()
     return (
         ng.where(~is_eval)
-        .join(eval_ng, "g")
+        .join(F.broadcast(eval_ng), "g")
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("shared_ngrams"))
         .orderBy("doc_id")

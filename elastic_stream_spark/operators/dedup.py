@@ -967,8 +967,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # normalize once per row; one dot per pair.  Streamed side
     # repartitioned for parallelism (tiny parquet = 1 input partition),
-    # build side broadcast.
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")).repartition(32)
+    # build side broadcast.  Width follows the session's parallelism
+    # (r15 — was a hard-coded 32 tuned to this host's core count).
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
     return (
