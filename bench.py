@@ -341,6 +341,25 @@ def _canary_bench() -> dict[str, float]:
         compute = dt if compute is None else min(compute, dt)
     blob = rng.integers(0, 256, size=192 * 1024 * 1024, dtype=np.uint8).tobytes()
     io_mb = len(blob) / 1e6
+    # record the temp dir's filesystem (r14 ADVICE): when TMPDIR is
+    # tmpfs the I/O leg measures memory bandwidth, which would skew the
+    # cross-round band denominator silently — the artifact now carries
+    # the fs type so a tmpfs/disk mismatch between rounds is detectable
+    tmp_dir = tempfile.gettempdir()
+    io_fs = "unknown"
+    try:
+        dev = os.stat(tmp_dir).st_dev
+        with open("/proc/self/mountinfo") as mi:
+            best = ""
+            for line in mi:
+                parts = line.split()
+                mnt = parts[4]
+                if tmp_dir.startswith(mnt) and len(mnt) >= len(best):
+                    best = mnt
+                    io_fs = parts[parts.index("-") + 1]
+        _ = dev
+    except OSError:
+        pass
     write_s = read_s = None
     for _ in range(2):
         with tempfile.NamedTemporaryFile(prefix="esspark-canary-") as f:
@@ -361,6 +380,7 @@ def _canary_bench() -> dict[str, float]:
         "io_write_mb_per_sec": round(io_mb / write_s, 1),
         "io_read_mb_per_sec": round(io_mb / read_s, 1),
         "io_mb": round(io_mb, 1),
+        "io_fs": io_fs,
     }
 
 

@@ -690,10 +690,14 @@ class StreamCatalog:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             self._repair_locked(self._read_meta())
 
-    def changes(self, spark, from_revision: int = 0):
+    def changes(self, spark, from_revision: int = 0, ordered: bool = True):
         """LIST_RESOURCE-style batch read of the change feed: every
         committed catalog mutation with revision > ``from_revision``, in
-        revision order."""
+        revision order.  ``ordered=False`` skips the global sort for
+        consumers that impose their own per-key ordering (e.g. the
+        window fold in ``fold_resource_feed`` — the sort otherwise
+        survives below the window as a full range-partition exchange of
+        the feed, r15)."""
         from pyspark.sql import functions as F
 
         self._repair()  # repair a prior crash window
@@ -701,7 +705,8 @@ class StreamCatalog:
         if not os.path.isdir(changes_dir) or not os.listdir(changes_dir):
             return spark.createDataFrame([], CHANGES_SCHEMA)
         df = spark.read.schema(CHANGES_SCHEMA).json(changes_dir)
-        return df.where(F.col("revision") > from_revision).orderBy("revision")
+        out = df.where(F.col("revision") > from_revision)
+        return out.orderBy("revision") if ordered else out
 
     def watch_resources(self, spark, from_revision: int = 0):
         """WATCH_RESOURCE ≙ rpc.fbs:762-778: a streaming DataFrame of

@@ -484,7 +484,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     even at 10¹³ corpus grams.  The DuckDB oracle keeps grouping by the
     gram text itself (oracle clarity; identical output)."""
     grams = _substring_grams(spark, sf_dir)
-    return _substring_spans(grams)
+    # the presentation sort lives HERE, not in _substring_spans:
+    # substring_scrub_stats consumes the spans order-independently, and
+    # the inner orderBy survived into its plan as a full range-partition
+    # exchange + sort of the span table (r15 — removed)
+    return _substring_spans(grams).orderBy("doc_id", "span_start")
 
 
 def _substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,7 +624,6 @@ def _substring_spans(grams: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias("span_len"),
         )
-        .orderBy("doc_id", "span_start")
     )
 
 
@@ -643,7 +646,10 @@ def substring_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed equi-join; the per-source rollup is map-side combinable.
     Nothing here revisits the gram index beyond ``dedup_substring``
     itself."""
-    spans = dedup_substring(spark, sf_dir)
+    # unordered spans on purpose (r15): the interval merge orders within
+    # its own doc-partitioned window, so dedup_substring's presentation
+    # orderBy would only add a range-partition exchange + sort here
+    spans = _substring_spans(_substring_grams(spark, sf_dir))
     w = Window.partitionBy("doc_id").orderBy("span_start")
     prev_end = F.max("span_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
     opens = spans.withColumn(

@@ -34,7 +34,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from elastic_stream_spark.functions.materialize import materialize
 from elastic_stream_spark.functions.textfns import tokens
 from elastic_stream_spark.sources.envelope import load_table_balanced
 
@@ -77,9 +76,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t,) for t in sorted({t for _, ts in BM25_QUERIES for t in ts})],
         "token string",
     )
-    # materialized: dfreq re-derives from tf, and without the persist
-    # both subtrees recompute the postings aggregation from the scan
-    tf = materialize(
+    # NOT materialized (r15 — measured): with tf now probe-sliced the
+    # re-derived subtree is a broadcast-semi-join over a tiny token set;
+    # interleaved A/B (lazy-first ordering, so warmup bias favored the
+    # persist) kept lazy ahead every round (best 2.24 vs 2.69 s) — the
+    # persist's count job costs more than the recompute it saves
+    tf = (
         toks.join(F.broadcast(probe_tokens), "token")
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))

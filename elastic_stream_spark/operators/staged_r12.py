@@ -75,7 +75,6 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines count the identical candidate set; reciprocal ranks are
     1/k for small integer k (exact in binary), and the mean is rounded
     to 4 dp."""
-    from elastic_stream_spark.functions.materialize import materialize
     from elastic_stream_spark.functions.textfns import tokens
     from elastic_stream_spark.operators.retrieval import BM25_B, BM25_K1
 
@@ -107,7 +106,10 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full-vocabulary values for every token that can reach the
     # output (see plan notes)
     probe_tokens = qterms.select("token").distinct()
-    tf = materialize(
+    # NOT materialized (r15 — measured): the probe-sliced tf is small
+    # and cheap to re-derive; both persists here lost every interleaved
+    # A/B round (lazy best 6.38 s vs 21.93 s with the persists)
+    tf = (
         toks.join(F.broadcast(probe_tokens), "token")
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
@@ -121,12 +123,11 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    # materialized (r15): TWO consumers read the per-(probe, doc) score
-    # table — the self-score extraction and the rank count-aggregate —
-    # and without the persist each re-ran the whole five-way score join
-    # from the token stream (the plan contained the scoring subtree
-    # twice); the persisted table is ∝ probe-candidate pairs, ≪ corpus
-    scored = materialize(
+    # NOT materialized (r15 — measured): the self-score and rank
+    # consumers do re-derive the score join, but with tf probe-sliced
+    # that subtree is broadcast-joins over probe-sized tables; the
+    # persisted variant lost every interleaved A/B round by 3-4×
+    scored = (
         F.broadcast(qterms)
         .join(tf, "token")
         .join(dfreq, "token")

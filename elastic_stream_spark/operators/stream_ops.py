@@ -263,6 +263,14 @@ def fold_resource_feed(feed: DataFrame) -> DataFrame:
         .orderBy("revision")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # same partition/order spec, full frame: computed in the SAME sort
+    # pass as the running-frame lasts (r15 — replaces the desc
+    # row_number, which forced a second (key, revision DESC) sort)
+    w_full = (
+        Window.partitionBy(*key)
+        .orderBy("revision")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     folded = (
         feed.withColumn("range_index", F.coalesce("range_index", F.lit(-1)))
         .withColumn("d", d)
@@ -276,37 +284,46 @@ def fold_resource_feed(feed: DataFrame) -> DataFrame:
             F.last(F.col("d.end"), ignorenulls=True).over(w).alias("f_end"),
             F.last(F.col("d.start_offset"), ignorenulls=True).over(w).alias("f_so"),
             F.last(F.col("d.next_offset"), ignorenulls=True).over(w).alias("f_no"),
-            F.row_number()
-            .over(Window.partitionBy(*key).orderBy(F.desc("revision")))
-            .alias("rn"),
+            F.max("revision").over(w_full).alias("max_rev"),
         )
-        .where(F.col("rn") == 1)
+        # (key, revision) is unique — revision is the catalog's global
+        # txn counter — so revision == max_rev selects exactly the
+        # last-by-revision row the old row_number() == 1 did
+        .where(F.col("revision") == F.col("max_rev"))
     )
-    live = folded.where(F.col("last_kind") != "deleted")
-    dead_streams = folded.where(
-        (F.col("resource_type") == "stream") & (F.col("last_kind") == "deleted")
-    ).select("stream_id")
-    live = live.join(dead_streams, "stream_id", "left_anti")
-    streams = live.where(F.col("resource_type") == "stream").select(
-        "resource_type",
-        "stream_id",
-        F.col("range_index").cast("long"),
-        F.coalesce("f_so", F.lit(0)).alias("start"),
-        F.col("f_no").alias("end"),
+    # a deleted STREAM kills its ranges too: propagate the death flag
+    # per stream_id with a window instead of the old anti-join, which
+    # evaluated the whole fold subtree a second time for its right side
+    # (r15 — the fold now traverses the feed exactly once)
+    stream_dead = (
+        F.max(
+            F.when(
+                (F.col("resource_type") == "stream")
+                & (F.col("last_kind") == "deleted"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(Window.partitionBy("stream_id"))
+        == 1
+    )
+    live = folded.withColumn("stream_dead", stream_dead).where(
+        (F.col("last_kind") != "deleted") & ~F.col("stream_dead")
     )
     # a sealed range's end comes from the seal event; the mutable range's
     # trimmed start comes from the stream's trim (ranges share the
-    # stream's start floor when the trim point lands inside them)
-    ranges = live.where(F.col("resource_type") == "range").select(
+    # stream's start floor when the trim point lands inside them);
+    # streams and ranges differ only in which folded field feeds
+    # start/end, so one conditional projection replaces the old
+    # two-branch union (which doubled the plan again)
+    is_stream = F.col("resource_type") == "stream"
+    return live.select(
         "resource_type",
         "stream_id",
-        F.col("range_index").cast("long"),
-        F.col("f_start").alias("start"),
-        F.col("f_end").alias("end"),
-    )
-    return streams.unionByName(ranges).orderBy(
-        "resource_type", "stream_id", "range_index"
-    )
+        F.col("range_index").cast("long").alias("range_index"),
+        F.when(is_stream, F.coalesce("f_so", F.lit(0)))
+        .otherwise(F.col("f_start"))
+        .alias("start"),
+        F.when(is_stream, F.col("f_no")).otherwise(F.col("f_end")).alias("end"),
+    ).orderBy("resource_type", "stream_id", "range_index")
 
 
 def resource_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,7 +332,10 @@ def resource_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     watch-feed completeness guarantee, checked end to end through the
     engine's own change log."""
     eng = get_engine(spark, sf_dir)
-    return fold_resource_feed(eng.catalog.changes(spark))
+    # ordered=False: the fold orders per key inside its windows; the
+    # feed's global revision sort would survive below them as a full
+    # range-partition exchange (r15)
+    return fold_resource_feed(eng.catalog.changes(spark, ordered=False))
 
 
 QUERIES = {

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from elastic_stream_spark.functions.materialize import materialize
 from elastic_stream_spark.functions.textfns import shingles, tokens
 from elastic_stream_spark.sources.envelope import load_table_balanced
 
@@ -335,11 +334,12 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast.  Per-source sizes (|sources| rows) broadcast to the verify.
     """
     d = _docs(spark, sf_dir)
-    # materialized (r15): three consumers read this table — the sizes
-    # rollup and BOTH sides of the shingle self-join — and without the
-    # persist each re-derives the interpreted shingle explode + distinct
-    # from the corpus scan (the _doc_shingles rationale)
-    sg = materialize(
+    # NOT materialized (r15 — measured): three consumers read this
+    # table, but an interleaved best-of-3 A/B put the persisted variant
+    # consistently BEHIND the lazy one (1.79 vs 1.48 s best; worse every
+    # round) — the persist's count job plus the cached-plan AQE loss
+    # cost more than the re-derived explode+distinct saves here
+    sg = (
         d.select("source", F.explode(shingles("text", OVERLAP_N)).alias("shingle"))
         .distinct()
     )
@@ -408,7 +408,10 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOVELTY_N tokens) — a shorter doc contributes no grams, hence no
     novelty signal, and is excluded identically by both engines (Spark:
     empty-array explode; oracle: WHERE len(t) >= N)."""
-    grams = materialize(
+    # lazy on purpose (r15 A/B: persisting the gram stream was never
+    # faster round-for-round — the two consumers re-derive a map-only
+    # explode, cheaper than the persist's extra job)
+    grams = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(shingles("text", NOVELTY_N)).alias("g"))
     )
