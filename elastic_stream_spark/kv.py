@@ -456,7 +456,16 @@ class KVStore:
         below OR_INLINE_MAX and every pre-r14 manifest) or the
         generation side file (``oranges_gen``).  Raises FileNotFoundError
         if a concurrent commit GC'd the generation between the manifest
-        read and this one — callers' existing retry loops handle it."""
+        read and this one — callers' existing retry loops handle it.
+
+        A PERMANENTLY missing side file (manual deletion, a partial
+        backup that copied kv-meta.json but not kv-oranges.*) is not
+        churn: gens are monotonic, so if a freshly re-read manifest
+        still references the same gen and the file is still absent, no
+        concurrent commit can explain it — raise a corruption error
+        naming the file instead of letting the reader spin 64 silent
+        retries into a misleading 'manifest churn' failure (r14
+        ADVICE)."""
         if "oranges" in meta:
             return meta["oranges"]
         gen = meta.get("oranges_gen")
@@ -464,8 +473,20 @@ class KVStore:
             return []
         if self._oranges_cache is not None and self._oranges_cache[0] == gen:
             return self._oranges_cache[1]
-        with open(os.path.join(self.root, self._oranges_file(gen))) as f:
-            lst = json.load(f)["oranges"]
+        fname = self._oranges_file(gen)
+        try:
+            with open(os.path.join(self.root, fname)) as f:
+                lst = json.load(f)["oranges"]
+        except FileNotFoundError:
+            if getattr(self, "_oranges_missing_gen", None) == gen:
+                raise RuntimeError(
+                    f"kv store corrupt: manifest references boundary side "
+                    f"file {fname} which does not exist (deleted or lost "
+                    f"in a partial copy — restore it or migrate_layout)"
+                ) from None
+            self._oranges_missing_gen = gen
+            raise
+        self._oranges_missing_gen = None
         self._oranges_cache = (gen, lst)
         return lst
 

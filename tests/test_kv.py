@@ -899,15 +899,25 @@ def test_ordered_boundary_side_file_lifecycle(workdir, monkeypatch):
     for i in range(10):
         kv.put(f"k{i:04d}".encode(), b"upd")
     assert kv._read_meta()["oranges_gen"] == g0
-    # a split (boundary change) swaps the generation and GCs the old
-    with kv._txn() as st:
-        for i in range(1000, 1020):
-            st.set_entry(f"k{i:04d}".encode(), b"grow")
+    # a split (boundary change) swaps the generation and GCs the old.
+    # Keep inserting dense batches until one triggers (bounded), then
+    # assert UNCONDITIONALLY — the old `if gen changed` guard could
+    # silently skip the GC property when the single batch happened not
+    # to split (r14 ADVICE)
+    for batch in range(10):
+        with kv._txn() as st:
+            for i in range(1000 + 20 * batch, 1020 + 20 * batch):
+                st.set_entry(f"k{i:04d}".encode(), b"grow")
+        if kv._read_meta().get("oranges_gen") != g0:
+            break
     m2 = kv._read_meta()
-    if m2.get("oranges_gen") != g0:  # a split really triggered
-        assert not _os.path.exists(
-            _os.path.join(workdir, KVStore._oranges_file(g0))
-        )
+    assert m2.get("oranges_gen") != g0, (
+        "no boundary split after 200 dense inserts under patched "
+        "KV_RESHARD_AT=4 — the GC property went untested"
+    )
+    assert not _os.path.exists(
+        _os.path.join(workdir, KVStore._oranges_file(g0))
+    )
     # reads resolve through the side file, cold-handle and warm alike
     kv2 = KVStore(workdir)
     assert len(kv2.range(b"k00", prefix_end(b"k00"))[0]) == 100
@@ -950,6 +960,40 @@ def test_ordered_oranges_orphan_swept_after_crash_window(workdir, monkeypatch):
     assert _os.path.exists(
         _os.path.join(workdir, KVStore._oranges_file(m["oranges_gen"]))
     )
+
+
+def test_ordered_missing_side_file_is_diagnosed_not_retried(
+    workdir, monkeypatch
+):
+    """r14 ADVICE: a PERMANENTLY missing kv-oranges.<gen>.json (manual
+    deletion, a partial backup that grabbed kv-meta.json + kv-shard-*
+    only) must surface as a corruption error NAMING the file — not 64
+    silent retries ending in the misleading 'manifest churn exceeded
+    retries' (which describes a live-concurrency condition, not a dead
+    store).  Gens are monotonic, so same-gen + still-absent on the
+    retry proves no concurrent commit can explain the absence."""
+    import os as _os
+
+    import pytest as _pytest
+
+    import elastic_stream_spark.kv as kvmod
+
+    monkeypatch.setattr(kvmod, "KV_RESHARD_AT", 4)
+    monkeypatch.setattr(kvmod, "OR_INLINE_MAX", 6)
+    kv = KVStore(workdir, layout="ordered")
+    for i in range(200):
+        kv.put(f"k{i:04d}".encode(), b"v")
+    meta = kv._read_meta()
+    assert "oranges_gen" in meta  # boundaries really live in the side file
+    fname = KVStore._oranges_file(meta["oranges_gen"])
+    _os.unlink(_os.path.join(workdir, fname))
+    # cold handle (no warm _oranges_cache); both read paths diagnose
+    kv2 = KVStore(workdir)
+    with _pytest.raises(RuntimeError, match=fname):
+        kv2.get(b"k0000")
+    kv3 = KVStore(workdir)
+    with _pytest.raises(RuntimeError, match=fname):
+        kv3.range(b"k", b"l")
 
 
 def test_ordered_cap_not_overshot_by_multi_oversize_txn(workdir, monkeypatch):
