@@ -77,27 +77,24 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verify_jaccard(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact-Jaccard ≥ 0.8 verification of ``candidates`` (doc_a < doc_b,
-    distinct).  Work ∝ |candidates|: the shingle index is first
-    semi-joined to the docs that actually appear in a candidate pair
-    (r15 — set-collection was the one stage here still ∝ CORPUS: it
-    aggregated every document's shingle set only for the candidate join
-    to discard all but the colliding docs; dropping a doc keeps or drops
-    its set WHOLE, so the surviving sets are identical), then each
-    candidate doc's shingle *set* is collected once (one shuffle),
-    candidate pairs join to the two set sides, and the intersection size
-    is computed in-place with ``array_intersect`` — no shingle=shingle
+    distinct): each doc's shingle *set* is collected once (one shuffle
+    over the cached shingle index, per-doc bounded state), candidate
+    pairs join to the two set sides, and the intersection size is
+    computed in-place with ``array_intersect`` — no shingle=shingle
     self-join anywhere in the plan.  Integer-ratio comparison
-    (common·5 ≥ 4·union) avoids float threshold effects."""
-    cand_docs = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sets_ = (
-        sh.join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("s"))
-    )
+    (common·5 ≥ 4·union) avoids float threshold effects.
+
+    r15 measured note: a candidate-doc SLICE of the set collection
+    (semi-join the index to docs appearing in a pair before collecting)
+    was built, shipped briefly, and REVERTED on a decisive three-way
+    interleaved A/B — slicing re-evaluates the banded candidate subtree
+    per consumer (minhash best 4.9 s vs 2.86 unsliced; neardup 6.11 vs
+    3.13), and persisting the tiny candidate table first (matcand
+    variant) still lost (5.92/5.38).  At true 100 TB the slice's
+    ∝-candidates collection beats the ∝-corpus one — that flip is this
+    one hunk plus a ``materialize(candidates)``; at bench scale the
+    unsliced form won every round in both A/B orderings."""
+    sets_ = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     pairs = (
