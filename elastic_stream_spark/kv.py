@@ -451,7 +451,7 @@ class KVStore:
     def _oranges_file(gen: int) -> str:
         return f"kv-oranges.{gen:012d}.json"
 
-    def _oranges(self, meta: dict) -> list:
+    def _oranges(self, meta: dict, strikes: dict | None = None) -> list:
         """Resolve the boundary list: inline (``oranges``, stores at or
         below OR_INLINE_MAX and every pre-r14 manifest) or the
         generation side file (``oranges_gen``).  Raises FileNotFoundError
@@ -465,7 +465,15 @@ class KVStore:
         concurrent commit can explain it — raise a corruption error
         naming the file instead of letting the reader spin 64 silent
         retries into a misleading 'manifest churn' failure (r14
-        ADVICE)."""
+        ADVICE).  The two-strike state lives in the CALLER's retry loop
+        (``strikes``, r15 ADVICE): a handle-level flag let two threads
+        sharing one KVStore cross-contaminate — the second thread's
+        FIRST miss (against its own stale manifest) escalated on the
+        first thread's strike, declaring a healthy store corrupt.  With
+        per-call state, escalation requires the SAME retry loop to
+        re-read the manifest and find the same gen still missing.
+        ``strikes=None`` (the under-lock txn path, which has no retry
+        loop) just propagates FileNotFoundError."""
         if "oranges" in meta:
             return meta["oranges"]
         gen = meta.get("oranges_gen")
@@ -478,15 +486,17 @@ class KVStore:
             with open(os.path.join(self.root, fname)) as f:
                 lst = json.load(f)["oranges"]
         except FileNotFoundError:
-            if getattr(self, "_oranges_missing_gen", None) == gen:
-                raise RuntimeError(
-                    f"kv store corrupt: manifest references boundary side "
-                    f"file {fname} which does not exist (deleted or lost "
-                    f"in a partial copy — restore it or migrate_layout)"
-                ) from None
-            self._oranges_missing_gen = gen
+            if strikes is not None:
+                if strikes.get("missing_gen") == gen:
+                    raise RuntimeError(
+                        f"kv store corrupt: manifest references boundary side "
+                        f"file {fname} which does not exist (deleted or lost "
+                        f"in a partial copy — restore it or migrate_layout)"
+                    ) from None
+                strikes["missing_gen"] = gen
             raise
-        self._oranges_missing_gen = None
+        if strikes is not None:
+            strikes.pop("missing_gen", None)
         self._oranges_cache = (gen, lst)
         return lst
 
@@ -935,6 +945,7 @@ class KVStore:
         store, only the buckets whose ranges intersect the span are read
         (O(selectivity)); a hash-layout store must read every bucket —
         any key can live anywhere — so there the span is just a hint."""
+        strikes: dict = {}  # per-CALL side-file strike state (see _oranges)
         for _ in range(64):
             meta = self._read_meta()
             try:
@@ -944,7 +955,7 @@ class KVStore:
                 if key is not None and meta.get("layout") == "ordered":
                     # boundary resolution may race a concurrent GC just
                     # like bucket reads — it sits inside the retry loop
-                    oranges = {"oranges": self._oranges(meta)}
+                    oranges = {"oranges": self._oranges(meta, strikes)}
                     names: list | set = [
                         b
                         for b in self._ospan_names(oranges, key, range_end)
@@ -965,13 +976,16 @@ class KVStore:
         bucket id is computed from the manifest's OWN ``(nshards, next)``
         pair (a concurrent split moves keys; hashing with a stale pair
         would read the wrong — possibly empty — bucket)."""
+        strikes: dict = {}  # per-CALL side-file strike state (see _oranges)
         for _ in range(64):
             meta = self._read_meta()
             try:
                 if meta.get("layout") == "ordered":
                     # side-file resolution can race a concurrent GC —
                     # retried exactly like a GC'd bucket generation
-                    ob = self._obucket_at({"oranges": self._oranges(meta)}, key)
+                    ob = self._obucket_at(
+                        {"oranges": self._oranges(meta, strikes)}, key
+                    )
                     if ob is None:
                         return {}
                     b = ob

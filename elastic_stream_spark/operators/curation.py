@@ -52,6 +52,19 @@ from elastic_stream_spark.sources.envelope import load_table_balanced
 
 NGRAM_N = 5  # word n-gram width for decontamination
 EVAL_MOD = 10  # eval set = doc_id % EVAL_MOD == 0 (deterministic 10% holdout)
+# Broadcast guard for the eval side of decontaminate_ngrams (r15
+# VERDICT items 2/"next round" 3): the fixture's "eval holdout" is a
+# modulus SLICE of the corpus, so its distinct-n-gram table grows ∝
+# corpus — a real deployment's holdout is a fixed benchmark set, but
+# the code must not assume that.  Below the bound the eval side is
+# broadcast explicitly (the verified 100 TB-holdout plan); above it the
+# hint is dropped and Catalyst plans a shuffle join.  Sizing: ≤ 25k
+# eval docs × ~300 distinct 5-grams/doc × ~50 B ≈ 0.4 GB built — safely
+# inside the 8 GB broadcast cap with executor-memory headroom.  The
+# guard reads the memoized corpus row count (one count job per session,
+# warm in the bench), so the hint choice is deterministic per fixture
+# and NEVER changes results — only the join strategy.
+EVAL_BROADCAST_MAX_DOCS = 25_000
 PACK_BUDGET = 512  # tokens per packed context window
 # stratified-mix thresholds on the first 16 bits of md5: even-numbered
 # sources keep ~50% ('7fff'), odd-numbered ~25% ('3fff')
@@ -114,9 +127,16 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = _word_ngrams(_docs(spark, sf_dir), NGRAM_N)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_ng = ng.where(is_eval).select("g").distinct()
+    # size-guarded broadcast (see EVAL_BROADCAST_MAX_DOCS): identical
+    # join result either way, only the physical strategy changes
+    from elastic_stream_spark.sources.envelope import table_rows
+
+    n_eval_docs = table_rows(spark, sf_dir, "documents") // EVAL_MOD
+    if n_eval_docs <= EVAL_BROADCAST_MAX_DOCS:
+        eval_ng = F.broadcast(eval_ng)
     return (
         ng.where(~is_eval)
-        .join(F.broadcast(eval_ng), "g")
+        .join(eval_ng, "g")
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("shared_ngrams"))
         .orderBy("doc_id")

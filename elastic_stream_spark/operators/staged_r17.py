@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 # exists; here the deterministic split plays that role, exactly as
 # EVAL_MOD does for the two lexical decontamination operators.
 SEM_EVAL_MOD = 7
+# Broadcast guard for the verified join's eval side (r15 VERDICT item
+# 2): the "eval holdout" here is a mod-7 slice of the embedding corpus,
+# so its row count grows ∝ corpus and an unconditional broadcast OOMs
+# at true scale (a real benchmark holdout is fixed-size — the docstring
+# assumption — but the code must not rely on it).  Below the bound the
+# eval side broadcasts explicitly (the staged_r16/r17 convention);
+# above it the hint is dropped and Catalyst plans a shuffle join —
+# identical results either way.  Sizing: 500k eval vectors × ~600 B
+# (64 doubles + id + framing) ≈ 0.3 GB built — comfortably inside the
+# 8 GB broadcast cap.
+SEM_EVAL_BROADCAST_MAX_VECS = 500_000
 
 
 def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,9 +95,19 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ue = corpus.where(F.col("vec_id") % SEM_EVAL_MOD == 0).select(
         F.col("vec_id").alias("eval_vec"), F.col("u").alias("ue")
     )
+    # size-guarded broadcast (see SEM_EVAL_BROADCAST_MAX_VECS): the
+    # corpus is embeddings ∪ TWIN_N planted twins, so the eval slice is
+    # bounded by (rows + TWIN_N) / SEM_EVAL_MOD; the memoized row count
+    # costs one job per session and the hint never changes results
+    from elastic_stream_spark.operators.similarity import TWIN_N
+    from elastic_stream_spark.sources.envelope import table_rows
+
+    n_eval = (table_rows(spark, sf_dir, "embeddings") + TWIN_N) // SEM_EVAL_MOD
+    if n_eval <= SEM_EVAL_BROADCAST_MAX_VECS:
+        ue = F.broadcast(ue)
     verified = (
         cross.join(ut, "vec_id")
-        .join(F.broadcast(ue), "eval_vec")
+        .join(ue, "eval_vec")
         .select(
             "vec_id",
             "eval_vec",

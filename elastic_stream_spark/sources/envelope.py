@@ -55,7 +55,24 @@ RANGE_SIZE = 1000  # offsets per range in the derived fixture (FIXTURES.md B.1)
 # convention); corpus immutability per (application, dir) holds by
 # construction (testdata is read-only; tests write one corpus per tmp
 # workdir).
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str, name: str) -> tuple[str, str, str, str]:
+    """Memo key for session-bound handles (r15 ADVICE): a DataFrame
+    belongs to the SparkSession that created it, and sessions made via
+    ``spark.newSession()`` SHARE an applicationId — keying on
+    applicationId alone would serve a sibling session another session's
+    handle.  The key carries (applicationId, sessionUUID, ...): the
+    UUID pins the exact session, while stale eviction stays keyed on
+    applicationId alone so two LIVE sibling sessions coexist and only
+    dead-application entries are dropped."""
+    return (
+        spark.sparkContext.applicationId,
+        str(spark._jsparkSession.sessionUUID()),
+        sf_dir,
+        name,
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -64,7 +81,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a long (``spark.sql.legacy.parquet.nanosAsLong``) and floored to
     microseconds here; the DuckDB oracle applies the identical
     ``epoch_ns // 1000`` normalization (EVENTS_NORM_SQL)."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = _memo_key(spark, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -95,7 +112,29 @@ def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_BALANCED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Session-memoized table row counts (r16): the two eval-holdout
+# broadcast sites (curation.decontaminate_ngrams,
+# staged_r17.decontaminate_semantic) guard their F.broadcast hint on
+# the corpus size — the "eval set" is a modulus slice of the corpus, so
+# its size grows ∝ corpus and an unconditional broadcast OOMs at true
+# scale (r15 VERDICT item 2).  One count job per (application, sf_dir,
+# table), driver-cached; the bench's warm-up counts every table anyway,
+# so the timed path always sees a dict hit.  The count is a metadata-
+# cheap scan and deterministic for the immutable fixture dirs.
+_ROWS_CACHE: dict[tuple[str, str, str, str], int] = {}
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = _memo_key(spark, sf_dir, name)
+    got = _ROWS_CACHE.get(key)
+    if got is None:
+        for stale in [k for k in _ROWS_CACHE if k[0] != key[0]]:
+            del _ROWS_CACHE[stale]
+        _ROWS_CACHE[key] = got = load_table(spark, sf_dir, name).count()
+    return got
+
+
+_BALANCED_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
 
 
 def load_table_balanced(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -106,7 +145,7 @@ def load_table_balanced(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     multi-split and skips the shuffle entirely.  Handle-memoized like
     ``load_table`` (the ``inputFiles()`` metadata probe is itself a py4j
     + file-listing round trip per call)."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = _memo_key(spark, sf_dir, name)
     cached = _BALANCED_CACHE.get(key)
     if cached is not None:
         return cached

@@ -47,7 +47,7 @@ def main() -> None:
 
     from bench import WARM_MEMOS, _force_count
     from elastic_stream_spark.operators import all_queries
-    from elastic_stream_spark.sources.envelope import TABLES, load_table
+    from elastic_stream_spark.sources.envelope import TABLES, table_rows
     from elastic_stream_spark.sources.materialize import get_engine
 
     spark = get_spark("profile_r15")
@@ -59,7 +59,7 @@ def main() -> None:
 
     # warm-up identical to bench.py
     for t in TABLES:
-        load_table(spark, sf_dir, t).count()
+        table_rows(spark, sf_dir, t)
     get_engine(spark, sf_dir)
     for name in WARM_MEMOS:
         if name in qs:
