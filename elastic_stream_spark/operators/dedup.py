@@ -886,61 +886,70 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(60)
     ]
     sums = toks.groupBy("doc_id").agg(*bit_cols)
-    # materialized: both sides of the chunk-bucket self-join read the
-    # signature table, and its lineage (token explode + 60-bit md5 agg)
-    # is the expensive part — compute once, join the cached result
-    sig = materialize(
-        sums.select(
-            "doc_id",
-            sum(
-                [
-                    F.when(
-                        F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-                    ).otherwise(F.lit(0).cast("long"))
-                    for j in range(60)
-                ]
-            ).cast("long").alias("sig"),
-        )
+    sig = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(60)
+            ]
+        ).cast("long").alias("sig"),
+    )
+    # candidate pairs via POSTING LISTS, not a self-join (r16 — the
+    # _ngram_pair_set shape): each (chunk, val) bucket collects its
+    # (doc_id, sig) members sorted, and pairs come from an in-place
+    # double explode over strict successors — doc_a < doc_b is canonical
+    # because struct ordering sorts on doc_id first.  This makes the
+    # signature table SINGLE-consumer, so the eager materialize (an
+    # extra persist + count job) and the band self-join (two cached
+    # scans + join machinery + their AQE rounds) disappear; the r15
+    # profile put ~70% of this query's wall in exactly that off-stage
+    # driver work (guide §2.4 remove shuffles / §5 cache only when it
+    # pays).  Hamming is computed per exploded pair BEFORE the distinct
+    # so the dedup exchange carries only (doc_a, doc_b, hamming) rows
+    # that already passed the ≤3 filter.  Per-bucket state is O(bucket
+    # size) — the same concentration the old join's shuffle had, minus
+    # the duplicated signature payload per candidate row.
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("sig"), c * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                .alias("val"),
+            )
+            for c in range(4)
+        ]
     )
     chunks = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sig"), c * 15)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
-                        .alias("val"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
-    ).select("doc_id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        "doc_id", "sig", F.explode(chunk_structs).alias("ck")
+    ).select(
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.val").alias("val"),
+        F.struct("doc_id", "sig").alias("ds"),
+    )
+    posting = (
+        chunks.groupBy("chunk", "val")
+        .agg(F.sort_array(F.collect_list("ds")).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    pairs = posting.select(
+        F.posexplode("docs").alias("pos", "a"), F.col("docs")
+    ).select(
+        "a",
+        F.explode(F.slice("docs", F.col("pos") + 2, F.size("docs"))).alias("b"),
+    )
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            hamming.cast("int").alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

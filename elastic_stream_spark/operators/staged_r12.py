@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from elastic_stream_spark.sources.envelope import load_table_balanced
 
@@ -64,11 +65,15 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped whole) while shrinking the index build by the
     vocabulary-to-probe-token ratio — the full-vocabulary build was the
     bench's slowest query at registration (4.3 s at sf0.1).  The rank
-    of the self document needs NO per-probe sort: rank = 1 + |candidates
-    scoring strictly above self| (ties broken by doc_id), computed as
-    one map-side-combinable count aggregate against the broadcast
-    self-score table — O(candidates) with no ordering state, where a
-    ranking window would sort every probe's full candidate list.
+    of the self document comes from ONE probe-partitioned window
+    (row_number over score DESC, doc_id ASC — a total order, so the
+    self row's position IS 1 + |candidates ahead|): r15's
+    count-aggregate formulation avoided the per-probe sort but paid for
+    it by evaluating the whole scoring subtree twice (self-score
+    broadcast + rank count) with an extra sequential broadcast job —
+    the r16 interleaved A/B put the windowed single evaluation ahead,
+    and the sorted state is per-probe bounded (candidates are already
+    probe-token-sliced).
 
     Determinism: scores are rounded to 4 dp before comparison (the
     repo-wide BM25 convention) and ties break on doc_id, so both
@@ -138,19 +143,24 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "doc_id")
         .agg(F.round(F.sum("s_term"), 4).alias("score"))
     )
-    self_scores = scored.where(F.col("doc_id") == F.col("probe_id")).select(
-        "probe_id", F.col("score").alias("self_score")
-    )
-    ahead = (
-        F.col("score") > F.col("self_score")
-    ) | (
-        (F.col("score") == F.col("self_score"))
-        & (F.col("doc_id") < F.col("probe_id"))
+    # rank via ONE windowed pass (r16 — r15 VERDICT next-round item 7):
+    # within a probe, order candidates by (score DESC, doc_id ASC) — a
+    # TOTAL order since doc_id is unique — and the self row's row_number
+    # is exactly 1 + |{candidates scoring strictly above self, ties
+    # broken by doc_id}|, the same rank the oracle counts.  The previous
+    # count-aggregate formulation evaluated the whole scoring subtree
+    # TWICE (once for the broadcast self-score table, once for the
+    # rank count) and chained an extra broadcast job; the window sorts
+    # each probe's candidate list instead — per-probe bounded,
+    # spill-backed state, and the candidate lists are already sliced to
+    # probe tokens so no unbounded-state shape returns.
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
     )
     ranks = (
-        scored.join(F.broadcast(self_scores), "probe_id")
-        .groupBy("probe_id")
-        .agg((F.sum(ahead.cast("long")) + 1).alias("rank"))
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("doc_id") == F.col("probe_id"))
+        .select("probe_id", "rank")
     )
     return (
         probes.select("probe_id", "probe_source")
