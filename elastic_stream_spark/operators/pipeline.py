@@ -74,28 +74,42 @@ def connected_components(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         )
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+    labels: DataFrame | None = None
     changed = 1
     for it in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # old_label rides along so convergence is a scan of the
-        # checkpointed result, not a separate join-action per iteration
-        stepped = labels.join(nbr_min, "doc_id", "left").select(
-            "doc_id",
-            F.col("label").alias("old_label"),
-            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
-                "label"
-            ),
-        )
+        if it == 0:
+            # identity labels make iteration 0 join-free (r16): every
+            # node appears as dst (edges are symmetrized) and
+            # label(src) == src, so the neighbor-min is ONE aggregation
+            # over the checkpointed edges — the separate eager
+            # labels-init checkpoint (an extra action) and the
+            # edges⋈labels join both disappear.  Output is identical:
+            # node set = distinct dst = distinct src, label =
+            # least(self, min neighbor).
+            stepped = (
+                edges.groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("src").alias("nbr_min"))
+                .select(
+                    "doc_id",
+                    F.col("doc_id").alias("old_label"),
+                    F.least(F.col("doc_id"), F.col("nbr_min")).alias("label"),
+                )
+            )
+        else:
+            nbr_min = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            # old_label rides along so convergence is a scan of the
+            # checkpointed result, not a separate join-action per iteration
+            stepped = labels.join(nbr_min, "doc_id", "left").select(
+                "doc_id",
+                F.col("label").alias("old_label"),
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
         if it > 0:
             # pointer doubling: label ← label(label).  Every label is a
             # node id present in `stepped`, so the lookup is a self-join.
@@ -486,14 +500,20 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``changed`` iff they differ) — the diff a downstream trainer reads
     before deciding whether to invalidate a data cache.
 
-    Plan: ONE corpus scan computes (q, fp, n_tokens); each snapshot is
-    a fp-partitioned keeper window + a key-partitioned left join to its
-    CC label table (full labels from the session ``_CC_CACHE``, standing
-    labels from ``_CC_STANDING_CACHE`` — both memoized, shared with
-    cc_append); the diff itself is ONE doc_id-partitioned full outer
-    join and a map-side-combinable groupBy(source) with O(1) agg state
-    (modular-sum fingerprints, no collect_list).  Nothing is
-    corpus-collected; every stage is key-partitioned."""
+    Plan (r16 single-pass): both snapshots are judged from ONE corpus
+    scan and ONE fp-partitioned window — the same window computes the
+    full-corpus keeper (``min(doc_id)``) and the standing-corpus keeper
+    (``min(doc_id) over corpus-side rows only``, a conditional min over
+    the identical partition), each doc left-joins BOTH memoized CC
+    label tables (full ``_CC_CACHE``, standing ``_CC_STANDING_CACHE``,
+    shared with cc_append), and per-doc booleans in_a/in_b replace the
+    former doc_id full-outer join outright: snapshot A and B contain
+    the SAME doc row or not at all, so the diff is a map-side
+    conditional aggregate over docs where in_a ∨ in_b.  The r15 shape
+    paid two scans, two windows, and a full-outer exchange for the same
+    answer (guide §2.4); the off-stage profile put ~58% of its wall in
+    those extra job rounds.  Nothing is corpus-collected; every stage
+    is key-partitioned."""
     mod = CC_APPEND_MOD
     docs = load_table_balanced(spark, sf_dir, "documents").select(
         "doc_id",
@@ -502,51 +522,43 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_col().alias("q"),
         bow_fingerprint("text").alias("fp"),
     )
-
-    def kept(side_docs: DataFrame, comp: DataFrame) -> DataFrame:
-        w = Window.partitionBy("fp")
-        return (
-            side_docs.withColumn("fp_keep", F.min("doc_id").over(w))
-            .join(comp, "doc_id", "left")
-            .where(
-                (F.col("q") >= 0.5)
-                & (F.col("doc_id") == F.col("fp_keep"))
-                & (
-                    F.col("cluster_id").isNull()
-                    | (F.col("doc_id") == F.col("cluster_id"))
-                )
-            )
-            .select("doc_id", "source", "n_tokens")
-        )
-
     pairs = ngram_pair_set(spark, sf_dir).select("doc_a", "doc_b")
     corpus_pairs = pairs.where(
         (F.col("doc_a") % mod != mod - 1) & (F.col("doc_b") % mod != mod - 1)
     )
-    kept_a = kept(
-        docs.where(F.col("doc_id") % mod != mod - 1),
-        _cc_standing(spark, sf_dir, corpus_pairs),
+    is_corpus = F.col("doc_id") % mod != mod - 1
+    w = Window.partitionBy("fp")
+    flagged = (
+        docs.withColumn("fp_keep_all", F.min("doc_id").over(w))
+        .withColumn(
+            "fp_keep_corpus",
+            F.min(F.when(is_corpus, F.col("doc_id"))).over(w),
+        )
+        .join(
+            _cc_standing(spark, sf_dir, corpus_pairs).select(
+                "doc_id", F.col("cluster_id").alias("cluster_a")
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            _cc_labels(spark, sf_dir).select(
+                "doc_id", F.col("cluster_id").alias("cluster_b")
+            ),
+            "doc_id",
+            "left",
+        )
     )
-    kept_b = kept(docs, _cc_labels(spark, sf_dir))
-    a = kept_a.select(
-        "doc_id",
-        F.col("doc_id").alias("a_id"),
-        F.col("source").alias("a_source"),
-        F.col("n_tokens").alias("a_tok"),
+    in_a = (
+        is_corpus
+        & (F.col("q") >= 0.5)
+        & (F.col("doc_id") == F.col("fp_keep_corpus"))
+        & (F.col("cluster_a").isNull() | (F.col("doc_id") == F.col("cluster_a")))
     )
-    b = kept_b.select(
-        "doc_id",
-        F.col("doc_id").alias("b_id"),
-        F.col("source").alias("b_source"),
-        F.col("n_tokens").alias("b_tok"),
-    )
-    j = a.join(b, "doc_id", "full_outer").select(
-        F.coalesce("a_source", "b_source").alias("source"),
-        "doc_id",
-        "a_id",
-        "b_id",
-        "a_tok",
-        "b_tok",
+    in_b = (
+        (F.col("q") >= 0.5)
+        & (F.col("doc_id") == F.col("fp_keep_all"))
+        & (F.col("cluster_b").isNull() | (F.col("doc_id") == F.col("cluster_b")))
     )
     term = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
@@ -555,26 +567,34 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         % FP_TERM_MOD
     )
     return (
-        j.groupBy("source")
+        flagged.select(
+            "source",
+            "n_tokens",
+            in_a.alias("in_a"),
+            in_b.alias("in_b"),
+            term.alias("term"),
+        )
+        .where(F.col("in_a") | F.col("in_b"))
+        .groupBy("source")
         .agg(
-            F.count("a_id").alias("n_yesterday"),
-            F.count("b_id").alias("n_today"),
-            F.sum(F.when(F.col("a_id").isNull(), 1).otherwise(0))
+            F.sum(F.col("in_a").cast("long")).alias("n_yesterday"),
+            F.sum(F.col("in_b").cast("long")).alias("n_today"),
+            F.sum(F.when(~F.col("in_a"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_added"),
-            F.sum(F.when(F.col("b_id").isNull(), 1).otherwise(0))
+            F.sum(F.when(~F.col("in_b"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_removed"),
-            F.sum(F.when(F.col("a_id").isNull(), F.col("b_tok")).otherwise(0))
+            F.sum(F.when(~F.col("in_a"), F.col("n_tokens")).otherwise(0))
             .cast("bigint")
             .alias("tokens_added"),
-            F.sum(F.when(F.col("b_id").isNull(), F.col("a_tok")).otherwise(0))
+            F.sum(F.when(~F.col("in_b"), F.col("n_tokens")).otherwise(0))
             .cast("bigint")
             .alias("tokens_removed"),
-            F.sum(F.when(F.col("a_id").isNotNull(), term).otherwise(0))
+            F.sum(F.when(F.col("in_a"), F.col("term")).otherwise(0))
             .cast("bigint")
             .alias("fp_yesterday"),
-            F.sum(F.when(F.col("b_id").isNotNull(), term).otherwise(0))
+            F.sum(F.when(F.col("in_b"), F.col("term")).otherwise(0))
             .cast("bigint")
             .alias("fp_today"),
         )
