@@ -837,24 +837,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(LSH_BANDS)
         ]
     )
-    bands = materialize(
-        mh.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select(
-            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-        # materialized: the band self-join reads this table twice; without
-        # it both sides recompute the 16-minhash aggregation
+    # candidate pairs via POSTING LISTS, not a band self-join (r16 —
+    # the dedup_simhash/_ngram_pair_set shape): each (band, bucket)
+    # collects its sorted member list and pairs come from an in-place
+    # double explode over strict successors (doc_a < doc_b canonical).
+    # The band table becomes SINGLE-consumer, so the eager materialize
+    # (persist + count job) and the self-join's second scan + join
+    # machinery disappear — the same off-stage driver rounds the
+    # simhash rewrite removed (guide §2.4/§5).  Per-bucket state is
+    # O(bucket size); the join generated the identical k²/2 pairs per
+    # bucket.
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "doc_id",
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    posting = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        posting.select(F.posexplode("docs").alias("pos", "doc_a"), F.col("docs"))
+        .select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("pos") + 2, F.size("docs"))).alias(
+                "doc_b"
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     return _verify_jaccard(sh, candidates)

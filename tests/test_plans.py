@@ -648,8 +648,14 @@ def test_r12_operator_plans(spark):
     mrr = plan(retrieval_self_mrr)
     assert "CartesianProduct" not in mrr
     assert "BatchEvalPython" not in mrr and "ArrowEvalPython" not in mrr
-    assert mrr.count("Window") == 0  # rank via count-agg, not a sort
-    assert "BroadcastHashJoin" in mrr  # probe terms / self-scores broadcast
+    # r16: rank comes from ONE probe-partitioned row_number window (the
+    # single-evaluation plan); r15's count-agg formulation avoided the
+    # sort but evaluated the scoring subtree twice via a broadcast
+    # self-score table — the interleaved A/B picked the window (see
+    # staged_r12.retrieval_self_mrr docstring).  Exactly one Window:
+    # a second one would mean the double-evaluation crept back.
+    assert mrr.count("Window") == 1
+    assert "BroadcastHashJoin" in mrr  # probe terms broadcast
     # only the two 1-row stats attaches may nested-loop
     assert mrr.count("BroadcastNestedLoopJoin") <= 2
 
