@@ -285,17 +285,33 @@ def neardup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 1 - (1-j²)^8 > 0.999998, so the verified output equals the
     brute-force cross-pair oracle."""
     sh = _doc_shingles(spark, sf_dir)
-    bands = materialize(_minhash_bands(sh))
+    # batch × corpus candidates via SIDE-TAGGED posting lists (r16 —
+    # the dedup_minhash_lsh shape adapted to a two-sided join): one
+    # grouped pass collects each bucket's batch members and corpus
+    # members separately (collect_list drops the NULLs the side filter
+    # leaves), and the cross pairs come from an in-place double explode.
+    # The band table becomes single-consumer, so its eager materialize
+    # (persist + count job) and the batch⋈corpus band join disappear;
+    # the pair count per bucket is identical to the join's.
+    bands = _minhash_bands(sh)
     is_batch = F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_MOD - 1
-    a = bands.where(is_batch).alias("a")
-    b = bands.where(~is_batch).alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
+    posting = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(is_batch, F.col("doc_id")))
+            ).alias("batch_docs"),
+            F.sort_array(
+                F.collect_list(F.when(~is_batch, F.col("doc_id")))
+            ).alias("corpus_docs"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .where((F.size("batch_docs") > 0) & (F.size("corpus_docs") > 0))
+    )
+    candidates = (
+        posting.select(
+            F.explode("batch_docs").alias("doc_a"), F.col("corpus_docs")
+        )
+        .select("doc_a", F.explode("corpus_docs").alias("doc_b"))
         .distinct()
     )
     return (
