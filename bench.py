@@ -395,6 +395,25 @@ def _canary_bench() -> dict[str, float]:
     }
 
 
+def _steal_jiffies() -> int | None:
+    """Cumulative host CPU-steal jiffies (/proc/stat col 8), or None when
+    the kernel does not expose it.  Motivation (r16, measured): the t=0
+    canary is a POINT-IN-TIME host reading — one bench run in this round
+    recorded a best-yet canary (compute 0.151 s) and then lost minutes to
+    mid-run neighbor CPU theft (a 1.7 s query sampling at 118 s / 65 s
+    with zero code change; /proc/stat showed ~2.5k core-seconds stolen
+    over the window).  Sampling steal around the whole query loop AND
+    around every individual sample makes that theft visible in the
+    artifact instead of reading as a regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        return int(parts[8]) if len(parts) > 8 and parts[0] == "cpu" else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 BULK_RECORDS = 400_000
 BULK_PAYLOAD = 1024  # bytes per record → ~400 MB of payload
 
@@ -511,6 +530,12 @@ def main() -> None:
     spreads: dict[str, float] = {}
     runs_taken: dict[str, int] = {}
     raw_samples: dict[str, list[float]] = {}
+    # host-steal accounting (r16, additions-only — see _steal_jiffies):
+    # whole-loop average + per-sample rates, so a neighbor-theft burst is
+    # attributable per query instead of reading as an engine regression
+    steal_rates: dict[str, list[float]] = {}
+    loop_steal0 = _steal_jiffies()
+    loop_t0 = time.time()
     for name in HEADLINE:
         fn = qs[name]
         samples: list[float] = []
@@ -534,9 +559,17 @@ def main() -> None:
             # (pair set / CC labels) are localCheckpoints — unaffected.
             spark.catalog.clearCache()
             unpersist_materialized(spark)
+            s0 = _steal_jiffies()
             t0 = time.time()
             rows = _force_count(fn(spark, sf_dir))
-            samples.append(time.time() - t0)
+            dt = time.time() - t0
+            samples.append(dt)
+            s1 = _steal_jiffies()
+            if s0 is not None and s1 is not None and dt > 0:
+                # average host cores stolen during this sample (USER_HZ=100)
+                steal_rates.setdefault(name, []).append(
+                    round((s1 - s0) / 100.0 / dt, 2)
+                )
             if len(samples) >= 2 and max(samples) / min(samples) <= 2.0:
                 break
         best = min(samples)
@@ -580,18 +613,32 @@ def main() -> None:
         and (len(s) < 3 or max(s[1:]) / min(s[1:]) <= 2.0)
     }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    loop_steal1 = _steal_jiffies()
+    loop_span = time.time() - loop_t0
+    host_steal_avg = (
+        round((loop_steal1 - loop_steal0) / 100.0 / loop_span, 3)
+        if loop_steal0 is not None and loop_steal1 is not None and loop_span > 0
+        else None
+    )
     payload = {
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "canary": canary,
+        # whole-query-loop average host cores stolen by neighbors (None
+        # when /proc/stat steal is unavailable); per-sample rates in
+        # steal_cores_per_run.  A calm run on this class of host reads
+        # < 0.3; the pathological window measured this round read ~1.7
+        # sustained with multi-minute bursts.
+        "host_steal_cores_avg": host_steal_avg,
         "append": append,
         "bulk": bulk,
         "spread_max_over_min": spreads,
         "cold_first_run": cold_first_run,
         "runs": runs_taken,
         "queries": timings,
+        "steal_cores_per_run": steal_rates,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
@@ -616,6 +663,7 @@ def main() -> None:
                     os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
                 ),
                 "canary": canary,
+                "host_steal": host_steal_avg,
                 "queries_ms": {k: int(round(v * 1000)) for k, v in timings.items()},
             },
             f,
@@ -653,6 +701,7 @@ def main() -> None:
         "sf": payload["sf"],
         "n_queries": len(timings),
         "canary": canary,
+        "host_steal": host_steal_avg,
         "append": append,
         "bulk": bulk,
         "families_sec": families,
