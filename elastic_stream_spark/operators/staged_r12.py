@@ -109,13 +109,19 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe-token slice of the postings: dropping a token keeps or drops
     # its posting rows WHOLE, so per-token tf/df over the slice equal
     # the full-vocabulary values for every token that can reach the
-    # output (see plan notes)
-    probe_tokens = qterms.select("token").distinct()
+    # output (see plan notes).  The slice is a LEFT-SEMI against the
+    # SAME broadcast qterms relation the scored join builds (both key
+    # the hashed relation on token), so the runtime plan builds ONE
+    # broadcast instead of two — r16: the previous separate
+    # broadcast(qterms.select("token").distinct()) re-evaluated the
+    # whole probes subtree (a corpus scan) for a second broadcast job;
+    # job census 24 → 22, output byte-identical (semi on token ∈
+    # qterms.token ≡ inner against its distinct-token projection).
     # NOT materialized (r15 — measured): the probe-sliced tf is small
     # and cheap to re-derive; both persists here lost every interleaved
     # A/B round (lazy best 6.38 s vs 21.93 s with the persists)
     tf = (
-        toks.join(F.broadcast(probe_tokens), "token")
+        toks.join(F.broadcast(qterms), "token", "left_semi")
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
