@@ -665,21 +665,6 @@ def ivf_pq_topk(
         if codes is not None
         else ivf_pq_encode_corpus(emb, centroids, codebooks)
     )
-    # probe-side cell scoring through the same numpy path as the build
-    # side (see ivf_probe_cells) — mixed arithmetic could flip near-ties
-    probes = ivf_probe_cells(queries, centroids, nprobe)
-    # the candidate rows carry ONLY (query_id, vec_id, code): the query
-    # vector is per-QUERY state and the ADC group ships ∝ CANDIDATES
-    # rows, so attaching qu as a column duplicated a 64-double payload
-    # onto every candidate crossing the Python boundary (r15 — guide
-    # §2.3/§4.1: shuffle keys and codes, move per-query payloads once).
-    # The probe set is bounded by construction (the registered callers
-    # pass ≤ N_QUERIES probe vectors; the module-wide broadcast-the-
-    # queries discipline), so the vectors travel via one bounded
-    # collect into the task closure instead.
-    cands = cand.join(
-        F.broadcast(probes.select("query_id", "cell")), "cell"
-    ).select("query_id", "vec_id", "code")
     # the closure-captured query vectors are a DRIVER-side collect: it
     # is only sound because the probe set is bounded.  Every registered
     # caller passes ≤ N_QUERIES probe vectors (vec_id < N_QUERIES), but
@@ -703,6 +688,44 @@ def ivf_pq_topk(
             "IVF_PQ_MAX_PROBE_QUERIES deliberately."
         )
     qvecs = {r["query_id"]: [float(x) for x in r["qu"]] for r in qrows}
+    # probe-side cell scoring on the ALREADY-collected query rows,
+    # through the same numpy float64 ops as ivf_probe_cells/ivf_assign
+    # (mixed arithmetic could flip near-ties).  r16: the previous
+    # ``F.broadcast(ivf_probe_cells(queries, ...))`` built a broadcast
+    # whose job re-evaluated the whole queries subtree (a corpus scan)
+    # and ran a Python map stage — for rows this function had already
+    # collected; the (query_id, cell) pairs are now a literal
+    # ``createDataFrame`` (≤ queries × nprobe rows) and the probe-cell
+    # Spark stage is gone.  Verified output-identical vs the DuckDB
+    # oracles at sf0.001/0.01/0.1 for all three registered callers.
+    import numpy as np
+
+    C = [list(map(float, c)) for c in centroids]
+    npr = min(nprobe, len(C))
+    probe_pairs: list[tuple] = []
+    if qrows:
+        CT = np.array(C, dtype=np.float64).T  # dim × nlist
+        X = np.array([qvecs[r["query_id"]] for r in qrows], dtype=np.float64)
+        sims = X @ CT
+        # top-npr by (sim DESC, cell ASC): stable argsort of -sims keeps
+        # ascending cell order among equal sims — ivf_probe_cells' rule
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :npr]
+        probe_pairs = [
+            (int(r["query_id"]), int(c))
+            for r, row in zip(qrows, order)
+            for c in row
+        ]
+    probes = queries.sparkSession.createDataFrame(
+        probe_pairs, schema="query_id bigint, cell int"
+    )
+    # the candidate rows carry ONLY (query_id, vec_id, code): the query
+    # vector is per-QUERY state and the ADC group ships ∝ CANDIDATES
+    # rows, so attaching qu as a column duplicated a 64-double payload
+    # onto every candidate crossing the Python boundary (r15 — guide
+    # §2.3/§4.1: shuffle keys and codes, move per-query payloads once).
+    cands = cand.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", "code"
+    )
     top_n = k * refine
 
     def adc(pdf: pd.DataFrame) -> pd.DataFrame:

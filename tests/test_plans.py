@@ -253,6 +253,26 @@ def test_ivf_index_build_has_no_cell_exchange(spark):
         assert "hashpartitioning(cell" not in plan, fn.__name__
 
 
+def test_ivf_pq_probe_cells_are_driver_literal(spark):
+    """ivf_pq_topk's probe-cell table must be a driver-computed literal
+    (r16): the query vectors are ALREADY collected for the ADC closure,
+    so a broadcast(ivf_probe_cells(queries, ...)) would re-evaluate the
+    whole queries subtree (a corpus scan) plus a Python map stage just
+    to rank ≤ N_QUERIES × nlist dot products.  Pins that the inline
+    build-and-query plan carries exactly the ENCODE Python stage(s) and
+    the served plan carries NONE (its codes come from the parquet
+    index) — a reappearing probe-side MapInPandas would fail both."""
+    from elastic_stream_spark.operators.similarity import (
+        sim_ann_ivf_pq,
+        sim_ann_ivf_pq_served,
+    )
+
+    pq = plan_of(sim_ann_ivf_pq(spark, SF_DIR))
+    assert pq.count("MapInPandas") <= 2, pq.count("MapInPandas")
+    served = plan_of(sim_ann_ivf_pq_served(spark, SF_DIR))
+    assert "MapInPandas" not in served
+
+
 def test_q21_profile_has_no_expand(spark):
     """q21's per-order profile must come from the pair-level
     pre-aggregation, not a double countDistinct: two countDistincts in
