@@ -248,44 +248,69 @@ def ivf_assign(
     )
 
 
-def ivf_probe_cells(
-    queries: DataFrame, centroids: list[list[float]], nprobe: int
-) -> DataFrame:
-    """(query_id, qu, cell) — each query's ``nprobe`` nearest cells,
-    scored through the SAME numpy float64 matmul the corpus-side
-    ``ivf_assign`` uses, so build-side and probe-side cell arithmetic
-    can never disagree on a near-tie vector (they previously mixed
-    numpy with the Spark SQL dot expression, which could subtly shift
-    recall for trained centroids).  Ties break toward the lower cell id
-    (stable argsort), matching ivf_assign's argmax.  ``queries`` needs
-    columns (query_id, qu); output is nprobe rows per query — tiny, so
-    callers broadcast it into the candidate join."""
+def _bounded_query_rows(queries: DataFrame) -> list:
+    """Driver-side collect of a probe-query set, REFUSING an unbounded
+    one (r15 VERDICT item 5 generalized in r16): the probe paths ship
+    query vectors through literals/closures, which is only valid for a
+    bounded probe set.  Deliberately a parallel collect, never a
+    ``limit(cap+1)`` pre-fetch (executeTake's sequential partition
+    ramping — measured 5.3 vs 4.3 s on sim_ann_ivf_pq at sf0.1);
+    ``spark.driver.maxResultSize`` stays the hard backstop."""
+    qrows = queries.select("query_id", "qu").collect()
+    if len(qrows) > IVF_PQ_MAX_PROBE_QUERIES:
+        raise ValueError(
+            f"probe set has {len(qrows)} query vectors "
+            f"(> {IVF_PQ_MAX_PROBE_QUERIES}); the IVF probe paths ship "
+            "query vectors via literals/closures, which is only valid "
+            "for a bounded probe set — slice the queries or raise "
+            "IVF_PQ_MAX_PROBE_QUERIES deliberately."
+        )
+    return qrows
+
+
+def _probe_cell_rows(
+    qrows: list, centroids: list[list[float]], nprobe: int
+) -> list[tuple]:
+    """[(query_id, qu, cell)] — each collected query row's ``nprobe``
+    nearest cells, scored through the SAME numpy float64 matmul the
+    corpus-side ``ivf_assign`` uses, so build-side and probe-side cell
+    arithmetic can never disagree on a near-tie vector.  Ties break
+    toward the lower cell id (stable argsort), matching ivf_assign's
+    argmax."""
     import numpy as np
-    import pandas as pd
 
     C = [list(map(float, c)) for c in centroids]
     npr = min(nprobe, len(C))
+    if not qrows:
+        return []
+    CT = np.array(C, dtype=np.float64).T  # dim × nlist
+    qus = [[float(x) for x in r["qu"]] for r in qrows]
+    X = np.array(qus, dtype=np.float64)
+    sims = X @ CT  # Q × nlist
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :npr]
+    return [
+        (int(r["query_id"]), qu, int(c))
+        for r, qu, row in zip(qrows, qus, order)
+        for c in row
+    ]
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        CT = np.array(C, dtype=np.float64).T  # dim × nlist
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(pdf["qu"].tolist(), dtype=np.float64)
-            sims = X @ CT  # B × nlist
-            # top-npr by (sim DESC, cell ASC): stable argsort of -sims
-            # keeps ascending cell order among equal sims
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :npr]
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy().repeat(npr),
-                    "qu": pdf["qu"].to_numpy().repeat(npr),
-                    "cell": order.reshape(-1).astype(np.int32),
-                }
-            )
 
-    return queries.select("query_id", "qu").mapInPandas(
-        probe, schema="query_id BIGINT, qu ARRAY<DOUBLE>, cell INT"
+def ivf_probe_cells(
+    queries: DataFrame, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """(query_id, qu, cell) — each query's ``nprobe`` nearest cells as a
+    driver-computed LITERAL DataFrame (r16): the probe set is bounded by
+    contract (``_bounded_query_rows`` enforces it), so ranking
+    ≤ cap × nlist dot products belongs on the driver — the previous
+    ``mapInPandas`` form made every consumer's broadcast build
+    re-evaluate the queries subtree (usually a corpus scan) plus a
+    Python map stage for ≤ 50 rows of work.  Same numpy float64 ops as
+    before (see ``_probe_cell_rows``), so cell choices are unchanged;
+    output is nprobe rows per query — tiny, callers broadcast it into
+    the candidate join."""
+    rows = _probe_cell_rows(_bounded_query_rows(queries), centroids, nprobe)
+    return queries.sparkSession.createDataFrame(
+        rows, schema="query_id bigint, qu array<double>, cell int"
     )
 
 
@@ -666,57 +691,25 @@ def ivf_pq_topk(
         else ivf_pq_encode_corpus(emb, centroids, codebooks)
     )
     # the closure-captured query vectors are a DRIVER-side collect: it
-    # is only sound because the probe set is bounded.  Every registered
-    # caller passes ≤ N_QUERIES probe vectors (vec_id < N_QUERIES), but
-    # the helper itself must refuse an unbounded queries DataFrame
-    # instead of silently accepting it (r15 VERDICT next-round item 5).
-    # Deliberately NOT a ``.limit(cap+1)`` pre-fetch bound: a global
-    # limit collects via executeTake's sequential partition ramping, and
-    # when the probe set is smaller than the cap (always, for honest
-    # callers) that ramp scans every partition of the derived corpus in
-    # serial rounds — measured 5.3 s vs 4.3 s on sim_ann_ivf_pq at
-    # sf0.1.  The parallel collect stays; the assert rejects a
-    # contract-breaking caller, and spark.driver.maxResultSize (1 GB
-    # default) remains the hard backstop underneath it.
-    qrows = queries.select("query_id", "qu").collect()
-    if len(qrows) > IVF_PQ_MAX_PROBE_QUERIES:
-        raise ValueError(
-            f"ivf_pq_topk probe set has {len(qrows)} query vectors "
-            f"(> {IVF_PQ_MAX_PROBE_QUERIES}); the ADC path ships query "
-            "vectors via the task closure, which is only valid for a "
-            "bounded probe set — slice the queries or raise "
-            "IVF_PQ_MAX_PROBE_QUERIES deliberately."
-        )
+    # is only sound because the probe set is bounded — every registered
+    # caller passes ≤ N_QUERIES probe vectors, and _bounded_query_rows
+    # refuses a contract-breaking caller (r15 VERDICT item 5).
+    qrows = _bounded_query_rows(queries)
     qvecs = {r["query_id"]: [float(x) for x in r["qu"]] for r in qrows}
     # probe-side cell scoring on the ALREADY-collected query rows,
-    # through the same numpy float64 ops as ivf_probe_cells/ivf_assign
-    # (mixed arithmetic could flip near-ties).  r16: the previous
-    # ``F.broadcast(ivf_probe_cells(queries, ...))`` built a broadcast
-    # whose job re-evaluated the whole queries subtree (a corpus scan)
-    # and ran a Python map stage — for rows this function had already
-    # collected; the (query_id, cell) pairs are now a literal
-    # ``createDataFrame`` (≤ queries × nprobe rows) and the probe-cell
-    # Spark stage is gone.  Verified output-identical vs the DuckDB
-    # oracles at sf0.001/0.01/0.1 for all three registered callers.
-    import numpy as np
-
-    C = [list(map(float, c)) for c in centroids]
-    npr = min(nprobe, len(C))
-    probe_pairs: list[tuple] = []
-    if qrows:
-        CT = np.array(C, dtype=np.float64).T  # dim × nlist
-        X = np.array([qvecs[r["query_id"]] for r in qrows], dtype=np.float64)
-        sims = X @ CT
-        # top-npr by (sim DESC, cell ASC): stable argsort of -sims keeps
-        # ascending cell order among equal sims — ivf_probe_cells' rule
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :npr]
-        probe_pairs = [
-            (int(r["query_id"]), int(c))
-            for r, row in zip(qrows, order)
-            for c in row
-        ]
+    # through the same numpy float64 ops as ivf_assign (mixed arithmetic
+    # could flip near-ties).  r16: the previous broadcast of the
+    # mapInPandas probe-cell table re-evaluated the whole queries
+    # subtree (a corpus scan) plus a Python map stage per build; the
+    # (query_id, cell) pairs are now a literal (≤ queries × nprobe
+    # rows).  Verified output-identical vs the DuckDB oracles at
+    # sf0.001/0.01/0.1 for the registered callers.
     probes = queries.sparkSession.createDataFrame(
-        probe_pairs, schema="query_id bigint, cell int"
+        [
+            (qid, cell)
+            for qid, _, cell in _probe_cell_rows(qrows, centroids, nprobe)
+        ],
+        schema="query_id bigint, cell int",
     )
     # the candidate rows carry ONLY (query_id, vec_id, code): the query
     # vector is per-QUERY state and the ADC group ships ∝ CANDIDATES
